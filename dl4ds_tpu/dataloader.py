@@ -1,0 +1,618 @@
+"""
+Training-pair synthesis and batch generation.
+
+Two tiers:
+
+1. **Host compat tier** — `create_pair_hr_lr`, `create_batch_hr_lr`,
+   `DataGenerator`: behavioural equivalents of the reference's numpy/OpenCV
+   pipeline (dl4ds/dataloader.py:11-294 pair factory, :297-360 batch factory,
+   :363-505 keras Sequence), built on this framework's OpenCV-parity resize.
+   Used for inference batches, parity tests and debugging.
+
+2. **Device tier** — `BatchSynthesizer`: the TPU-native hot path. The whole
+   dataset lives in HBM; a batch is synthesized *inside jit* with a gather,
+   per-sample `lax.dynamic_slice` random crops (static patch size, traced
+   offsets) and matmul-based resizes, vmapped over the batch. It can be fused
+   directly into a jitted train step, eliminating the reference's
+   host-per-sample bottleneck (SURVEY.md §3.1 "CPU/Python hot path").
+
+Channel layout (parity with the reference):
+  lr  = [data_lr | predictors | static_lr... | season_lr]   (spatial samples)
+  lr  = [data_lr | predictors]                              (spatio-temporal)
+  aux = [static_hr... | season_hr]                          (when present)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import POSTUPSAMPLING_METHODS
+from .interpolation import resize_array, resize2d
+from .utils import crop_array, checkarray_ndim, dynamic_crop
+
+__all__ = ['create_pair_hr_lr', 'create_batch_hr_lr', 'DataGenerator',
+           'BatchSynthesizer', '_get_season_', '_get_season_array_']
+
+
+# =============================================================================
+# Season encoding (reference: dl4ds/dataloader.py:508-542)
+# =============================================================================
+
+_SEASONS = ['winter', 'spring', 'summer', 'autumn']
+
+
+def _get_season_(time_metadata, time_window=None):
+    """Season label from time metadata (pandas/np datetime or xr time)."""
+    import pandas as pd
+    if time_window is None:
+        month_int = int(pd.Timestamp(np.asarray(time_metadata).item()).month)
+    else:
+        months = pd.DatetimeIndex(np.asarray(time_metadata)).month
+        vals, counts = np.unique(np.asarray(months), return_counts=True)
+        month_int = int(vals[np.argmax(counts)])
+    if month_int in (12, 1, 2):
+        return 'winter'
+    if month_int in (3, 4, 5):
+        return 'spring'
+    if month_int in (6, 7, 8):
+        return 'summer'
+    return 'autumn'
+
+
+def _get_season_array_(season, sizey, sizex):
+    """One-hot 4-channel [y, x, 4] spatial season encoding."""
+    if season not in _SEASONS:
+        raise ValueError('``season`` not recognized')
+    out = np.zeros((sizey, sizex, 4), dtype='float32')
+    out[:, :, _SEASONS.index(season)] = 1.0
+    return out
+
+
+# =============================================================================
+# Host compat tier
+# =============================================================================
+
+def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
+                      static_vars=None, predictors=None, season=None,
+                      debug=False, interpolation='inter_area'):
+    """Create one (HR, LR[, aux]) sample with the reference's semantics
+    (dl4ds/dataloader.py:11-294): random patch crop, HR->LR coarsening (or a
+    given LR), pre-upsampling re-interpolation for 'pin', and channel
+    stacking of predictors / static vars / season."""
+    hr_array = np.asarray(array)
+    lr_is_given = array_lr is not None
+    lr_array = np.asarray(array_lr) if lr_is_given else None
+
+    is_spatiotemp = hr_array.ndim == 4
+    hr_y, hr_x = (hr_array.shape[1:3] if is_spatiotemp
+                  else hr_array.shape[0:2])
+
+    crop_y = crop_x = None
+    patch_size_lr = None
+    lr_array_predictors = None
+
+    if upsampling == 'pin':
+        if lr_is_given:
+            lr_y, lr_x = (lr_array.shape[1:3] if is_spatiotemp
+                          else lr_array.shape[0:2])
+            if is_spatiotemp:
+                lr_array = checkarray_ndim(lr_array, 4, -1)
+            lr_resized = resize_array(lr_array, (hr_x, hr_y), interpolation,
+                                      squeezed=False)
+        else:
+            lr_x, lr_y = int(hr_x / scale), int(hr_y / scale)
+            lr_resized = resize_array(hr_array, (lr_x, lr_y), interpolation,
+                                      squeezed=False)
+            lr_resized = resize_array(lr_resized, (hr_x, hr_y), interpolation,
+                                      squeezed=False)
+        if patch_size is not None:
+            hr_array, crop_y, crop_x = crop_array(
+                np.squeeze(hr_array), patch_size, yx=None, position=True)
+            lr_array = crop_array(np.squeeze(lr_resized), patch_size,
+                                  yx=(crop_y, crop_x))
+        else:
+            lr_array = lr_resized
+        hr_array = checkarray_ndim(hr_array, 4 if is_spatiotemp else 3, -1)
+        lr_array = checkarray_ndim(lr_array, 4 if is_spatiotemp else 3, -1)
+
+        if predictors is not None:
+            predictors = np.asarray(predictors)
+            if predictors.shape[1] != lr_y or predictors.shape[2] != lr_x:
+                predictors = resize_array(predictors, (lr_x, lr_y),
+                                          interpolation)
+            predictors = resize_array(predictors, (hr_x, hr_y), interpolation)
+            predictors = checkarray_ndim(
+                predictors, 4 if is_spatiotemp else 3, -1)
+            if patch_size is not None:
+                lr_array_predictors, crop_y, crop_x = crop_array(
+                    predictors, patch_size, yx=(crop_y, crop_x), position=True)
+            else:
+                lr_array_predictors = predictors
+            lr_array_predictors = checkarray_ndim(
+                lr_array_predictors, 4 if is_spatiotemp else 3, -1)
+            lr_array = np.concatenate([lr_array, lr_array_predictors], axis=-1)
+
+    elif upsampling in POSTUPSAMPLING_METHODS:
+        if patch_size is not None:
+            patch_size_lr = int(patch_size / scale)
+        if lr_is_given:
+            lr_y, lr_x = (lr_array.shape[1:3] if is_spatiotemp
+                          else lr_array.shape[0:2])
+        else:
+            lr_x, lr_y = int(hr_x / scale), int(hr_y / scale)
+
+        if predictors is not None:
+            predictors = np.asarray(predictors)
+            if predictors.shape[1] != lr_y or predictors.shape[2] != lr_x:
+                lr_array_predictors = resize_array(predictors, (lr_x, lr_y),
+                                                   interpolation)
+            else:
+                lr_array_predictors = predictors
+            lr_array_predictors = checkarray_ndim(
+                lr_array_predictors, 4 if is_spatiotemp else 3, -1)
+            if patch_size is not None:
+                lr_array_predictors, crop_y, crop_x = crop_array(
+                    lr_array_predictors, patch_size_lr, yx=None, position=True)
+                crop_y_hr, crop_x_hr = crop_y * scale, crop_x * scale
+                hr_array = crop_array(np.squeeze(hr_array), patch_size,
+                                      yx=(crop_y_hr, crop_x_hr))
+                if lr_is_given:
+                    lr_array = crop_array(lr_array, patch_size_lr,
+                                          yx=(crop_y, crop_x))
+            if not lr_is_given:
+                new_xy = ((patch_size_lr, patch_size_lr) if patch_size
+                          is not None else (lr_x, lr_y))
+                lr_array = resize_array(hr_array, new_xy, interpolation,
+                                        squeezed=False)
+            hr_array = checkarray_ndim(hr_array, 4 if is_spatiotemp else 3, -1)
+            lr_array = checkarray_ndim(lr_array, 4 if is_spatiotemp else 3, -1)
+            lr_array_predictors = checkarray_ndim(
+                lr_array_predictors, 4 if is_spatiotemp else 3, -1)
+            lr_array = np.concatenate([lr_array, lr_array_predictors], axis=-1)
+        else:
+            if patch_size is not None:
+                if lr_is_given:
+                    lr_array, crop_y, crop_x = crop_array(
+                        lr_array, patch_size_lr, yx=None, position=True)
+                    crop_y_hr, crop_x_hr = crop_y * scale, crop_x * scale
+                    hr_array = crop_array(np.squeeze(hr_array), patch_size,
+                                          yx=(crop_y_hr, crop_x_hr))
+                else:
+                    hr_array, crop_y, crop_x = crop_array(
+                        hr_array, patch_size, yx=None, position=True)
+                    lr_array = resize_array(
+                        hr_array, (patch_size_lr, patch_size_lr),
+                        interpolation)
+            else:
+                if not lr_is_given:
+                    lr_array = resize_array(hr_array, (lr_x, lr_y),
+                                            interpolation)
+            hr_array = checkarray_ndim(hr_array, 4 if is_spatiotemp else 3, -1)
+            lr_array = checkarray_ndim(lr_array, 4 if is_spatiotemp else 3, -1)
+    else:
+        raise ValueError(f'`upsampling` not recognized: {upsampling}')
+
+    # --- static variables and season channels --------------------------------
+    is_postups = upsampling in POSTUPSAMPLING_METHODS
+    static_array_hr = []
+    if static_vars is not None:
+        for var in static_vars:
+            var = np.asarray(var)
+            if patch_size is not None:
+                var_hr = crop_array(np.squeeze(var), patch_size,
+                                    yx=(crop_y, crop_x))
+                var_hr = checkarray_ndim(var_hr, 3, -1)
+                var_lr = (resize_array(var_hr,
+                                       (patch_size_lr, patch_size_lr),
+                                       interpolation)
+                          if is_postups else var_hr)
+            else:
+                var_hr = checkarray_ndim(var, 3, -1)
+                var_lr = (resize_array(var, (lr_x, lr_y), interpolation)
+                          if is_postups else var_hr)
+            var_lr = checkarray_ndim(var_lr, 3, -1)
+            static_array_hr.append(var_hr)
+            if not is_spatiotemp:
+                lr_array = np.concatenate([lr_array, var_lr], axis=-1)
+        static_array_hr = np.concatenate(static_array_hr, axis=-1)
+
+    season_array_lr = None
+    if season is not None:
+        if patch_size is not None:
+            hr_sz = (patch_size, patch_size)
+            lr_sz = ((patch_size_lr, patch_size_lr) if is_postups
+                     else (patch_size, patch_size))
+        else:
+            hr_sz = (hr_y, hr_x)
+            lr_sz = (lr_y, lr_x) if is_postups else (hr_y, hr_x)
+        season_array_hr = _get_season_array_(season, *hr_sz)
+        season_array_lr = _get_season_array_(season, *lr_sz)
+        static_array_hr = (np.concatenate([static_array_hr, season_array_hr],
+                                          axis=-1)
+                           if static_vars is not None else season_array_hr)
+        if not is_spatiotemp:
+            lr_array = np.concatenate([lr_array, season_array_lr], axis=-1)
+
+    hr_array = np.asarray(hr_array, 'float32')
+    lr_array = np.asarray(lr_array, 'float32')
+    if static_vars is not None or season is not None:
+        static_array_hr = np.asarray(static_array_hr, 'float32')
+        return hr_array, lr_array, static_array_hr
+    return hr_array, lr_array
+
+
+def create_batch_hr_lr(all_indices, index, array, array_lr, upsampling,
+                       scale=4, batch_size=32, patch_size=None,
+                       time_window=None, static_vars=None, predictors=None,
+                       interpolation='inter_area', time_metadata=None):
+    """Create a batch of HR/LR samples by looping the pair factory over a
+    slice of indices (reference: dl4ds/dataloader.py:297-360)."""
+    batch_idx = all_indices[index * batch_size:(index + 1) * batch_size]
+    batch_hr, batch_lr, batch_aux = [], [], []
+    season_i = None
+    for i in batch_idx:
+        if time_window is None:
+            data_i = array[i]
+            data_lr_i = None if array_lr is None else array_lr[i]
+            pred_i = None if predictors is None else predictors[i]
+            season_i = (_get_season_(time_metadata[i], time_window)
+                        if time_metadata is not None else None)
+        else:
+            data_i = array[i:i + time_window]
+            data_lr_i = None if array_lr is None else array_lr[i:i + time_window]
+            pred_i = None if predictors is None else predictors[i:i + time_window]
+            season_i = (_get_season_(time_metadata[i:i + time_window],
+                                     time_window)
+                        if time_metadata is not None else None)
+        res = create_pair_hr_lr(
+            array=data_i, array_lr=data_lr_i, upsampling=upsampling,
+            scale=scale, patch_size=patch_size, static_vars=static_vars,
+            season=season_i, interpolation=interpolation, predictors=pred_i)
+        if static_vars is not None or season_i is not None:
+            hr_i, lr_i, aux_i = res
+            batch_aux.append(aux_i)
+        else:
+            hr_i, lr_i = res
+        batch_hr.append(hr_i)
+        batch_lr.append(lr_i)
+    batch_lr = np.asarray(batch_lr)
+    batch_hr = np.asarray(batch_hr)
+    if static_vars is not None or season_i is not None:
+        return [batch_lr, np.asarray(batch_aux)], [batch_hr]
+    return [batch_lr], [batch_hr]
+
+
+class DataGenerator:
+    """Shuffled epoch iterator over synthesized batches (host tier).
+
+    Same contract as the reference's keras Sequence (dl4ds/dataloader.py:
+    363-505): `__len__` = n_samples // batch_size (times `repeat`), and
+    `__getitem__(index)` returns ([lr(, aux)], [hr]).
+    """
+
+    def __init__(self, array, array_lr, backbone, upsampling, scale,
+                 batch_size=32, patch_size=None, time_window=None,
+                 static_vars=None, predictors=None,
+                 interpolation='inter_area', repeat=None, seed=None):
+        self.array = _values(array)
+        self.array_lr = _values(array_lr)
+        self.time_metadata = None
+        self.batch_size = batch_size
+        self.scale = scale
+        self.upsampling = upsampling
+        self.backbone = backbone
+        self.patch_size = patch_size
+        self.time_window = time_window
+        self.static_vars = ([_values(s) for s in static_vars]
+                            if static_vars is not None else None)
+        self.predictors = predictors
+        if self.predictors is not None:
+            self.predictors = np.concatenate(
+                [_values(p) for p in self.predictors], axis=-1)
+        self.interpolation = interpolation
+        self.repeat = repeat
+
+        if self.time_window is not None:
+            self.n = self.array.shape[0] - self.time_window
+        else:
+            self.n = self.array.shape[0]
+        rng = np.random.default_rng(seed)
+        self.indices = rng.permutation(np.arange(self.n))
+        if self.repeat is not None and isinstance(self.repeat, int):
+            self.indices = np.hstack([self.indices] * self.repeat)
+
+        if patch_size is not None and self.upsampling in POSTUPSAMPLING_METHODS:
+            if self.patch_size % self.scale != 0:
+                raise ValueError('`patch_size` must be divisible by `scale`')
+
+    def __len__(self):
+        n_batches = self.n // self.batch_size
+        return n_batches * self.repeat if self.repeat else n_batches
+
+    def __getitem__(self, index):
+        return create_batch_hr_lr(
+            self.indices, index, self.array, self.array_lr,
+            upsampling=self.upsampling, scale=self.scale,
+            batch_size=self.batch_size, patch_size=self.patch_size,
+            time_window=self.time_window, static_vars=self.static_vars,
+            predictors=self.predictors, interpolation=self.interpolation,
+            time_metadata=self.time_metadata)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def _values(x):
+    """Coerce xr.DataArray -> np.ndarray (xarray optional)."""
+    if x is None:
+        return None
+    try:
+        import xarray as xr
+        if isinstance(x, xr.DataArray):
+            return x.values
+    except ImportError:
+        pass
+    return np.asarray(x)
+
+
+# =============================================================================
+# Device tier — TPU-native batch synthesis
+# =============================================================================
+
+class BatchSynthesizer:
+    """Device-resident, jit-compiled batch synthesis.
+
+    The full HR dataset (and optional LR / predictors / statics) is placed in
+    device memory once. Each call builds a complete training batch on device:
+
+        gather(indices) -> [vmap] random crop (lax.dynamic_slice)
+                        -> coarsen / pre-upsample (matmul resize)
+                        -> channel stacking
+
+    Randomness comes from a `jax.random` key, so the whole synthesis is a
+    pure function that can be *inlined into a jitted train step* and sharded
+    over a mesh (batch axis). This replaces the reference's per-sample
+    host loop (dl4ds/dataloader.py:321-353 + cv2 resizes) — the documented
+    throughput bottleneck.
+
+    Parameters mirror the host tier. `season_ids` is an optional [N] int array
+    of season indices (0..3) per time step, replacing the reference's
+    xarray-time lookups with a precomputed table.
+    """
+
+    def __init__(self, array, array_lr, upsampling, scale, batch_size,
+                 patch_size=None, time_window=None, static_vars=None,
+                 predictors=None, interpolation='inter_area',
+                 season_ids=None, device_put=True):
+        array = np.asarray(_values(array), 'float32')
+        if array.ndim != 4:
+            raise ValueError('`array` must be [n, y, x, c]')
+        self.upsampling = upsampling
+        self.is_postups = upsampling in POSTUPSAMPLING_METHODS
+        self.scale = int(scale)
+        self.batch_size = int(batch_size)
+        self.patch_size = patch_size
+        self.time_window = time_window
+        self.interpolation = interpolation
+        self.n_total, self.hr_y, self.hr_x, self.n_ch = array.shape
+        self.n = (self.n_total - time_window if time_window is not None
+                  else self.n_total)
+
+        lr_given = array_lr is not None
+        self.lr_given = lr_given
+        if lr_given:
+            array_lr = np.asarray(_values(array_lr), 'float32')
+            self.lr_y, self.lr_x = array_lr.shape[1:3]
+        else:
+            self.lr_y = int(self.hr_y / scale)
+            self.lr_x = int(self.hr_x / scale)
+
+        if patch_size is not None:
+            if self.is_postups and patch_size % scale != 0:
+                raise ValueError('`patch_size` must be divisible by `scale`')
+            self.patch_lr = int(patch_size / scale)
+
+        # ---- precompute per-dataset device arrays ---------------------------
+        # pin: the interpolated-to-HR LR field is crop-independent, so it is
+        # computed once for the whole dataset (the reference recomputes it for
+        # every sample every epoch, dl4ds/dataloader.py:100-106).
+        put = jax.device_put if device_put else (lambda x: jnp.asarray(x))
+        self.hr = put(jnp.asarray(array))
+        if upsampling == 'pin':
+            if lr_given:
+                base = jnp.asarray(array_lr)
+            else:
+                base = resize2d(jnp.asarray(array), (self.lr_y, self.lr_x),
+                                interpolation)
+            self.lr_pre = put(resize2d(base, (self.hr_y, self.hr_x),
+                                       interpolation))
+            self.lr = None
+        else:
+            self.lr = put(jnp.asarray(array_lr)) if lr_given else None
+            self.lr_pre = None
+
+        # predictors: concat list -> [n, y, x, P]; for postups resize to the
+        # LR grid once; for pin resize to LR then back to HR once.
+        self.n_pred = 0
+        self.pred = None
+        if predictors is not None:
+            pred = np.concatenate([_values(p) for p in predictors], axis=-1) \
+                if isinstance(predictors, (list, tuple)) else \
+                np.asarray(_values(predictors), 'float32')
+            self.n_pred = pred.shape[-1]
+            pred = jnp.asarray(pred, jnp.float32)
+            if pred.shape[1] != self.lr_y or pred.shape[2] != self.lr_x:
+                pred = resize2d(pred, (self.lr_y, self.lr_x), interpolation)
+            if upsampling == 'pin':
+                pred = resize2d(pred, (self.hr_y, self.hr_x), interpolation)
+            self.pred = put(pred)
+
+        # statics: stack [y, x, S]; precompute HR and LR versions once.
+        self.n_static = 0
+        self.static_hr = None
+        self.static_lr = None
+        if static_vars is not None:
+            statics = np.stack(
+                [np.squeeze(np.asarray(_values(s), 'float32'))
+                 for s in static_vars], axis=-1)
+            self.n_static = statics.shape[-1]
+            s_hr = jnp.asarray(statics)
+            self.static_hr = put(s_hr)
+            if self.is_postups:
+                self.static_lr = put(
+                    resize2d(s_hr, (self.lr_y, self.lr_x), interpolation))
+            else:
+                self.static_lr = self.static_hr
+
+        self.season_ids = (put(jnp.asarray(season_ids, jnp.int32))
+                           if season_ids is not None else None)
+        self.has_aux = self.n_static > 0 or season_ids is not None
+        self._jitted = jax.jit(self._make_batch)
+
+    # ---- shapes ------------------------------------------------------------
+    @property
+    def hr_sample_hw(self):
+        p = self.patch_size
+        return (p, p) if p is not None else (self.hr_y, self.hr_x)
+
+    @property
+    def lr_sample_hw(self):
+        if self.upsampling == 'pin':
+            return self.hr_sample_hw
+        p = self.patch_size
+        return (self.patch_lr, self.patch_lr) if p is not None \
+            else (self.lr_y, self.lr_x)
+
+    @property
+    def n_channels_lr(self):
+        """Total channels of the LR model input."""
+        n = self.n_ch + self.n_pred
+        if self.time_window is None:
+            n += self.n_static + (4 if self.season_ids is not None else 0)
+        return n
+
+    @property
+    def n_channels_aux(self):
+        return self.n_static + (4 if self.season_ids is not None else 0) \
+            if self.has_aux else 0
+
+    # ---- synthesis ---------------------------------------------------------
+    def __call__(self, indices, key):
+        """Synthesize a batch on device. `indices` [B] int32, `key` PRNG key.
+        Returns dict(lr=[B, ...], hr=[B, ...], aux=[B, H, W, A] or None)."""
+        return self._jitted(indices, key)
+
+    def _gather(self, data, indices):
+        """Sample gather; for spatio-temporal samples gathers [tw] windows."""
+        if self.time_window is None:
+            return jnp.take(data, indices, axis=0)
+        win = indices[:, None] + jnp.arange(self.time_window)[None, :]
+        return jnp.take(data, win.reshape(-1), axis=0).reshape(
+            indices.shape[0], self.time_window, *data.shape[1:])
+
+    def _make_batch(self, indices, key):
+        tw = self.time_window
+        b = indices.shape[0]
+        hr = self._gather(self.hr, indices)          # [B(,T),H,W,C]
+        pred = self._gather(self.pred, indices) if self.pred is not None \
+            else None
+        # crops are vmapped over the batch dim, so the per-sample spatial
+        # axis is 1 for [T, H, W, C] windows and 0 for [H, W, C] samples
+        spatial_axis = 1 if tw is not None else 0
+
+        if self.patch_size is not None:
+            p, plr, s = self.patch_size, None, self.scale
+            key_y, key_x = jax.random.split(key)
+            if self.is_postups:
+                plr = self.patch_lr
+                max_y, max_x = self.lr_y - plr, self.lr_x - plr
+            else:
+                max_y, max_x = self.hr_y - p, self.hr_x - p
+            # randint high is exclusive; mirrors np.random.randint in the
+            # reference (dl4ds/utils.py:303-308)
+            ys = jax.random.randint(key_y, (b,), 0, max(max_y, 1))
+            xs = jax.random.randint(key_x, (b,), 0, max(max_x, 1))
+            if self.is_postups:
+                ys_hr, xs_hr = ys * s, xs * s
+                ys_lr, xs_lr = ys, xs
+            else:
+                ys_hr, xs_hr = ys, xs
+                ys_lr, xs_lr = ys, xs  # pin: same HR-coord crop
+
+            crop = jax.vmap(dynamic_crop, in_axes=(0, None, 0, 0, None))
+            hr = crop(hr, p, ys_hr, xs_hr, spatial_axis)
+            if self.upsampling == 'pin':
+                lr = crop(self._gather(self.lr_pre, indices), p, ys_hr, xs_hr,
+                          spatial_axis)
+                if pred is not None:
+                    pred = crop(pred, p, ys_hr, xs_hr, spatial_axis)
+            else:
+                if self.lr is not None:
+                    lr = crop(self._gather(self.lr, indices), plr, ys_lr,
+                              xs_lr, spatial_axis)
+                else:
+                    lr = resize2d(hr, (plr, plr), self.interpolation)
+                if pred is not None:
+                    pred = crop(pred, plr, ys_lr, xs_lr, spatial_axis)
+            crop2 = jax.vmap(dynamic_crop, in_axes=(None, None, 0, 0, None))
+            static_hr = (crop2(self.static_hr, p, ys_hr, xs_hr, 0)
+                         if self.static_hr is not None else None)
+            if self.static_lr is not None:
+                if self.is_postups:
+                    static_lr = resize2d(static_hr, (plr, plr),
+                                         self.interpolation)
+                else:
+                    static_lr = static_hr
+            else:
+                static_lr = None
+        else:
+            if self.upsampling == 'pin':
+                lr = self._gather(self.lr_pre, indices)
+            else:
+                lr = (self._gather(self.lr, indices) if self.lr is not None
+                      else resize2d(hr, (self.lr_y, self.lr_x),
+                                    self.interpolation))
+            static_hr = (jnp.broadcast_to(
+                self.static_hr, (b, *self.static_hr.shape))
+                if self.static_hr is not None else None)
+            static_lr = (jnp.broadcast_to(
+                self.static_lr, (b, *self.static_lr.shape))
+                if self.static_lr is not None else None)
+
+        # ---- channel stacking ----------------------------------------------
+        parts_lr = [lr]
+        if pred is not None:
+            parts_lr.append(pred)
+        aux_parts = []
+        if static_hr is not None:
+            aux_parts.append(static_hr)
+            if tw is None:
+                parts_lr.append(static_lr)
+        if self.season_ids is not None:
+            sid = jnp.take(self.season_ids, indices, axis=0)      # [B]
+            onehot = jax.nn.one_hot(sid, 4, dtype=hr.dtype)       # [B,4]
+            h_hr, w_hr = (static_hr.shape[1:3] if static_hr is not None
+                          else hr.shape[-3:-1])
+            h_lr, w_lr = lr.shape[-3:-1]
+            season_hr = jnp.broadcast_to(onehot[:, None, None, :],
+                                         (b, h_hr, w_hr, 4))
+            aux_parts.append(season_hr)
+            if tw is None:
+                season_lr = jnp.broadcast_to(onehot[:, None, None, :],
+                                             (b, h_lr, w_lr, 4))
+                parts_lr.append(season_lr)
+        lr = jnp.concatenate(parts_lr, axis=-1) if len(parts_lr) > 1 else lr
+        aux = (jnp.concatenate(aux_parts, axis=-1) if len(aux_parts) > 1
+               else (aux_parts[0] if aux_parts else None))
+        return {'lr': lr, 'hr': hr, 'aux': aux}
+
+    def epoch_indices(self, key, steps=None):
+        """Shuffled epoch index matrix [steps, batch_size] on host."""
+        n_batches = self.n // self.batch_size
+        steps = n_batches if steps is None else steps
+        perm = jax.random.permutation(key, self.n)
+        reps = -(-(steps * self.batch_size) // self.n)
+        if reps > 1:
+            perm = jnp.concatenate([perm] * reps)
+        return perm[:steps * self.batch_size].reshape(steps, self.batch_size)

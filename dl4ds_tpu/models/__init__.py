@@ -1,0 +1,257 @@
+"""
+Model factories with the reference's public signatures
+(dl4ds/models/__init__.py:1-6): net_postupsampling, net_pin, unet_pin,
+recnet_postupsampling, recnet_pin, residual_discriminator — plus a single
+`build_model(config)` dispatcher for the TPU-first API.
+
+Factories return a `DSModel` wrapper: a Flax module bound to its metadata
+(model name string with the `_spc/_rc/_dc/_pin` suffix contract the
+reference's Predictor relies on — dl4ds/inference.py:172 — plus input specs
+used for initialization and inference).
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils import (checkarg_backbone, checkarg_upsampling,
+                     checkarg_dropout_variant)
+from .nets import (NetPostupsampling, NetPIN, UnetPIN, RecNetPostupsampling,
+                   RecNetPIN, ResidualDiscriminator)
+from . import blocks
+
+__all__ = ['DSModel', 'net_postupsampling', 'net_pin', 'unet_pin',
+           'recnet_postupsampling', 'recnet_pin', 'residual_discriminator',
+           'build_model', 'blocks']
+
+
+@dataclasses.dataclass
+class DSModel:
+    """A configured model: Flax module + name + input specs.
+
+    `name` follows the reference convention '<backbone>_<upsampling>' (e.g.
+    'resnet_spc', 'recconvnet_pin') so downstream code can infer the
+    upsampling mode from the suffix.
+    """
+    module: nn.Module
+    name: str
+    input_shape: Tuple[int, ...]                 # per-sample, no batch dim
+    aux_shape: Optional[Tuple[int, ...]] = None  # per-sample, no batch dim
+
+    @property
+    def upsampling(self):
+        return self.name.split('_')[-1]
+
+    def dummy_inputs(self, batch_size=1, dtype=jnp.float32):
+        x = jnp.zeros((batch_size,) + tuple(self.input_shape), dtype)
+        aux = (jnp.zeros((batch_size,) + tuple(self.aux_shape), dtype)
+               if self.aux_shape is not None else None)
+        return x, aux
+
+    def init(self, key, batch_size=1):
+        """Initialize all variable collections (params [+ batch_stats])."""
+        x, aux = self.dummy_inputs(batch_size)
+        return self.module.init({'params': key, 'dropout': key}, x, aux,
+                                training=False)
+
+    def apply(self, variables, x, aux=None, training=False, rngs=None,
+              mutable=False):
+        return self.module.apply(variables, x, aux, training=training,
+                                 rngs=rngs, mutable=mutable)
+
+    def param_count(self, variables):
+        return sum(p.size for p in jax.tree_util.tree_leaves(
+            variables['params']))
+
+    def summary(self, variables=None):
+        lines = [f'Model: {self.name}',
+                 f'  input: {self.input_shape}  aux: {self.aux_shape}']
+        if variables is not None:
+            lines.append(f'  parameters: {self.param_count(variables):,}')
+        return '\n'.join(lines)
+
+
+def net_postupsampling(backbone_block, upsampling, scale, n_channels,
+                       n_aux_channels, lr_size, n_channels_out=1, n_filters=8,
+                       n_blocks=6, normalization=None, dropout_rate=0,
+                       dropout_variant=None, attention=False,
+                       activation='relu', output_activation=None,
+                       rc_interpolation='bilinear', localcon_layer=False,
+                       dtype=jnp.float32):
+    """Spatial network + post-upsampling head
+    (reference factory: dl4ds/models/sp_postups.py:14)."""
+    backbone_block = checkarg_backbone(backbone_block)
+    upsampling = checkarg_upsampling(upsampling)
+    dropout_variant = checkarg_dropout_variant(dropout_variant)
+    h_lr, w_lr = lr_size
+    module = NetPostupsampling(
+        backbone=backbone_block, upsampling=upsampling, scale=scale,
+        n_channels_out=n_channels_out, n_filters=n_filters, n_blocks=n_blocks,
+        normalization=normalization, dropout_rate=dropout_rate,
+        dropout_variant=dropout_variant, attention=attention,
+        activation=activation, output_activation=output_activation,
+        rc_interpolation=rc_interpolation, localcon_layer=localcon_layer,
+        dtype=dtype)
+    aux_shape = ((int(h_lr * scale), int(w_lr * scale), n_aux_channels)
+                 if n_aux_channels > 0 else None)
+    return DSModel(module, f'{backbone_block}_{upsampling}',
+                   (h_lr, w_lr, n_channels), aux_shape)
+
+
+def net_pin(backbone_block, n_channels, n_aux_channels, hr_size,
+            n_channels_out=1, n_filters=8, n_blocks=6, dropout_rate=0,
+            dropout_variant=None, normalization=None, attention=False,
+            activation='relu', output_activation=None, localcon_layer=False,
+            dtype=jnp.float32):
+    """Spatial pre-upsampled network
+    (reference factory: dl4ds/models/sp_preups.py:13)."""
+    backbone_block = checkarg_backbone(backbone_block)
+    dropout_variant = checkarg_dropout_variant(dropout_variant)
+    h_hr, w_hr = hr_size
+    module = NetPIN(
+        backbone=backbone_block, n_channels_out=n_channels_out,
+        n_filters=n_filters, n_blocks=n_blocks, dropout_rate=dropout_rate,
+        dropout_variant=dropout_variant, normalization=normalization,
+        attention=attention, activation=activation,
+        output_activation=output_activation, localcon_layer=localcon_layer,
+        dtype=dtype)
+    aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
+    return DSModel(module, f'{backbone_block}_pin', (h_hr, w_hr, n_channels),
+                   aux_shape)
+
+
+def unet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
+             n_filters=8, n_blocks=6, n_channels_out=1, activation='relu',
+             dropout_rate=0, dropout_variant=None, normalization=None,
+             attention=False, decoder_upsampling='rc',
+             rc_interpolation='bilinear', output_activation=None,
+             width_cap=256, localcon_layer=False, dtype=jnp.float32):
+    """U-Net pre-upsampled network
+    (reference factory: dl4ds/models/sp_preups.py:192)."""
+    backbone_block = checkarg_backbone(backbone_block)
+    dropout_variant = checkarg_dropout_variant(dropout_variant)
+    h_hr, w_hr = hr_size
+    module = UnetPIN(
+        backbone=backbone_block, n_channels_out=n_channels_out,
+        n_filters=n_filters, n_blocks=n_blocks, activation=activation,
+        dropout_rate=dropout_rate, dropout_variant=dropout_variant,
+        normalization=normalization, attention=attention,
+        decoder_upsampling=decoder_upsampling,
+        rc_interpolation=rc_interpolation,
+        output_activation=output_activation, width_cap=width_cap,
+        localcon_layer=localcon_layer, dtype=dtype)
+    aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
+    return DSModel(module, f'{backbone_block}_pin', (h_hr, w_hr, n_channels),
+                   aux_shape)
+
+
+def recnet_postupsampling(backbone_block, upsampling, scale, n_channels,
+                          n_aux_channels, lr_size, time_window,
+                          n_channels_out=1, n_filters=8, n_blocks=4,
+                          dropout_rate=0, dropout_variant=None,
+                          normalization=None, attention=False,
+                          activation='relu', output_activation=None,
+                          rc_interpolation='bilinear', localcon_layer=False,
+                          dtype=jnp.float32):
+    """Spatio-temporal (ConvLSTM) network + post-upsampling head
+    (reference factory: dl4ds/models/spt_postups.py:12)."""
+    backbone_block = checkarg_backbone(backbone_block)
+    upsampling = checkarg_upsampling(upsampling)
+    dropout_variant = checkarg_dropout_variant(dropout_variant)
+    h_lr, w_lr = lr_size
+    module = RecNetPostupsampling(
+        backbone=backbone_block, upsampling=upsampling, scale=scale,
+        time_window=time_window, n_channels_out=n_channels_out,
+        n_filters=n_filters, n_blocks=n_blocks, dropout_rate=dropout_rate,
+        dropout_variant=dropout_variant, normalization=normalization,
+        attention=attention, activation=activation,
+        output_activation=output_activation,
+        rc_interpolation=rc_interpolation, localcon_layer=localcon_layer,
+        dtype=dtype)
+    aux_shape = ((int(h_lr * scale), int(w_lr * scale), n_aux_channels)
+                 if n_aux_channels > 0 else None)
+    return DSModel(module, f'rec{backbone_block}_{upsampling}',
+                   (time_window, h_lr, w_lr, n_channels), aux_shape)
+
+
+def recnet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
+               time_window, n_channels_out=1, n_filters=8, n_blocks=6,
+               normalization=None, dropout_rate=0, dropout_variant=None,
+               attention=False, activation='relu', output_activation=None,
+               localcon_layer=False, dtype=jnp.float32):
+    """Spatio-temporal pre-upsampled network
+    (reference factory: dl4ds/models/spt_preups.py:12)."""
+    backbone_block = checkarg_backbone(backbone_block)
+    dropout_variant = checkarg_dropout_variant(dropout_variant)
+    h_hr, w_hr = hr_size
+    module = RecNetPIN(
+        backbone=backbone_block, time_window=time_window,
+        n_channels_out=n_channels_out, n_filters=n_filters,
+        n_blocks=n_blocks, normalization=normalization,
+        dropout_rate=dropout_rate, dropout_variant=dropout_variant,
+        attention=attention, activation=activation,
+        output_activation=output_activation, localcon_layer=localcon_layer,
+        dtype=dtype)
+    aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
+    return DSModel(module, f'rec{backbone_block}_pin',
+                   (time_window, h_hr, w_hr, n_channels), aux_shape)
+
+
+def residual_discriminator(n_channels, upsampling, is_spatiotemporal, scale,
+                           lr_size, n_filters=8, n_res_blocks=4,
+                           normalization=None, activation='relu',
+                           attention=False, time_window=None,
+                           dtype=jnp.float32):
+    """Two-branch conditional discriminator for CGAN training
+    (reference factory: dl4ds/models/discriminator.py:11)."""
+    module = ResidualDiscriminator(
+        n_channels=n_channels, upsampling=upsampling,
+        is_spatiotemporal=is_spatiotemporal, scale=scale,
+        lr_size=tuple(lr_size), n_filters=n_filters,
+        n_res_blocks=n_res_blocks, normalization=normalization,
+        activation=activation, attention=attention, dtype=dtype)
+    h_lr, w_lr = lr_size
+    if is_spatiotemporal:
+        tw = time_window or 1
+        in_shape = (tw, h_lr, w_lr, n_channels)
+        ref_shape = (tw, h_lr * scale, w_lr * scale, 1)
+    else:
+        in_shape = (h_lr, w_lr, n_channels)
+        ref_shape = (h_lr * scale, w_lr * scale, 1)
+    return DSModel(module, 'discriminator', in_shape, ref_shape)
+
+
+def build_model(backbone, upsampling, scale, n_channels, n_aux_channels,
+                lr_size, hr_size, time_window=None, **params):
+    """Single dispatcher over the 5 model factories — the decision tree the
+    reference embeds in its trainers (dl4ds/training/supervised.py:271-317).
+    """
+    from .. import POSTUPSAMPLING_METHODS
+    spatiotemporal = time_window is not None and time_window > 1
+    if upsampling in POSTUPSAMPLING_METHODS:
+        if spatiotemporal:
+            return recnet_postupsampling(
+                backbone_block=backbone, upsampling=upsampling, scale=scale,
+                n_channels=n_channels, n_aux_channels=n_aux_channels,
+                lr_size=lr_size, time_window=time_window, **params)
+        return net_postupsampling(
+            backbone_block=backbone, upsampling=upsampling, scale=scale,
+            n_channels=n_channels, n_aux_channels=n_aux_channels,
+            lr_size=lr_size, **params)
+    if upsampling == 'pin':
+        if spatiotemporal:
+            return recnet_pin(
+                backbone_block=backbone, n_channels=n_channels,
+                n_aux_channels=n_aux_channels, hr_size=hr_size,
+                time_window=time_window, **params)
+        if backbone == 'unet':
+            return unet_pin(
+                backbone_block=backbone, n_channels=n_channels,
+                n_aux_channels=n_aux_channels, hr_size=hr_size, **params)
+        return net_pin(
+            backbone_block=backbone, n_channels=n_channels,
+            n_aux_channels=n_aux_channels, hr_size=hr_size, **params)
+    raise ValueError(f'unrecognized upsampling: {upsampling}')

@@ -1,0 +1,567 @@
+"""
+Model building blocks (Flax linen, NHWC).
+
+TPU-first re-designs of the reference's Keras layers
+(dl4ds/models/blocks.py): same computational contracts, but expressed as
+functional Flax modules with static shapes, `lax.scan`-based recurrence for
+the ConvLSTM, and reshape/transpose pixel shuffle that XLA fuses with the
+producing convolution. Compute dtype is configurable (bfloat16 on TPU);
+parameters stay float32.
+
+Deviations from the reference (intentional, documented):
+  * DeconvolutionBlock with scale=4 applies exactly two stride-2 transposed
+    convs (the reference's if/else chain at blocks.py:525-534 makes scale=4
+    also fall through to the stride-4 deconv, producing a 16x output — a
+    latent bug that breaks training for 'dc'+scale=4).
+  * ConvNextBlock defaults to LayerNorm when `normalization` is None (the
+    reference crashes on None at blocks.py:174).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.array import depth_to_space
+from ..interpolation import resize2d
+from ..utils import checkarg_dropout_variant
+
+__all__ = ['ConvBlock', 'ResidualBlock', 'DenseBlock', 'TransitionBlock',
+           'ConvNextBlock', 'DropPath', 'LocalizedConvBlock',
+           'RecurrentConvBlock', 'SubpixelConvolutionBlock',
+           'ResizeConvolutionBlock', 'DeconvolutionBlock',
+           'ChannelAttention2D', 'EncoderBlock', 'pad_concat',
+           'get_activation', 'Dropout']
+
+Dtype = Any
+
+
+def get_activation(name):
+    """Resolve an activation name to a jax.nn function ('relu', 'gelu', ...).
+    None (or 'linear') is identity."""
+    if name is None or name == 'linear':
+        return lambda x: x
+    table = {
+        'relu': jax.nn.relu,
+        'gelu': jax.nn.gelu,
+        'elu': jax.nn.elu,
+        'selu': jax.nn.selu,
+        'leaky_relu': jax.nn.leaky_relu,
+        'crelu': jax.nn.relu,   # concat-relu is not used by any config path
+        'sigmoid': jax.nn.sigmoid,
+        'tanh': jnp.tanh,
+    }
+    if name not in table:
+        raise ValueError(f'Unsupported activation: {name}')
+    return table[name]
+
+
+def _hard_sigmoid(x):
+    """Keras hard_sigmoid: clip(0.2 x + 0.5, 0, 1) — ConvLSTM gate default."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+class Dropout(nn.Module):
+    """All reference dropout variants in one module
+    (reference: dl4ds/models/blocks.py:659-706).
+
+    variant: None/'vanilla' | 'gaussian' | 'spatial' | 'mcdrop' |
+             'mcgaussiandrop' | 'mcspatialdrop'. The mc* variants stay active
+    at inference (Monte-Carlo dropout). `dim` 2 -> spatial dropout broadcasts
+    over (H, W); 3 -> over (T, H, W).
+    """
+    rate: float
+    variant: Optional[str] = None
+    dim: int = 2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        variant = checkarg_dropout_variant(self.variant)
+        if self.rate <= 0.0:
+            return x
+        is_mc = variant in ('mcdrop', 'mcgaussiandrop', 'mcspatialdrop')
+        active = training or is_mc
+        if not active:
+            return x
+        rng = self.make_rng('dropout')
+        if variant in ('gaussian', 'mcgaussiandrop'):
+            # multiplicative 1-centred gaussian noise, keras semantics
+            stddev = (self.rate / (1.0 - self.rate)) ** 0.5
+            noise = 1.0 + stddev * jax.random.normal(rng, x.shape, x.dtype)
+            return x * noise
+        if variant in ('spatial', 'mcspatialdrop'):
+            # drop whole channels: broadcast mask over spatial (and time) dims
+            n_bcast = self.dim  # (H, W) or (T, H, W)... keras drops per 2D map
+            shape = list(x.shape)
+            for ax in range(x.ndim - 1 - 2, x.ndim - 1):  # H, W
+                shape[ax] = 1
+            keep = 1.0 - self.rate
+            mask = jax.random.bernoulli(rng, keep, tuple(shape))
+            return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class _Norm(nn.Module):
+    """'bn' | 'ln' | None normalization over the channel axis."""
+    kind: Optional[str]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.kind is None:
+            return x
+        if self.kind == 'bn':
+            return nn.BatchNorm(use_running_average=not training,
+                                momentum=0.99, epsilon=1e-3,
+                                dtype=self.dtype)(x)
+        if self.kind == 'ln':
+            return nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)(x)
+        raise ValueError(f'Normalization not supported, got {self.kind}')
+
+
+class ChannelAttention2D(nn.Module):
+    """Squeeze-and-excite channel attention
+    (reference: dl4ds/models/blocks.py:537-599): global average pool ->
+    1x1 conv C/r -> relu -> 1x1 conv C -> sigmoid gate."""
+    nf: int
+    r: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        y = nn.Conv(max(int(self.nf / self.r), 1), (1, 1),
+                    dtype=self.dtype)(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.nf, (1, 1), dtype=self.dtype)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y
+
+
+def _conv(filters, ks, strides=1, use_bias=True, separable=False,
+          dtype=jnp.float32, name=None):
+    if separable:
+        return _SeparableConv(filters, ks, strides, use_bias, dtype, name=name)
+    return nn.Conv(filters, ks if isinstance(ks, tuple) else (ks, ks),
+                   strides=(strides, strides), padding='SAME',
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+class _SeparableConv(nn.Module):
+    """Depthwise-separable conv (depthwise ks + pointwise 1x1)."""
+    filters: int
+    ks: Union[int, Tuple[int, int]]
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        ks = self.ks if isinstance(self.ks, tuple) else (self.ks, self.ks)
+        x = nn.Conv(cin, ks, strides=(self.strides, self.strides),
+                    padding='SAME', feature_group_count=cin, use_bias=False,
+                    dtype=self.dtype)(x)
+        return nn.Conv(self.filters, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
+
+
+class ConvBlock(nn.Module):
+    """Two-conv block (reference: dl4ds/models/blocks.py:13-103):
+    [dropout] -> conv -> [norm] -> act -> [dropout] -> conv -> [norm] -> act
+    -> [channel attention]."""
+    filters: int
+    strides: int = 1
+    ks_cl1: Tuple[int, int] = (3, 3)
+    ks_cl2: Tuple[int, int] = (3, 3)
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    attention: bool = False
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    depthwise_separable: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        use_bias = self.normalization is None
+        y = Dropout(self.dropout_rate, self.dropout_variant)(x, training)
+        y = _conv(self.filters, self.ks_cl1, self.strides, use_bias,
+                  self.depthwise_separable, self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        y = act(y)
+        y = Dropout(self.dropout_rate, self.dropout_variant)(y, training)
+        y = _conv(self.filters, self.ks_cl2, 1, use_bias,
+                  self.depthwise_separable, self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        y = act(y)
+        if self.attention:
+            y = ChannelAttention2D(self.filters, dtype=self.dtype)(y)
+        return y
+
+
+class ResidualBlock(nn.Module):
+    """Residual block (reference: dl4ds/models/blocks.py:187-230). With
+    normalization=None this is the EDSR-style block."""
+    filters: int
+    strides: int = 1
+    ks_cl1: Tuple[int, int] = (3, 3)
+    ks_cl2: Tuple[int, int] = (3, 3)
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    attention: bool = False
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    use_1x1conv: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        use_bias = self.normalization is None
+        y = Dropout(self.dropout_rate, self.dropout_variant)(x, training)
+        y = _conv(self.filters, self.ks_cl1, self.strides, use_bias,
+                  dtype=self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        y = act(y)
+        y = Dropout(self.dropout_rate, self.dropout_variant)(y, training)
+        y = _conv(self.filters, self.ks_cl2, 1, use_bias, dtype=self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        if self.attention:
+            y = ChannelAttention2D(self.filters, dtype=self.dtype)(y)
+        if self.use_1x1conv:
+            x = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x)
+        return act(y + x)
+
+
+class DenseBlock(nn.Module):
+    """DenseNet-style block (reference: dl4ds/models/blocks.py:233-277):
+    1x1 conv to 4*filters -> [norm] -> act -> [dropout] -> 3x3 conv ->
+    [attention] -> concat with input."""
+    filters: int
+    strides: int = 1
+    ks_cl1: Tuple[int, int] = (1, 1)
+    ks_cl2: Tuple[int, int] = (3, 3)
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    attention: bool = False
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        y = _conv(4 * self.filters, self.ks_cl1, self.strides,
+                  dtype=self.dtype)(x)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        y = act(y)
+        y = Dropout(self.dropout_rate, self.dropout_variant)(y, training)
+        y = _conv(self.filters, self.ks_cl2, 1, dtype=self.dtype)(y)
+        if self.attention:
+            y = ChannelAttention2D(self.filters, dtype=self.dtype)(y)
+        return jnp.concatenate([y, x], axis=-1)
+
+
+class TransitionBlock(nn.Module):
+    """1x1-conv channel controller (reference: dl4ds/models/blocks.py:280-309):
+    with 'bn': bn -> act -> conv; otherwise conv -> act."""
+    filters: int
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        if self.normalization == 'bn':
+            y = _Norm('bn', self.dtype)(x, training)
+            y = act(y)
+            return nn.Conv(self.filters, (1, 1), dtype=self.dtype)(y)
+        y = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x)
+        return act(y)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference: dl4ds/models/blocks.py:106-128)."""
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if not training or self.drop_prob == 0.0:
+            return x
+        keep = 1.0 - self.drop_prob
+        rng = self.make_rng('dropout')
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+        return x / keep * mask
+
+
+class ConvNextBlock(nn.Module):
+    """ConvNeXt block (reference: dl4ds/models/blocks.py:131-184): 7x7
+    depthwise conv -> LN -> pointwise 4x expand -> GELU -> pointwise project,
+    optional layer-scale gamma and stochastic depth, residual add (optionally
+    through a 1x1 conv)."""
+    filters: int
+    drop_path: float = 0.0
+    layer_scale_init_value: float = 0.0
+    use_1x1conv: bool = False
+    activation: Optional[str] = 'gelu'
+    normalization: Optional[str] = 'ln'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        inp = x
+        cin = x.shape[-1]
+        y = nn.Conv(cin, (7, 7), padding='SAME', feature_group_count=cin,
+                    dtype=self.dtype)(x)
+        norm = self.normalization or 'ln'
+        if norm == 'bn':
+            y = _Norm('bn', self.dtype)(y, training)
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(y)
+        y = nn.Dense(4 * self.filters, dtype=self.dtype)(y)
+        y = act(y)
+        y = nn.Dense(self.filters, dtype=self.dtype)(y)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                'gamma',
+                lambda k, s: self.layer_scale_init_value * jnp.ones(s),
+                (self.filters,))
+            y = gamma * y
+        if self.use_1x1conv:
+            inp = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(inp)
+        return inp + DropPath(self.drop_path)(y, training)
+
+
+class LocalizedConvBlock(nn.Module):
+    """Location-specific weights (reference: dl4ds/models/blocks.py:312-336):
+    transition to `filters` channels, then a per-pixel 1x1 locally connected
+    layer — expressed here as a [H, W, Cin, F] weight tensor contracted with
+    einsum, which XLA lowers to one batched matmul. Requires static spatial
+    dims (same constraint as the reference, sp_preups.py:96-99)."""
+    filters: int = 2
+    activation: Optional[str] = None
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = TransitionBlock(self.filters, dtype=self.dtype)(x, training)
+        h, w, cin = y.shape[-3], y.shape[-2], y.shape[-1]
+        kernel = self.param('local_kernel', nn.initializers.lecun_normal(),
+                            (h, w, cin, self.filters))
+        out = jnp.einsum('...hwc,hwcf->...hwf', y,
+                         kernel.astype(y.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        if self.use_bias:
+            bias = self.param('local_bias', nn.initializers.zeros,
+                              (h, w, self.filters))
+            out = out + bias.astype(y.dtype)
+        return get_activation(self.activation)(out)
+
+
+class _ConvLSTMCell(nn.Module):
+    """One ConvLSTM step given precomputed input-gate activations. Keras gate
+    semantics: i, f, c, o order; hard-sigmoid recurrent activation; tanh
+    state activation."""
+    filters: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, zx_t):
+        h_t, c_t = carry
+        z = zx_t + nn.Conv(4 * self.filters, self.kernel_size, padding='SAME',
+                           use_bias=False, dtype=self.dtype,
+                           name='recurrent_conv')(h_t)
+        zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+        i = _hard_sigmoid(zi)
+        f = _hard_sigmoid(zf)
+        c_new = f * c_t + i * jnp.tanh(zc)
+        o = _hard_sigmoid(zo)
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+
+class ConvLSTM2D(nn.Module):
+    """ConvLSTM over [B, T, H, W, C] returning sequences (reference backbone
+    layer: dl4ds/models/blocks.py:350-355 uses keras ConvLSTM2D).
+
+    TPU-first structure: the input convolution is hoisted out of the
+    recurrence and applied to the whole window at once (one big MXU conv over
+    B*T samples); only the recurrent conv + gates run inside `nn.scan`, so a
+    single compiled step is reused across the time window."""
+    filters: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, _ = x.shape
+        f = self.filters
+        zx = nn.Conv(4 * f, self.kernel_size, padding='SAME',
+                     dtype=self.dtype, name='input_conv')(x)  # [B,T,H,W,4F]
+        zx = jnp.moveaxis(zx, 1, 0)                           # [T,B,H,W,4F]
+        init = (jnp.zeros((b, h, w, f), x.dtype),
+                jnp.zeros((b, h, w, f), x.dtype))
+        scan = nn.scan(_ConvLSTMCell, variable_broadcast='params',
+                       split_rngs={'params': False}, in_axes=0, out_axes=0)
+        _, ys = scan(self.filters, self.kernel_size, self.dtype,
+                     name='cell')(init, zx)
+        return jnp.moveaxis(ys, 0, 1)                         # [B,T,H,W,F]
+
+
+class RecurrentConvBlock(nn.Module):
+    """Two stacked ConvLSTM layers with norm/activation/dropout
+    (reference: dl4ds/models/blocks.py:339-398)."""
+    filters: int
+    ks_cl1: Tuple[int, int] = (5, 5)
+    ks_cl2: Tuple[int, int] = (3, 3)
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = get_activation(self.activation)
+        y = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(x, training)
+        y = ConvLSTM2D(self.filters, self.ks_cl1, dtype=self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        y = act(y)
+        y = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(y, training)
+        y = ConvLSTM2D(self.filters, self.ks_cl2, dtype=self.dtype)(y)
+        y = _Norm(self.normalization, self.dtype)(y, training)
+        return act(y)
+
+
+class SubpixelConvolutionBlock(nn.Module):
+    """Sub-pixel convolution upsampler (reference: dl4ds/models/blocks.py:
+    401-454): conv to filters*r^2 then pixel shuffle; composite factors
+    2*2=4, 2*2*2=8, 2*5=10, 2*2*5=20, direct otherwise."""
+    scale: int
+    n_filters: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def up(x, factor, name):
+            y = nn.Conv(self.n_filters * factor ** 2, (3, 3), padding='SAME',
+                        dtype=self.dtype, name=name)(x)
+            return depth_to_space(y, factor)
+
+        s = self.scale
+        if s == 2:
+            return up(x, 2, 'conv2x_a')
+        if s == 4:
+            return up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b')
+        if s == 8:
+            return up(up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b'), 2, 'conv2x_c')
+        if s == 10:
+            return up(up(x, 2, 'conv2x_a'), 5, 'conv5x')
+        if s == 20:
+            return up(up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b'), 5, 'conv5x')
+        return up(x, s, 'convNx')
+
+
+_RC_INTERP = {'bilinear': 'bilinear', 'nearest': 'nearest',
+              'bicubic': 'bicubic', 'area': 'inter_area',
+              'inter_area': 'inter_area', 'lanczos3': 'lanczos',
+              'lanczos5': 'lanczos', 'lanczos': 'lanczos',
+              'gaussian': 'bilinear', 'mitchellcubic': 'bicubic'}
+
+
+class ResizeConvolutionBlock(nn.Module):
+    """Interpolation upsampling followed by a 3x3 conv — the
+    anti-checkerboard upsampler (reference: dl4ds/models/blocks.py:457-491)."""
+    scale: int
+    n_filters: int
+    interpolation: str = 'bilinear'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        y = resize2d(x, (int(h * self.scale), int(w * self.scale)),
+                     _RC_INTERP.get(self.interpolation, 'bilinear'))
+        return nn.Conv(self.n_filters, (3, 3), padding='SAME',
+                       dtype=self.dtype)(y.astype(x.dtype))
+
+
+class DeconvolutionBlock(nn.Module):
+    """Transposed-convolution upsampler (reference: dl4ds/models/blocks.py:
+    494-534): 9x9 kernels, x2 chains for scales 4 and 8."""
+    scale: int
+    n_filters: int
+    output_activation: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.output_activation)
+
+        def deconv(x, stride, name, activate):
+            y = nn.ConvTranspose(self.n_filters, (9, 9),
+                                 strides=(stride, stride), padding='SAME',
+                                 use_bias=False, dtype=self.dtype,
+                                 name=name)(x)
+            return act(y) if activate else y
+
+        if self.scale == 4:
+            x = deconv(x, 2, 'deconv_1of2', False)
+            return deconv(x, 2, 'deconv_2of2', True)
+        if self.scale == 8:
+            x = deconv(x, 2, 'deconv_1of3', False)
+            x = deconv(x, 2, 'deconv_2of3', True)
+            return deconv(x, 2, 'deconv_3of3', True)
+        return deconv(x, self.scale, f'deconv_x{self.scale}', True)
+
+
+class EncoderBlock(nn.Module):
+    """U-Net encoder step: ConvBlock then 2x2 maxpool; returns
+    (downsampled, skip) (reference: dl4ds/models/blocks.py:602-618)."""
+    n_filters: int
+    activation: Optional[str] = None
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    normalization: Optional[str] = None
+    attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = ConvBlock(self.n_filters, activation=self.activation,
+                      dropout_rate=self.dropout_rate,
+                      dropout_variant=self.dropout_variant,
+                      normalization=self.normalization,
+                      attention=self.attention, dtype=self.dtype)(x, training)
+        down = nn.max_pool(y, (2, 2), strides=(2, 2))
+        return down, y
+
+
+def pad_concat(t1, t2):
+    """Zero-pad two NHWC tensors to matching spatial dims and concatenate on
+    channels (reference: dl4ds/models/blocks.py:621-656)."""
+    y1, x1 = t1.shape[-3], t1.shape[-2]
+    y2, x2 = t2.shape[-3], t2.shape[-2]
+
+    def pad_to(t, ty, tx):
+        cfg = [(0, 0)] * t.ndim
+        cfg[-3] = (0, ty - t.shape[-3])
+        cfg[-2] = (0, tx - t.shape[-2])
+        return jnp.pad(t, cfg)
+
+    ty, tx = max(y1, y2), max(x1, x2)
+    if (y1, x1) != (ty, tx):
+        t1 = pad_to(t1, ty, tx)
+    if (y2, x2) != (ty, tx):
+        t2 = pad_to(t2, ty, tx)
+    return jnp.concatenate([t1, t2], axis=-1)

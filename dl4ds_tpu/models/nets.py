@@ -1,0 +1,558 @@
+"""
+Network architectures (Flax linen).
+
+Re-designs of the reference's five model factories and the conditional
+discriminator (dl4ds/models/sp_postups.py, sp_preups.py, spt_postups.py,
+spt_preups.py, discriminator.py). Structure and channel-growth schedules are
+kept for weight-count parity; the implementation is functional Flax with a
+shared backbone builder.
+
+All modules take NHWC ([B, H, W, C]) or NTHWC ([B, T, H, W, C]) inputs and
+support an optional HR auxiliary input `aux` ([B, H, W, A]). Convs accept
+any leading batch dims, so spatio-temporal models apply their 2D heads
+per-timestep without explicit TimeDistributed wrappers.
+"""
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import (ConvBlock, ResidualBlock, DenseBlock, TransitionBlock,
+                     ConvNextBlock, LocalizedConvBlock, RecurrentConvBlock,
+                     SubpixelConvolutionBlock, ResizeConvolutionBlock,
+                     DeconvolutionBlock, EncoderBlock, Dropout, pad_concat,
+                     get_activation)
+from ..interpolation import resize2d
+
+Dtype = Any
+
+
+class _Backbone(nn.Module):
+    """Shared backbone: stem conv + N blocks with filters growing as
+    i * n_filters, followed by the reference's per-backbone merge with the
+    stem (reference: dl4ds/models/sp_postups.py:118-168)."""
+    backbone: str
+    n_filters: int
+    n_blocks: int
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    attention: bool = False
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        bb, f0 = self.backbone, self.n_filters
+        ks = (7, 7) if bb == 'convnext' else (3, 3)
+        stem = nn.Conv(f0, ks, padding='SAME', dtype=self.dtype,
+                       name='stem')(x)
+        b = stem
+        n_filters = f0
+        if bb == 'convnext':
+            for i in range(self.n_blocks):
+                n_filters = f0 * (i + 1)
+                b = ConvNextBlock(
+                    filters=n_filters, drop_path=0.0,
+                    normalization=self.normalization,
+                    use_1x1conv=(i != 0), activation=self.activation,
+                    dtype=self.dtype, name=f'ConvNextBlock{i + 1}')(b, training)
+            skip = TransitionBlock(n_filters, activation=self.activation,
+                                   dtype=self.dtype)(stem, training)
+            return skip + b, n_filters
+        for i in range(self.n_blocks):
+            n_filters = f0 * (i + 1)
+            if bb == 'convnet':
+                b = ConvBlock(
+                    n_filters, activation=self.activation,
+                    dropout_rate=self.dropout_rate,
+                    dropout_variant=self.dropout_variant,
+                    normalization=self.normalization,
+                    attention=self.attention, dtype=self.dtype,
+                    name=f'ConvBlock{i + 1}')(b, training)
+            elif bb == 'resnet':
+                b = ResidualBlock(
+                    n_filters, activation=self.activation,
+                    dropout_rate=self.dropout_rate,
+                    dropout_variant=self.dropout_variant,
+                    normalization=self.normalization,
+                    use_1x1conv=(i != 0), attention=self.attention,
+                    dtype=self.dtype, name=f'ResidualBlock{i + 1}')(b, training)
+            elif bb == 'densenet':
+                b = DenseBlock(
+                    n_filters, activation=self.activation,
+                    dropout_rate=self.dropout_rate,
+                    dropout_variant=self.dropout_variant,
+                    normalization=self.normalization,
+                    attention=self.attention, dtype=self.dtype,
+                    name=f'DenseBlock{i + 1}')(b, training)
+                b = TransitionBlock(b.shape[-1] // 2, dtype=self.dtype,
+                                    name=f'Transition{i + 1}')(b, training)
+            else:
+                raise ValueError(f'unsupported backbone {bb}')
+        b = nn.Conv(n_filters, ks, padding='SAME', dtype=self.dtype,
+                    name='backbone_out_conv')(b)
+        b = get_activation(self.activation)(b)
+        b = Dropout(self.dropout_rate, self.dropout_variant)(b, training)
+        if bb == 'convnet':
+            x_out = b
+        elif bb == 'resnet':
+            skip = TransitionBlock(n_filters, activation=self.activation,
+                                   dtype=self.dtype)(stem, training)
+            x_out = skip + b
+        elif bb == 'densenet':
+            x_out = jnp.concatenate([stem, b], axis=-1)
+            x_out = TransitionBlock(n_filters, activation=self.activation,
+                                    dtype=self.dtype,
+                                    name='TransitionBackboneLast')(x_out,
+                                                                   training)
+        return x_out, n_filters
+
+
+class _OutputModule(nn.Module):
+    """Shared output head: Transition -> ConvBlock(attention) ->
+    ConvBlock(n_channels_out) (reference: dl4ds/models/sp_postups.py:205-212).
+    """
+    n_filters: int
+    n_channels_out: int
+    ks: Tuple[int, int] = (3, 3)
+    activation: Optional[str] = 'relu'
+    output_activation: Optional[str] = None
+    normalization: Optional[str] = None
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = TransitionBlock(self.n_filters, dtype=self.dtype,
+                            name='TransitionLast')(x, training)
+        x = ConvBlock(self.n_filters, ks_cl1=self.ks, ks_cl2=self.ks,
+                      activation=None, dropout_rate=self.dropout_rate,
+                      normalization=self.normalization, attention=True,
+                      dtype=self.dtype)(x, training)
+        x = ConvBlock(self.n_channels_out, ks_cl1=self.ks, ks_cl2=self.ks,
+                      activation=self.output_activation, dropout_rate=0.0,
+                      normalization=self.normalization, attention=False,
+                      dtype=self.dtype)(x, training)
+        return x
+
+
+class _AuxBranch(nn.Module):
+    """Processes the HR auxiliary (static vars + season) input
+    (reference: dl4ds/models/sp_postups.py:190-201)."""
+    backbone: str
+    n_filters: int
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s, training: bool = False):
+        if self.backbone == 'convnext':
+            return ConvNextBlock(
+                filters=self.n_filters, drop_path=0.0,
+                normalization=self.normalization, use_1x1conv=True,
+                activation=self.activation, dtype=self.dtype,
+                name='ConvNextBlock_aux')(s, training)
+        return ConvBlock(self.n_filters, activation=self.activation,
+                         dropout_rate=0.0, normalization=self.normalization,
+                         attention=False, dtype=self.dtype,
+                         name='ConvBlock_aux')(s, training)
+
+
+class NetPostupsampling(nn.Module):
+    """Spatial model with a post-upsampling head
+    (reference: dl4ds/models/sp_postups.py:14-217). Input [B, h, w, C] at LR;
+    output [B, h*scale, w*scale, n_channels_out]."""
+    backbone: str
+    upsampling: str
+    scale: int
+    n_channels_out: int = 1
+    n_filters: int = 8
+    n_blocks: int = 6
+    normalization: Optional[str] = None
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    attention: bool = False
+    activation: Optional[str] = 'relu'
+    output_activation: Optional[str] = None
+    rc_interpolation: str = 'bilinear'
+    localcon_layer: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, aux=None, training: bool = False):
+        ks = (7, 7) if self.backbone == 'convnext' else (3, 3)
+        x, n_filters = _Backbone(
+            self.backbone, self.n_filters, self.n_blocks, self.activation,
+            self.normalization, self.attention, self.dropout_rate,
+            self.dropout_variant, dtype=self.dtype)(x, training)
+        if self.upsampling == 'spc':
+            x = SubpixelConvolutionBlock(self.scale, n_filters,
+                                         dtype=self.dtype)(x)
+        elif self.upsampling == 'rc':
+            x = ResizeConvolutionBlock(self.scale, n_filters,
+                                       interpolation=self.rc_interpolation,
+                                       dtype=self.dtype)(x)
+        elif self.upsampling == 'dc':
+            x = TransitionBlock(self.n_filters, activation=self.activation,
+                                dtype=self.dtype,
+                                name='TransitionDC')(x, training)
+            x = DeconvolutionBlock(self.scale, n_filters,
+                                   self.activation, dtype=self.dtype)(x)
+        else:
+            raise ValueError(f'bad post-upsampling: {self.upsampling}')
+        if self.localcon_layer:
+            lws = LocalizedConvBlock(filters=2, use_bias=True,
+                                     dtype=self.dtype)(x, training)
+            x = jnp.concatenate([x, lws], axis=-1)
+        if aux is not None:
+            s = _AuxBranch(self.backbone, n_filters, self.activation,
+                           self.normalization, dtype=self.dtype)(aux, training)
+            x = jnp.concatenate([x, s], axis=-1)
+        return _OutputModule(self.n_filters, self.n_channels_out, ks,
+                             self.activation, self.output_activation,
+                             self.normalization, self.dropout_rate,
+                             dtype=self.dtype)(x, training)
+
+
+class NetPIN(nn.Module):
+    """Spatial pre-upsampled (pin) model
+    (reference: dl4ds/models/sp_preups.py:13-189). Input already interpolated
+    to the HR grid: [B, H, W, C] -> [B, H, W, n_channels_out]."""
+    backbone: str
+    n_channels_out: int = 1
+    n_filters: int = 8
+    n_blocks: int = 6
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    normalization: Optional[str] = None
+    attention: bool = False
+    activation: Optional[str] = 'relu'
+    output_activation: Optional[str] = None
+    localcon_layer: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, aux=None, training: bool = False):
+        ks = (7, 7) if self.backbone == 'convnext' else (3, 3)
+        x, n_filters = _Backbone(
+            self.backbone, self.n_filters, self.n_blocks, self.activation,
+            self.normalization, self.attention, self.dropout_rate,
+            self.dropout_variant, dtype=self.dtype)(x, training)
+        if self.localcon_layer:
+            lws = LocalizedConvBlock(filters=2, use_bias=True,
+                                     dtype=self.dtype)(x, training)
+            x = jnp.concatenate([x, lws], axis=-1)
+        if aux is not None:
+            s = _AuxBranch(self.backbone, n_filters, self.activation,
+                           self.normalization, dtype=self.dtype)(aux, training)
+            x = jnp.concatenate([x, s], axis=-1)
+        return _OutputModule(self.n_filters, self.n_channels_out, ks,
+                             self.activation, self.output_activation,
+                             self.normalization, self.dropout_rate,
+                             dtype=self.dtype)(x, training)
+
+
+class UnetPIN(nn.Module):
+    """U-Net encoder/decoder with pre-upsampling
+    (reference: dl4ds/models/sp_preups.py:192-315). Filters double per
+    encoder level, capped at `width_cap`; decoder upsamples 2x per level with
+    the chosen method and concatenates padded skip connections."""
+    backbone: str = 'unet'
+    n_channels_out: int = 1
+    n_filters: int = 8
+    n_blocks: int = 6
+    activation: Optional[str] = 'relu'
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    normalization: Optional[str] = None
+    attention: bool = False
+    decoder_upsampling: str = 'rc'
+    rc_interpolation: str = 'bilinear'
+    output_activation: Optional[str] = None
+    width_cap: int = 256
+    localcon_layer: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, aux=None, training: bool = False):
+        n_blocks = _check_nblocks((x.shape[-3], x.shape[-2]), self.n_blocks)
+        n_filters = self.n_filters
+        skips, filt_list = [], []
+        for i in range(n_blocks):
+            x, skip = EncoderBlock(
+                n_filters=n_filters, activation=self.activation,
+                dropout_rate=0.0, dropout_variant=self.dropout_variant,
+                normalization=self.normalization, attention=self.attention,
+                dtype=self.dtype, name=f'EncoderBlock{i + 1}')(x, training)
+            skips.append(skip)
+            filt_list.append(n_filters)
+            n_filters = min(self.width_cap, n_filters * 2)
+        # bottleneck without normalization, following Isola et al. 2016
+        x = ConvBlock(n_filters, activation=self.activation,
+                      dropout_rate=self.dropout_rate,
+                      dropout_variant=self.dropout_variant,
+                      normalization=None, dtype=self.dtype,
+                      name='Bottleneck')(x, training)
+        for j, skip in enumerate(reversed(skips)):
+            n_filters = filt_list[::-1][j]
+            if self.decoder_upsampling == 'spc':
+                x = SubpixelConvolutionBlock(2, n_filters,
+                                             dtype=self.dtype)(x)
+            elif self.decoder_upsampling == 'rc':
+                x = ResizeConvolutionBlock(
+                    2, n_filters, interpolation=self.rc_interpolation,
+                    dtype=self.dtype)(x)
+            elif self.decoder_upsampling == 'dc':
+                x = DeconvolutionBlock(2, n_filters, self.activation,
+                                       dtype=self.dtype)(x)
+            else:
+                raise ValueError(
+                    f'bad decoder_upsampling: {self.decoder_upsampling}')
+            x = pad_concat(x, skip)
+            x = ConvBlock(n_filters, activation=self.activation,
+                          dropout_rate=0.0,
+                          dropout_variant=self.dropout_variant,
+                          normalization=self.normalization,
+                          attention=self.attention, dtype=self.dtype,
+                          name=f'DecoderConvBlock{j + 1}')(x, training)
+        x = Dropout(self.dropout_rate, self.dropout_variant)(x, training)
+        if self.localcon_layer:
+            lws = LocalizedConvBlock(filters=2, use_bias=True,
+                                     dtype=self.dtype)(x, training)
+            x = jnp.concatenate([x, lws], axis=-1)
+        if aux is not None:
+            s = ConvBlock(n_filters, activation=self.activation,
+                          dropout_rate=0.0, normalization=self.normalization,
+                          attention=False, dtype=self.dtype)(aux, training)
+            x = jnp.concatenate([x, s], axis=-1)
+        return _OutputModule(self.n_filters, self.n_channels_out, (3, 3),
+                             self.activation, self.output_activation,
+                             self.normalization, self.dropout_rate,
+                             dtype=self.dtype)(x, training)
+
+
+def _check_nblocks(shape, power):
+    """Auto-shrink U-Net depth so the grid stays >= 2 px at the bottleneck
+    (reference: dl4ds/models/sp_preups.py:318-324)."""
+    while shape[0] // 2 ** power < 2 or shape[1] // 2 ** power < 2:
+        power -= 1
+    return power
+
+
+class _RecBackbone(nn.Module):
+    """Spatio-temporal backbone: stem RecurrentConvBlock + N recurrent blocks
+    + merge (reference: dl4ds/models/spt_postups.py:105-123)."""
+    backbone: str
+    n_filters: int
+    n_blocks: int
+    activation: Optional[str] = 'relu'
+    normalization: Optional[str] = None
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x0 = b = RecurrentConvBlock(
+            self.n_filters, activation=self.activation,
+            normalization=self.normalization, dtype=self.dtype,
+            name='RecurrentConvBlock1')(x, training)
+        for i in range(self.n_blocks):
+            b = RecurrentConvBlock(
+                self.n_filters, activation=self.activation,
+                normalization=self.normalization,
+                dropout_rate=self.dropout_rate,
+                dropout_variant=self.dropout_variant, dtype=self.dtype,
+                name=f'RecurrentConvBlock{i + 2}')(b, training)
+        b = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(b,
+                                                                    training)
+        if self.backbone == 'convnet':
+            return b
+        if self.backbone == 'resnet':
+            return x0 + b
+        if self.backbone == 'densenet':
+            return jnp.concatenate([x0, b], axis=-1)
+        raise ValueError(f'unsupported recurrent backbone {self.backbone}')
+
+
+class RecNetPostupsampling(nn.Module):
+    """Spatio-temporal (ConvLSTM) model with post-upsampling
+    (reference: dl4ds/models/spt_postups.py:12-163). Input [B, T, h, w, C];
+    the upsampling head and LCB apply per-timestep; the aux branch output is
+    broadcast over time."""
+    backbone: str
+    upsampling: str
+    scale: int
+    time_window: int
+    n_channels_out: int = 1
+    n_filters: int = 8
+    n_blocks: int = 4
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    normalization: Optional[str] = None
+    attention: bool = False
+    activation: Optional[str] = 'relu'
+    output_activation: Optional[str] = None
+    rc_interpolation: str = 'bilinear'
+    localcon_layer: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, aux=None, training: bool = False):
+        x = _RecBackbone(self.backbone, self.n_filters, self.n_blocks,
+                         self.activation, self.normalization,
+                         self.dropout_rate, self.dropout_variant,
+                         dtype=self.dtype)(x, training)
+        n_filters_ups = x.shape[-1] if self.backbone == 'densenet' \
+            else self.n_filters
+        if self.upsampling == 'spc':
+            x = SubpixelConvolutionBlock(self.scale, n_filters_ups,
+                                         dtype=self.dtype)(x)
+        elif self.upsampling == 'rc':
+            x = ResizeConvolutionBlock(self.scale, n_filters_ups,
+                                       interpolation=self.rc_interpolation,
+                                       dtype=self.dtype)(x)
+        elif self.upsampling == 'dc':
+            x = DeconvolutionBlock(self.scale, n_filters_ups,
+                                   dtype=self.dtype)(x)
+        else:
+            raise ValueError(f'bad post-upsampling: {self.upsampling}')
+        if aux is not None:
+            s = ConvBlock(self.n_filters, activation=self.activation,
+                          dropout_rate=0.0, normalization=None,
+                          attention=self.attention, dtype=self.dtype)(aux,
+                                                                      training)
+            s = jnp.repeat(s[:, None], self.time_window, axis=1)
+            x = jnp.concatenate([x, s], axis=-1)
+        if self.localcon_layer:
+            lws = LocalizedConvBlock(filters=2, use_bias=True,
+                                     dtype=self.dtype)(x, training)
+            x = jnp.concatenate([x, lws], axis=-1)
+        x = TransitionBlock(x.shape[-1] // 2, dtype=self.dtype,
+                            name='TransitionLast')(x, training)
+        x = ConvBlock(self.n_filters, activation=None,
+                      dropout_rate=self.dropout_rate,
+                      normalization=self.normalization, attention=True,
+                      dtype=self.dtype)(x, training)
+        return ConvBlock(self.n_channels_out,
+                         activation=self.output_activation, dropout_rate=0.0,
+                         normalization=self.normalization, attention=False,
+                         dtype=self.dtype)(x, training)
+
+
+class RecNetPIN(nn.Module):
+    """Spatio-temporal pre-upsampled model
+    (reference: dl4ds/models/spt_preups.py:12-144). Input [B, T, H, W, C]."""
+    backbone: str
+    time_window: int
+    n_channels_out: int = 1
+    n_filters: int = 8
+    n_blocks: int = 6
+    normalization: Optional[str] = None
+    dropout_rate: float = 0.0
+    dropout_variant: Optional[str] = None
+    attention: bool = False
+    activation: Optional[str] = 'relu'
+    output_activation: Optional[str] = None
+    localcon_layer: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, aux=None, training: bool = False):
+        x = _RecBackbone(self.backbone, self.n_filters, self.n_blocks,
+                         self.activation, self.normalization,
+                         self.dropout_rate, self.dropout_variant,
+                         dtype=self.dtype)(x, training)
+        if aux is not None:
+            s = ConvBlock(self.n_filters, activation=self.activation,
+                          dropout_rate=0.0, normalization=None,
+                          attention=self.attention, dtype=self.dtype)(aux,
+                                                                      training)
+            s = jnp.repeat(s[:, None], self.time_window, axis=1)
+            x = jnp.concatenate([x, s], axis=-1)
+        if self.localcon_layer:
+            lws = LocalizedConvBlock(filters=2, use_bias=True,
+                                     dtype=self.dtype)(x, training)
+            x = jnp.concatenate([x, lws], axis=-1)
+        x = TransitionBlock(self.n_filters, dtype=self.dtype,
+                            name='TransitionLast')(x, training)
+        x = ConvBlock(self.n_filters, activation=None,
+                      dropout_rate=self.dropout_rate,
+                      normalization=self.normalization, attention=True,
+                      dtype=self.dtype)(x, training)
+        return ConvBlock(self.n_channels_out,
+                         activation=self.output_activation, dropout_rate=0.0,
+                         normalization=self.normalization, attention=False,
+                         dtype=self.dtype)(x, training)
+
+
+class ResidualDiscriminator(nn.Module):
+    """Two-branch conditional discriminator
+    (reference: dl4ds/models/discriminator.py:11-81): an LR-input branch and
+    an HR-candidate branch downsampled to the LR grid, concatenated, pooled
+    and classified. For post-upsampling models the HR branch is reduced by
+    strided convs when scale == 4 and by bilinear resize otherwise (the
+    reference's scale==5 valid-conv special case is covered by the resize
+    path here)."""
+    n_channels: int
+    upsampling: str
+    is_spatiotemporal: bool
+    scale: int
+    lr_size: Tuple[int, int]
+    n_filters: int = 8
+    n_res_blocks: int = 4
+    normalization: Optional[str] = None
+    activation: Optional[str] = 'relu'
+    attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_ref, training: bool = False):
+        f = self.n_filters
+        # branch 1: LR input
+        if self.is_spatiotemporal:
+            x1 = b = RecurrentConvBlock(f, activation=self.activation,
+                                        normalization='ln', dropout_rate=0.0,
+                                        dtype=self.dtype)(x, training)
+        else:
+            x1 = b = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        for i in range(self.n_res_blocks):
+            b = ResidualBlock(f, normalization=self.normalization,
+                              attention=self.attention, dtype=self.dtype,
+                              name=f'ResidualBlock{i + 1}_branch1')(b, training)
+        b = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(b)
+        x1 = x1 + b
+        # branch 2: HR reference or generated candidate
+        x2 = c = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x_ref)
+        for i in range(self.n_res_blocks):
+            c = ResidualBlock(f, normalization=self.normalization,
+                              attention=self.attention, dtype=self.dtype,
+                              name=f'ResidualBlock{i + 1}_branch2')(c, training)
+        from .. import POSTUPSAMPLING_METHODS
+        if self.upsampling in POSTUPSAMPLING_METHODS:
+            if self.scale == 4:
+                c = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
+                            dtype=self.dtype)(c)
+                x2 = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
+                             dtype=self.dtype)(c)
+            else:
+                x2 = resize2d(c, self.lr_size, 'bilinear').astype(c.dtype)
+        else:  # pin
+            c = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(c)
+            x2 = x2 + c
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ResidualBlock(x.shape[-1], normalization=self.normalization,
+                          attention=self.attention, dtype=self.dtype)(x,
+                                                                      training)
+        # global average pool over all non-batch, non-channel dims
+        axes = tuple(range(1, x.ndim - 1))
+        x = jnp.mean(x, axis=axes)
+        x = Dropout(0.4)(x, training)
+        x = nn.Dense(32, dtype=self.dtype)(x)
+        x = jax.nn.sigmoid(x)
+        x = nn.Dense(1, dtype=self.dtype)(x)
+        return jax.nn.sigmoid(x)

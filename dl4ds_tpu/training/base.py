@@ -1,0 +1,171 @@
+"""
+Base training class.
+
+TPU-native counterpart of the reference Trainer ABC
+(dl4ds/training/base.py:24-188). Horovod process topology is replaced by a
+single-controller `jax.sharding.Mesh` over the visible devices: the batch
+axis is sharded over the mesh ('data' axis), XLA emits the gradient
+all-reduce over ICI, and the reference's hvd.rank()==0 gating maps to
+jax.process_index() == 0.
+"""
+
+import os
+from abc import ABC, abstractmethod
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils import (check_compatibility_upsbackb, checkarg_loss,
+                     plot_history)
+
+
+def make_mesh(devices=None, axis_name='data'):
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+class Trainer(ABC):
+    """Common training scaffolding: input validation, mesh setup, loss
+    resolution, scale checks, artifact saving."""
+
+    def __init__(self, backbone, upsampling, data_train, data_train_lr=None,
+                 time_window=None, loss='mae', batch_size=64, patch_size=None,
+                 scale=4, device='TPU', use_multiprocessing=False,
+                 verbose=True, model_list=None, save=True, save_path=None,
+                 show_plot=False, mesh=None, devices=None,
+                 gpu_memory_growth=None):
+        self.data_train = self._as_array(data_train, 'data_train')
+        if not self.data_train.ndim > 3:
+            raise ValueError(
+                '`data_train` must be at least 4D [samples, lat, lon, variables]')
+        self.data_train_lr = (self._as_array(data_train_lr, 'data_train_lr')
+                              if data_train_lr is not None else None)
+        if self.data_train_lr is not None:
+            if self.data_train_lr.shape[0] != self.data_train.shape[0]:
+                raise ValueError(
+                    '`data_train_lr` and `data_train` must contain the same '
+                    'number of samples (equal 1st dim length)')
+            if not self.data_train_lr.ndim > 3:
+                raise ValueError(
+                    '`data_train_lr` must be at least 4D '
+                    '[samples, lat, lon, variables]')
+
+        self.backbone, self.upsampling = check_compatibility_upsbackb(
+            backbone, upsampling, time_window)
+        self.time_window = time_window
+        self.model_is_spatiotemporal = (time_window is not None
+                                        and time_window > 1)
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.loss = loss
+        self.scale = scale
+        self.device = device
+        self.use_multiprocessing = use_multiprocessing
+        self.verbose = verbose
+        self.model_list = model_list
+        self.save = save
+        self.save_path = save_path or './'
+        if not self.save_path.endswith('/'):
+            self.save_path += '/'
+        self.savecheckpoint_path = self.save_path
+        self.show_plot = show_plot
+
+        # --- device mesh (replaces hvd.init + GPU pinning,
+        #     reference base.py:97-107) ---
+        self.mesh = mesh if mesh is not None else make_mesh(devices)
+        self.n_devices = self.mesh.size
+        self.batch_sharding = NamedSharding(self.mesh, P('data'))
+        self.replicated_sharding = NamedSharding(self.mesh, P())
+
+        batch_size_per_replica = self.batch_size
+        self.global_batch_size = batch_size_per_replica * self.n_devices
+        if self.verbose in (1, 2, True):
+            print(f'Number of devices: {self.n_devices}')
+            if self.n_devices > 1:
+                print(f'Global batch size: {self.global_batch_size}, '
+                      f'per replica: {batch_size_per_replica}')
+            else:
+                print(f'Global batch size: {self.global_batch_size}')
+
+        # first-worker gating (reference base.py:124-133)
+        self.running_on_first_worker = jax.process_index() == 0
+
+        # scale-vs-grid checks (reference base.py:135-149)
+        imsize = (self.patch_size if self.patch_size is not None
+                  else self.data_train.shape[-2])
+        if self.scale is not None:
+            if imsize % self.scale != 0:
+                raise ValueError(
+                    'The image size must be divisible by `scale` (remainder '
+                    'must be zero). Crop the images or set `patch_size` '
+                    'accordingly')
+            if self.data_train_lr is not None:
+                scale_from_data = (self.data_train.shape[1]
+                                   / self.data_train_lr.shape[1])
+                if int(scale_from_data) != int(self.scale):
+                    raise ValueError(
+                        'Wrong `scale` value, check `data_train` and '
+                        '`data_train_lr` grid sizes')
+
+        self.lossf = checkarg_loss(self.loss)
+
+    @staticmethod
+    def _as_array(x, name):
+        try:
+            import xarray as xr
+            if isinstance(x, xr.DataArray):
+                return x.values
+        except ImportError:
+            pass
+        if not isinstance(x, np.ndarray):
+            raise TypeError(
+                f'`{name}` object must be of np.ndarray or xr.DataArray type')
+        return x
+
+    @abstractmethod
+    def run(self):
+        ...
+
+    @abstractmethod
+    def setup_model(self):
+        ...
+
+    def save_results(self, params_to_save=None, folder_prefix=None,
+                     model=None):
+        """Persist the trained model (orbax), wall-clock time, test loss and
+        the learning-curve plot (reference: base.py:162-187)."""
+        if not self.save:
+            return
+        prefix = folder_prefix or ''
+        self.model_save_path = (self.save_path + prefix + self.backbone
+                                + '_' + self.upsampling + '/')
+        if self.running_on_first_worker:
+            os.makedirs(self.model_save_path, exist_ok=True)
+            if params_to_save is not None:
+                try:
+                    import orbax.checkpoint as ocp
+                    ckpt = ocp.PyTreeCheckpointer()
+                    ckpt.save(
+                        os.path.abspath(
+                            os.path.join(self.model_save_path, 'checkpoint')),
+                        jax.tree_util.tree_map(np.asarray, params_to_save),
+                        force=True)
+                except Exception as exc:  # noqa: BLE001 — orbax optional
+                    import pickle
+                    with open(os.path.join(self.model_save_path,
+                                           'checkpoint.pkl'), 'wb') as fh:
+                        pickle.dump(jax.tree_util.tree_map(
+                            np.asarray, params_to_save), fh)
+            if getattr(self, 'timing', None) is not None and \
+                    self.timing.running_time is not None:
+                np.savetxt(self.save_path + 'running_time.txt',
+                           [self.timing.running_time], fmt='%s')
+            if getattr(self, 'test_loss', None) is not None:
+                np.savetxt(self.save_path + 'test_loss.txt',
+                           [float(self.test_loss)], fmt='%0.6f')
+        if getattr(self, 'fithist', None):
+            plot_history(self.fithist,
+                         path=self.save_path + 'learning_curve.png')

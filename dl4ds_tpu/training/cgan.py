@@ -1,0 +1,355 @@
+"""
+Conditional GAN training (pix2pix-style, Isola et al. 2016).
+
+TPU-native counterpart of the reference CGANTrainer
+(dl4ds/training/cgan.py:30-444). The reference runs an *eager* per-step
+train_step with two GradientTapes (cgan.py:575-639); here generator and
+discriminator updates — and the batch synthesis — live in ONE jitted step,
+sharded over the mesh's data axis (gradient all-reduce by XLA, replacing
+hvd.DistributedGradientTape).
+
+Losses (reference: cgan.py:525-572):
+  G: BCE(ones, D(fake)) + 100 * pixel_loss(fake, target)
+  D: BCE(ones, D(real)) + BCE(zeros, D(fake))
+"""
+
+import os
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from .. import POSTUPSAMPLING_METHODS
+from ..utils import Timing
+from ..dataloader import BatchSynthesizer
+from ..models import build_model, residual_discriminator
+from .base import Trainer
+
+_EPS = 1e-7
+
+
+def _bce(labels, probs):
+    """Binary cross-entropy on probabilities (from_logits=False), matching
+    tf.keras.losses.BinaryCrossentropy used by the reference."""
+    probs = jnp.clip(probs, _EPS, 1.0 - _EPS)
+    return -jnp.mean(labels * jnp.log(probs)
+                     + (1.0 - labels) * jnp.log(1.0 - probs))
+
+
+def generator_loss(disc_generated_output, gen_output, target,
+                   gen_pxloss_function, lambda_scaling_factor=100):
+    """Total G loss = GAN BCE vs ones + LAMBDA * pixel loss
+    (reference: cgan.py:525-553)."""
+    gan_loss = _bce(jnp.ones_like(disc_generated_output),
+                    disc_generated_output)
+    px_loss = gen_pxloss_function(target, gen_output)
+    return gan_loss + lambda_scaling_factor * px_loss, gan_loss, px_loss
+
+
+def discriminator_loss(disc_real_output, disc_generated_output):
+    """D loss = BCE(ones, real) + BCE(zeros, fake)
+    (reference: cgan.py:556-572)."""
+    real_loss = _bce(jnp.ones_like(disc_real_output), disc_real_output)
+    gen_loss = _bce(jnp.zeros_like(disc_generated_output),
+                    disc_generated_output)
+    return real_loss + gen_loss
+
+
+class CGANTrainer(Trainer):
+    """Adversarial trainer: generator from the model zoo + two-branch
+    conditional discriminator."""
+
+    def __init__(self, backbone, upsampling, data_train, data_test,
+                 data_train_lr=None, data_test_lr=None, predictors_train=None,
+                 predictors_test=None, scale=5, patch_size=None,
+                 time_window=None, loss='mae', epochs=60, batch_size=16,
+                 learning_rates=(2e-4, 2e-4), device='TPU', model_list=None,
+                 steps_per_epoch=None, interpolation='inter_area',
+                 static_vars=None, checkpoints_frequency=0, save=False,
+                 save_path=None, save_logs=False, save_loss_history=True,
+                 generator_params=None, discriminator_params=None,
+                 verbose=True, seed=42, mesh=None, devices=None,
+                 gpu_memory_growth=None):
+        super().__init__(
+            backbone=backbone, upsampling=upsampling, data_train=data_train,
+            data_train_lr=data_train_lr, time_window=time_window, loss=loss,
+            batch_size=batch_size, patch_size=patch_size, scale=scale,
+            device=device, verbose=verbose, model_list=model_list, save=save,
+            save_path=save_path, show_plot=False, mesh=mesh, devices=devices)
+        self.data_test = self._as_array(data_test, 'data_test')
+        self.data_test_lr = (self._as_array(data_test_lr, 'data_test_lr')
+                             if data_test_lr is not None else None)
+        for name, preds in (('predictors_train', predictors_train),
+                            ('predictors_test', predictors_test)):
+            if preds is not None and not isinstance(preds, list):
+                raise TypeError(f'`{name}` must be a list of ndarrays')
+        self.predictors_train = predictors_train
+        self.predictors_test = predictors_test
+        self.epochs = epochs
+        self.learning_rates = learning_rates
+        self.steps_per_epoch = steps_per_epoch
+        self.interpolation = interpolation
+        self.static_vars = static_vars
+        self.checkpoints_frequency = checkpoints_frequency
+        self.save_loss_history = save_loss_history
+        self.save_logs = save_logs
+        self.generator_params = generator_params or {}
+        self.discriminator_params = discriminator_params or {}
+        self.seed = seed
+        self.gentotal, self.gengan, self.gen_pxloss, self.disc = [], [], [], []
+
+        self.time_window = time_window
+        if self.time_window is not None and not self.model_is_spatiotemporal:
+            self.time_window = None
+        if self.model_is_spatiotemporal and self.time_window is None:
+            raise ValueError('The argument `time_window` must be a positive '
+                             'integer for spatio-temporal models')
+
+    # ------------------------------------------------------------------
+    def setup_model(self):
+        """Build G and D (reference: cgan.py:174-262)."""
+        n_channels = self.data_train.shape[-1]
+        n_aux_channels = 0
+        if self.model_is_spatiotemporal:
+            if self.predictors_train is not None:
+                n_channels += len(self.predictors_train)
+            if self.static_vars is not None:
+                n_aux_channels += len(self.static_vars)
+        else:
+            if self.static_vars is not None:
+                n_channels += len(self.static_vars)
+                n_aux_channels = len(self.static_vars)
+            if self.predictors_train is not None:
+                n_channels += len(self.predictors_train)
+
+        if self.patch_size is None:
+            hr_h = int(self.data_train.shape[1])
+            hr_w = int(self.data_train.shape[2])
+            lr_h, lr_w = int(hr_h / self.scale), int(hr_w / self.scale)
+        else:
+            hr_h = hr_w = int(self.patch_size)
+            lr_h = lr_w = int(self.patch_size / self.scale)
+
+        self.generator = build_model(
+            backbone=self.backbone, upsampling=self.upsampling,
+            scale=self.scale, n_channels=n_channels,
+            n_aux_channels=n_aux_channels, lr_size=(lr_h, lr_w),
+            hr_size=(hr_h, hr_w), time_window=self.time_window,
+            **self.generator_params)
+        self.discriminator = residual_discriminator(
+            n_channels=n_channels, scale=self.scale,
+            upsampling=self.upsampling,
+            is_spatiotemporal=self.model_is_spatiotemporal,
+            lr_size=(lr_h, lr_w), time_window=self.time_window,
+            **self.discriminator_params)
+
+        key = jax.random.PRNGKey(self.seed)
+        kg, kd = jax.random.split(key)
+        self.gen_vars = self.generator.init(kg, batch_size=2)
+        x, _ = self.discriminator.dummy_inputs(batch_size=2)
+        ref = jnp.zeros((2,) + tuple(self.discriminator.aux_shape),
+                        jnp.float32)
+        self.disc_vars = self.discriminator.module.init(
+            {'params': kd, 'dropout': kd}, x, ref, training=False)
+        if self.verbose == 1 and self.running_on_first_worker:
+            print(self.generator.summary(self.gen_vars))
+            print(self.discriminator.summary(self.disc_vars))
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        gen, disc, lossf = self.generator, self.discriminator, self.lossf
+        synth = self.ds_train
+        has_aux = synth.has_aux
+
+        def train_step(gen_state, disc_state, indices, key):
+            skey, gkey, dkey = jax.random.split(key, 3)
+            batch = synth._make_batch(indices, skey)
+            lr, hr, aux = batch['lr'], batch['hr'], batch['aux']
+
+            def g_loss_fn(g_params):
+                fake = gen.module.apply({'params': g_params}, lr, aux,
+                                        training=True,
+                                        rngs={'dropout': gkey})
+                d_fake = disc.module.apply({'params': disc_state.params}, lr,
+                                           fake, training=True,
+                                           rngs={'dropout': dkey})
+                total, gan_l, px_l = generator_loss(d_fake, fake, hr, lossf)
+                return total, (gan_l, px_l, fake)
+
+            (g_total, (g_gan, g_px, fake)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gen_state.params)
+
+            def d_loss_fn(d_params):
+                d_real = disc.module.apply({'params': d_params}, lr, hr,
+                                           training=True,
+                                           rngs={'dropout': dkey})
+                d_fake = disc.module.apply({'params': d_params}, lr,
+                                           jax.lax.stop_gradient(fake),
+                                           training=True,
+                                           rngs={'dropout': dkey})
+                return discriminator_loss(d_real, d_fake)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
+
+            gen_state = gen_state.apply_gradients(grads=g_grads)
+            disc_state = disc_state.apply_gradients(grads=d_grads)
+            return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Adversarial training loop (reference: cgan.py:264-444)."""
+        self.timing = Timing(self.verbose)
+
+        self.ds_train = BatchSynthesizer(
+            self.data_train, self.data_train_lr, upsampling=self.upsampling,
+            scale=self.scale, batch_size=self.global_batch_size,
+            patch_size=self.patch_size, time_window=self.time_window,
+            static_vars=self.static_vars, predictors=self.predictors_train,
+            interpolation=self.interpolation)
+        self.setup_model()
+
+        lrs = self.learning_rates
+        if isinstance(lrs, (tuple, list)) and len(lrs) > 1:
+            genlr, dislr = lrs[0], lrs[1]
+        else:
+            genlr = dislr = lrs[0] if isinstance(lrs, (tuple, list)) else lrs
+        gen_state = train_state.TrainState.create(
+            apply_fn=self.generator.module.apply,
+            params=self.gen_vars['params'],
+            tx=optax.adam(genlr, b1=0.5))
+        disc_state = train_state.TrainState.create(
+            apply_fn=self.discriminator.module.apply,
+            params=self.disc_vars['params'],
+            tx=optax.adam(dislr, b1=0.5))
+        gen_state = jax.device_put(gen_state, self.replicated_sharding)
+        disc_state = jax.device_put(disc_state, self.replicated_sharding)
+        self._make_step()
+
+        n = self.ds_train.n
+        steps = (self.steps_per_epoch if self.steps_per_epoch is not None
+                 else int(n / self.global_batch_size))
+        key = jax.random.PRNGKey(self.seed)
+
+        for epoch in range(self.epochs):
+            if self.verbose and self.running_on_first_worker:
+                print(f'\nEpoch {epoch + 1}/{self.epochs}')
+            key, ekey = jax.random.split(key)
+            idx_epoch = np.asarray(
+                self.ds_train.epoch_indices(ekey, steps=steps))
+            losses = None
+            for i in range(steps):
+                key, skey = jax.random.split(key)
+                indices = jax.device_put(
+                    jnp.asarray(idx_epoch[i], jnp.int32), self.batch_sharding)
+                gen_state, disc_state, losses = self._train_step(
+                    gen_state, disc_state, indices, skey)
+            g_total, g_gan, g_px, d_loss = [float(v) for v in
+                                            jax.device_get(losses)]
+            self.gentotal.append(g_total)
+            self.gengan.append(g_gan)
+            self.gen_pxloss.append(g_px)
+            self.disc.append(d_loss)
+            if self.verbose and self.running_on_first_worker:
+                print(f'  gen_total_loss: {g_total:.5f}  gen_crosentr_loss: '
+                      f'{g_gan:.5f}  gen_px_loss: {g_px:.5f}  disc_loss: '
+                      f'{d_loss:.5f}')
+
+            if (self.checkpoints_frequency > 0
+                    and self.running_on_first_worker
+                    and (epoch + 1) % self.checkpoints_frequency == 0):
+                self._save_gan_checkpoint(gen_state, disc_state,
+                                          f'epoch-{epoch + 1}')
+
+        if self.checkpoints_frequency > 0 and self.running_on_first_worker:
+            self._save_gan_checkpoint(gen_state, disc_state, 'final')
+
+        if self.save_loss_history and self.running_on_first_worker:
+            os.makedirs(self.save_path, exist_ok=True)
+            np.save(self.save_path + 'losses.npy',
+                    np.array((self.gentotal, self.gengan, self.gen_pxloss,
+                              self.disc)))
+
+        self.timing.checktime()
+
+        self.gen_state = gen_state
+        self.disc_state = disc_state
+        self.variables = {'params': gen_state.params}
+        self.model = self.generator  # so Predictor can resolve it
+
+        # test loss with the final generator (reference: cgan.py:390-440)
+        if self.running_on_first_worker:
+            ds_test = BatchSynthesizer(
+                self.data_test, self.data_test_lr, upsampling=self.upsampling,
+                scale=self.scale, batch_size=1, patch_size=self.patch_size,
+                time_window=self.time_window, static_vars=self.static_vars,
+                predictors=self.predictors_test,
+                interpolation=self.interpolation)
+            n_test = ds_test.n
+            idx = jnp.arange(n_test, dtype=jnp.int32)
+            batch = ds_test(idx, jax.random.PRNGKey(0))
+            y_pred = self.generator.module.apply(
+                {'params': gen_state.params}, batch['lr'], batch['aux'],
+                training=False)
+            self.test_loss = float(self.lossf(batch['hr'], y_pred))
+            if self.verbose:
+                print(f'\n{self.loss} on the test set: {self.test_loss}')
+
+        self.timing.runtime()
+        self.save_results(self.variables, folder_prefix='cgan_')
+        return self
+
+    # ------------------------------------------------------------------
+    def _save_gan_checkpoint(self, gen_state, disc_state, name):
+        path = os.path.abspath(
+            os.path.join(self.savecheckpoint_path, 'checkpoints', name))
+        try:
+            import orbax.checkpoint as ocp
+            payload = {
+                'generator': jax.device_get(gen_state.params),
+                'discriminator': jax.device_get(disc_state.params),
+                'generator_opt': jax.device_get(gen_state.opt_state),
+                'discriminator_opt': jax.device_get(disc_state.opt_state),
+                'step': int(gen_state.step),
+            }
+            ocp.PyTreeCheckpointer().save(path, payload, force=True)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def load_checkpoint(checkpoint_dir, checkpoint_number, backbone, upsampling,
+                    scale, input_height_width, n_static_vars=0,
+                    n_predictors=0, time_window=None, n_blocks=(20, 4),
+                    n_filters=(8, 32), attention=False, localcon_layer=False):
+    """Rebuild G + D architectures from hyperparameters and restore a saved
+    CGAN checkpoint (reference: cgan.py:447-522). `checkpoint_number` selects
+    'epoch-N' (or 'final' when None/-1)."""
+    n_channels = 1 + n_static_vars + n_predictors
+    n_aux_channels = n_static_vars
+    spatiotemporal = time_window is not None and time_window > 1
+
+    h, w = input_height_width
+    generator = build_model(
+        backbone=backbone, upsampling=upsampling, scale=scale,
+        n_channels=n_channels, n_aux_channels=n_aux_channels,
+        lr_size=(h, w), hr_size=(h, w),
+        time_window=time_window if spatiotemporal else None,
+        n_filters=n_filters[0], n_blocks=n_blocks[0], n_channels_out=1,
+        attention=attention, localcon_layer=localcon_layer)
+    discriminator = residual_discriminator(
+        n_channels=n_channels, upsampling=upsampling,
+        is_spatiotemporal=spatiotemporal, scale=scale, lr_size=(h, w),
+        n_filters=n_filters[1], n_res_blocks=n_blocks[1],
+        attention=attention, time_window=time_window)
+
+    name = ('final' if checkpoint_number in (None, -1)
+            else f'epoch-{checkpoint_number}')
+    path = os.path.abspath(os.path.join(checkpoint_dir, 'checkpoints', name))
+    import orbax.checkpoint as ocp
+    payload = ocp.PyTreeCheckpointer().restore(path)
+    return (generator, payload['generator'], discriminator,
+            payload['discriminator'])

@@ -1,0 +1,272 @@
+"""
+Array utilities, argument validators, device helpers and run timing.
+
+Behavioural counterpart of the reference's dl4ds/utils.py (crop/resize
+helpers at :251-401, checkarg_* validators at :58-171, Timing at :206-248,
+plot_history at :409-672) re-built for a JAX/TPU stack: crops are expressed
+with static sizes + dynamic offsets so they stay jit/vmap-friendly, and the
+plotting helpers use plain matplotlib without any TF types.
+"""
+
+import math
+import os
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import (BACKBONE_BLOCKS, DROPOUT_VARIANTS, LOSS_FUNCTIONS,
+               UPSAMPLING_METHODS, INTERPOLATION_METHODS)
+
+__all__ = ['spatial_to_spatiotemporal_samples',
+           'spatiotemporal_to_spatial_samples', 'checkarray_ndim',
+           'check_compatibility_upsbackb', 'checkarg_upsampling',
+           'checkarg_backbone', 'checkarg_dropout_variant', 'checkarg_loss',
+           'checkarg_interpolation', 'list_devices', 'Timing', 'crop_array',
+           'dynamic_crop', 'plot_history']
+
+
+# -----------------------------------------------------------------------------
+# Spatial <-> spatio-temporal reshaping (reference: dl4ds/utils.py:20-45)
+# -----------------------------------------------------------------------------
+
+def spatial_to_spatiotemporal_samples(array, time_window):
+    """[n, y, x, c] -> [n - tw + 1, tw, y, x, c] sliding windows."""
+    array = np.asarray(array)
+    n, y, x, c = array.shape
+    n_t = n - (time_window - 1)
+    idx = np.arange(time_window)[None, :] + np.arange(n_t)[:, None]
+    return array[idx]
+
+
+def spatiotemporal_to_spatial_samples(array, time_window):
+    """Collapse the time_window axis back to a flat sequence of grids: first
+    slice of each sample, plus the trailing slices of the last sample."""
+    array = np.asarray(array)
+    if array.shape[1] != time_window:
+        raise ValueError(
+            '`time_window` must be located in the second position '
+            '[n_samples, time_window, lat, lon, vars]')
+    out = array[:, 0]
+    return np.concatenate([out, array[-1, 1:]], axis=0)
+
+
+def checkarray_ndim(array, ndim=3, add_axis_position=-1):
+    """Expand with a length-1 axis until the array has at least `ndim` dims."""
+    xp = jnp if isinstance(array, jnp.ndarray) else np
+    while array.ndim < ndim:
+        array = xp.expand_dims(array, axis=add_axis_position)
+    return array
+
+
+# -----------------------------------------------------------------------------
+# Argument validation (reference: dl4ds/utils.py:58-171)
+# -----------------------------------------------------------------------------
+
+def check_compatibility_upsbackb(backbone, upsampling, time_window):
+    upsampling = checkarg_upsampling(upsampling)
+    backbone = checkarg_backbone(backbone)
+    if backbone == 'unet' and upsampling != 'pin':
+        raise ValueError('`unet` backbone only works with `pin` pre-upsampling')
+    if backbone in ('convnext', 'unet') and time_window is not None:
+        raise ValueError(
+            '`unet` and `convnext` backbones only work with spatial samples '
+            '(`time_window` must be None)')
+    return backbone, upsampling
+
+
+def checkarg_upsampling(upsampling):
+    if not isinstance(upsampling, str):
+        raise TypeError('`upsampling` must be a string')
+    if upsampling not in UPSAMPLING_METHODS:
+        raise ValueError(
+            f'`upsampling` not recognized. Must be one of the following: '
+            f'{UPSAMPLING_METHODS}. Got {upsampling}')
+    return upsampling
+
+
+def checkarg_backbone(backbone):
+    if not isinstance(backbone, str):
+        raise TypeError('`backbone` must be a string')
+    if backbone not in BACKBONE_BLOCKS:
+        raise ValueError(
+            f'`backbone` not recognized. Must be one of the following: '
+            f'{BACKBONE_BLOCKS}. Got {backbone}')
+    return backbone
+
+
+def checkarg_dropout_variant(dropout_variant):
+    if dropout_variant is None or dropout_variant == 'vanilla':
+        return dropout_variant
+    if isinstance(dropout_variant, str):
+        if dropout_variant not in DROPOUT_VARIANTS:
+            raise ValueError(
+                f'`dropout_variant` must be None or one of {DROPOUT_VARIANTS},'
+                f' got {dropout_variant}')
+        return dropout_variant
+    raise TypeError('`dropout_variant` must be None or a string')
+
+
+def checkarg_interpolation(interpolation):
+    if interpolation not in INTERPOLATION_METHODS:
+        raise ValueError(
+            f'`interpolation` must be one of {INTERPOLATION_METHODS}, '
+            f'got {interpolation}')
+    return interpolation
+
+
+def checkarg_loss(loss):
+    """Resolve a loss name into the jnp loss callable."""
+    from . import losses
+    if isinstance(loss, str):
+        if loss not in LOSS_FUNCTIONS:
+            raise ValueError(f'`loss` must be one of {LOSS_FUNCTIONS}, got {loss}')
+        return getattr(losses, loss)
+    if callable(loss):
+        return loss
+    raise TypeError(f'`loss` must be a string, one of {LOSS_FUNCTIONS}')
+
+
+# -----------------------------------------------------------------------------
+# Devices
+# -----------------------------------------------------------------------------
+
+def list_devices(which='local', verbose=True):
+    """List JAX devices (reference analogue: dl4ds/utils.py:180-192)."""
+    devices = jax.local_devices() if which == 'local' else jax.devices()
+    if verbose:
+        print('List of devices:')
+        print(devices)
+    return devices
+
+
+class Timing:
+    """Wall-clock run timing (reference: dl4ds/utils.py:206-248)."""
+
+    sep = '-' * 80
+
+    def __init__(self, verbose=True):
+        self.verbose = verbose
+        self.running_time = None
+        self.checktimes = []
+        self.starting_time = datetime.now()
+        self.starting_time_fmt = self.starting_time.strftime('%Y-%m-%d %H:%M:%S')
+        if self.verbose:
+            print(self.sep)
+            print(f'Starting time: {self.starting_time_fmt}')
+            print(self.sep)
+
+    def runtime(self):
+        self.running_time = str(datetime.now() - self.starting_time)
+        if self.verbose:
+            print(self.sep)
+            print(f'Final running time: {self.running_time}')
+            print(self.sep)
+
+    def checktime(self):
+        checktime = str(datetime.now() - self.starting_time)
+        self.checktimes.append(checktime)
+        if self.verbose:
+            print(self.sep)
+            print(f'Timing: {checktime}')
+            print(self.sep)
+
+
+# -----------------------------------------------------------------------------
+# Cropping (reference: dl4ds/utils.py:251-338)
+# -----------------------------------------------------------------------------
+
+def crop_array(array, size, yx=None, position=False, exclude_borders=False,
+               get_copy=False, rng=None):
+    """Square crop of a 2-5D array with the reference's axis conventions:
+    rank 2/3 -> spatial axes (0, 1); rank 4 -> (1, 2); rank 5 -> (2, 3).
+    Host-side helper (numpy). For jit-traced crops use `dynamic_crop`."""
+    if array.ndim not in (2, 3, 4, 5):
+        raise TypeError('Input array is not a 2D, 3D, 4D or 5D ndarray')
+    if not isinstance(size, int):
+        raise TypeError('`size` must be an integer')
+    ax = {2: 0, 3: 0, 4: 1, 5: 2}[array.ndim]
+    ny, nx = array.shape[ax], array.shape[ax + 1]
+    if size > ny or size > nx:
+        raise ValueError('`size` larger than the input image size')
+    if yx is not None and isinstance(yx, tuple):
+        y, x = yx
+    else:
+        rng = rng or np.random
+        lo = 1 if exclude_borders else 0
+        hi_y = ny - size - (1 if exclude_borders else 0)
+        hi_x = nx - size - (1 if exclude_borders else 0)
+        y = rng.randint(lo, max(hi_y, lo + 1))
+        x = rng.randint(lo, max(hi_x, lo + 1))
+    y0, y1 = int(y), int(y) + size
+    x0, x1 = int(x), int(x) + size
+    if y0 < 0 or x0 < 0 or y1 > ny or x1 > nx:
+        raise RuntimeError(
+            f'Cropped image cannot be obtained with size={size}, y={y}, x={x}')
+    sl = [slice(None)] * array.ndim
+    sl[ax] = slice(y0, y1)
+    sl[ax + 1] = slice(x0, x1)
+    out = array[tuple(sl)]
+    if get_copy:
+        out = out.copy()
+    return (out, y, x) if position else out
+
+
+def dynamic_crop(array, size, y, x, spatial_axis):
+    """jit-friendly square crop: static `size`, traced offsets (y, x).
+
+    Used by the device-resident batch synthesizer — the TPU answer to the
+    reference's per-sample numpy random crops (dl4ds/utils.py:303-308)."""
+    starts = [0] * array.ndim
+    sizes = list(array.shape)
+    starts[spatial_axis] = y
+    starts[spatial_axis + 1] = x
+    sizes[spatial_axis] = size
+    sizes[spatial_axis + 1] = size
+    return jax.lax.dynamic_slice(array, starts, sizes)
+
+
+# -----------------------------------------------------------------------------
+# Training-history plotting (reference: dl4ds/utils.py:409-672)
+# -----------------------------------------------------------------------------
+
+def plot_history(history, path=None, side=5, graphs_per_row=4,
+                 log_scale_metrics=False, title=None):
+    """Plot per-metric learning curves from a dict of lists (e.g.
+    {'loss': [...], 'val_loss': [...]}) and optionally save a PNG."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    metrics = [k for k in history if not k.startswith('val_')]
+    n = max(len(metrics), 1)
+    w = min(n, graphs_per_row)
+    h = math.ceil(n / graphs_per_row)
+    fig, axes = plt.subplots(h, w, figsize=(side * w, side * h), dpi=150,
+                             constrained_layout=True, squeeze=False)
+    flat_axes = axes.ravel()
+    for metric, axis in zip(metrics, flat_axes):
+        vals = np.asarray(history[metric], dtype=float)
+        axis.plot(vals, '-', label=f'Train last: {vals[-1]:0.4f}')
+        val_key = f'val_{metric}'
+        if val_key in history:
+            vvals = np.asarray(history[val_key], dtype=float)
+            axis.plot(vvals, '-', label=f'Val last: {vvals[-1]:0.4f}')
+        axis.set_xlabel('Epochs')
+        axis.set_ylabel(metric.capitalize())
+        if log_scale_metrics:
+            axis.set_yscale('log')
+        axis.set_title(metric.capitalize())
+        axis.grid(True)
+        axis.legend()
+    for axis in flat_axes[len(metrics):]:
+        axis.axis('off')
+    if title is not None:
+        fig.suptitle(title, fontsize=20)
+    if path is not None:
+        dirname = os.path.dirname(path)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+        fig.savefig(path)
+    return fig, axes
