@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: supervised training throughput (patches/sec/chip).
+
+Workload: BASELINE.md config #2 — resnet_spc 4x post-upsampling with channel
+attention, patch training — full fused step (on-device batch synthesis +
+forward + backward + update) on one chip.
+
+vs_baseline: ratio against the reference-style pipeline measured on this
+host's CPU (host-side per-sample pair synthesis + CPU training step), i.e.
+the BASELINE.json north star ">=10x patches/sec/chip over CPU TF reference"
+proxied by the same workload on CPU. The CPU probe runs in a subprocess
+(backends can't be re-initialized in-process) and is cached in
+.bench_cpu_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = 32
+PATCH = 64          # HR patch size; LR input is 16x16
+SCALE = 4
+N_FILTERS = 8
+N_BLOCKS = 6
+N_SAMPLES = 256
+GRID = 128          # HR grid size of the synthetic dataset
+WARMUP = 3
+STEPS = 30
+CPU_STEPS = 4
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.bench_cpu_baseline.json')
+
+
+def build(trainer_mod, mesh=None):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((N_SAMPLES, GRID, GRID, 1)).astype('float32')
+    tr = trainer_mod.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=data,
+        data_val=data[:64], data_test=data[:64], scale=SCALE,
+        patch_size=PATCH, batch_size=BATCH, loss='mae', epochs=1,
+        n_filters=N_FILTERS, n_blocks=N_BLOCKS, attention=True, save=False,
+        verbose=False, mesh=mesh)
+    tr.setup_datagen()
+    tr.setup_model()
+    return tr
+
+
+def measure(steps, warmup):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dl4ds_tpu.training import supervised
+
+    tr = build(supervised)
+    tx = tr._build_optimizer()
+    state = supervised.TrainState.create(
+        apply_fn=tr.model.module.apply, params=tr.variables['params'],
+        tx=tx, batch_stats=tr.variables.get('batch_stats'))
+    tr._make_steps()
+    key = jax.random.PRNGKey(0)
+    idx = np.asarray(tr.ds_train.epoch_indices(key, steps=warmup + steps))
+    # warmup (compile)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = tr._train_step(state,
+                                     jnp.asarray(idx[i], jnp.int32), k)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + steps):
+        key, k = jax.random.split(key)
+        state, loss = tr._train_step(state,
+                                     jnp.asarray(idx[i], jnp.int32), k)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return steps * tr.global_batch_size / dt
+
+
+def cpu_probe():
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    print(json.dumps({'pps': measure(CPU_STEPS, 2)}))
+
+
+def cpu_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)['pps']
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--cpu-probe'],
+            capture_output=True, text=True, timeout=900, check=True)
+        pps = json.loads(out.stdout.strip().splitlines()[-1])['pps']
+        with open(CACHE, 'w') as fh:
+            json.dump({'pps': pps}, fh)
+        return pps
+    except Exception:
+        return None
+
+
+def main():
+    if '--cpu-probe' in sys.argv:
+        cpu_probe()
+        return
+    pps = measure(STEPS, WARMUP)
+    cpu_pps = cpu_baseline()
+    vs = round(pps / cpu_pps, 3) if cpu_pps else None
+    print(json.dumps({
+        'metric': 'train_throughput_resnet_spc_4x_patch64',
+        'value': round(pps, 2),
+        'unit': 'patches/sec/chip',
+        'vs_baseline': vs,
+    }))
+
+
+if __name__ == '__main__':
+    main()

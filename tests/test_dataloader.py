@@ -1,0 +1,202 @@
+"""Data-pipeline tests: host-tier pair factory semantics (crop alignment,
+channel layout — reference contracts from dl4ds/dataloader.py:11-294) and
+host/device tier agreement."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl4ds_tpu import (create_pair_hr_lr, create_batch_hr_lr, DataGenerator,
+                       BatchSynthesizer)
+from dl4ds_tpu.interpolation import resize2d
+
+
+@pytest.fixture
+def hr_data(rng):
+    return rng.standard_normal((24, 32, 32, 1)).astype('float32')
+
+
+# ---------------------------------------------------------------- host tier
+
+def test_pair_postups_implicit_shapes(hr_data):
+    hr, lr = create_pair_hr_lr(hr_data[0], None, 'spc', scale=4,
+                               patch_size=16)
+    assert hr.shape == (16, 16, 1)
+    assert lr.shape == (4, 4, 1)
+
+
+def test_pair_postups_lr_is_coarsened_crop(hr_data):
+    """LR must equal resize(HR crop) — the implicit-pair contract
+    (reference: dl4ds/dataloader.py:203-204)."""
+    hr, lr = create_pair_hr_lr(hr_data[0], None, 'spc', scale=4,
+                               patch_size=16, interpolation='inter_area')
+    expected = np.asarray(resize2d(hr, (4, 4), 'inter_area'))
+    np.testing.assert_allclose(lr, expected, atol=1e-5)
+
+
+def test_pair_pin_shapes_and_consistency(hr_data):
+    hr, lr = create_pair_hr_lr(hr_data[0], None, 'pin', scale=4,
+                               patch_size=16)
+    assert hr.shape == (16, 16, 1)
+    assert lr.shape == (16, 16, 1)    # pre-upsampled to HR patch size
+
+
+def test_pair_static_vars_and_season(hr_data, rng):
+    statics = [rng.standard_normal((32, 32)).astype('float32')]
+    hr, lr, aux = create_pair_hr_lr(hr_data[0], None, 'spc', scale=4,
+                                    patch_size=16, static_vars=statics,
+                                    season='winter')
+    assert hr.shape == (16, 16, 1)
+    # lr channels: data(1) + static(1) + season(4)
+    assert lr.shape == (4, 4, 6)
+    # aux channels: static(1) + season(4)
+    assert aux.shape == (16, 16, 5)
+    # winter -> first season channel hot
+    np.testing.assert_allclose(aux[..., 1], 1.0)
+    np.testing.assert_allclose(aux[..., 2], 0.0)
+
+
+def test_pair_explicit_lr_crop_alignment(rng):
+    """With explicit LR pairs, HR crop origin must be scale * LR origin
+    (reference: dl4ds/dataloader.py:193-199)."""
+    scale = 4
+    hr = np.arange(32 * 32, dtype='float32').reshape(32, 32, 1)
+    lr = np.asarray(resize2d(hr, (8, 8), 'inter_area'))
+    hr_c, lr_c = create_pair_hr_lr(hr, lr, 'spc', scale=scale, patch_size=16)
+    # locate the LR crop origin in the full LR grid, then verify HR alignment
+    val = lr_c[0, 0, 0]
+    pos = np.argwhere(np.isclose(np.squeeze(lr), val))[0]
+    y, x = int(pos[0]), int(pos[1])
+    np.testing.assert_allclose(
+        np.squeeze(hr_c),
+        np.squeeze(hr)[y * scale: y * scale + 16, x * scale: x * scale + 16])
+
+
+def test_pair_predictors_postups(hr_data, rng):
+    preds = rng.standard_normal((32, 32, 2)).astype('float32')
+    hr, lr = create_pair_hr_lr(hr_data[0], None, 'spc', scale=4,
+                               patch_size=16, predictors=preds)
+    assert lr.shape == (4, 4, 3)     # data(1) + predictors(2)
+
+
+def test_batch_and_generator(hr_data):
+    gen = DataGenerator(hr_data, None, backbone='resnet', upsampling='spc',
+                        scale=4, batch_size=4, patch_size=16, seed=0)
+    assert len(gen) == 6
+    [lr], [hr] = gen[0]
+    assert lr.shape == (4, 4, 4, 1)
+    assert hr.shape == (4, 16, 16, 1)
+
+
+def test_generator_repeat(hr_data):
+    gen = DataGenerator(hr_data, None, backbone='resnet', upsampling='spc',
+                        scale=4, batch_size=4, patch_size=16, repeat=2,
+                        seed=0)
+    assert len(gen) == 12
+
+
+def test_spatiotemporal_batch(hr_data):
+    [lr], [hr] = create_batch_hr_lr(
+        np.arange(20), 0, hr_data, None, 'spc', scale=4, batch_size=3,
+        patch_size=16, time_window=5)
+    assert lr.shape == (3, 5, 4, 4, 1)
+    assert hr.shape == (3, 5, 16, 16, 1)
+
+
+# -------------------------------------------------------------- device tier
+
+def test_synth_full_grid_matches_host_pin(hr_data):
+    """Without patches the synthesis is deterministic: device tier must
+    agree with the host tier exactly."""
+    synth = BatchSynthesizer(hr_data, None, 'pin', scale=4, batch_size=4)
+    batch = synth(jnp.arange(4), jax.random.PRNGKey(0))
+    [lr_host], [hr_host] = create_batch_hr_lr(
+        np.arange(24), 0, hr_data, None, 'pin', scale=4, batch_size=4,
+        patch_size=None)
+    np.testing.assert_allclose(np.asarray(batch['hr']), hr_host, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch['lr']), lr_host, atol=1e-5)
+
+
+def test_synth_full_grid_matches_host_postups(hr_data):
+    synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=4)
+    batch = synth(jnp.arange(4), jax.random.PRNGKey(0))
+    [lr_host], [hr_host] = create_batch_hr_lr(
+        np.arange(24), 0, hr_data, None, 'spc', scale=4, batch_size=4,
+        patch_size=None)
+    np.testing.assert_allclose(np.asarray(batch['hr']), hr_host, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch['lr']), lr_host, atol=1e-5)
+
+
+def test_synth_patch_postups_consistency(hr_data):
+    """Random patches: every LR patch must equal resize(HR patch)."""
+    synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=8,
+                             patch_size=16)
+    batch = synth(jnp.arange(8), jax.random.PRNGKey(1))
+    hr = np.asarray(batch['hr'])
+    lr = np.asarray(batch['lr'])
+    assert hr.shape == (8, 16, 16, 1)
+    assert lr.shape == (8, 4, 4, 1)
+    expected = np.asarray(resize2d(jnp.asarray(hr), (4, 4), 'inter_area'))
+    np.testing.assert_allclose(lr, expected, atol=1e-5)
+
+
+def test_synth_channel_layout_with_aux(hr_data, rng):
+    statics = [rng.standard_normal((32, 32)).astype('float32'),
+               rng.integers(0, 2, (32, 32)).astype('float32')]
+    preds = [rng.standard_normal((24, 32, 32, 1)).astype('float32')]
+    synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=4,
+                             patch_size=16, static_vars=statics,
+                             predictors=preds)
+    assert synth.n_channels_lr == 1 + 1 + 2
+    assert synth.n_channels_aux == 2
+    batch = synth(jnp.arange(4), jax.random.PRNGKey(2))
+    assert batch['lr'].shape == (4, 4, 4, 4)
+    assert batch['aux'].shape == (4, 16, 16, 2)
+
+
+def test_synth_spatiotemporal(hr_data, rng):
+    statics = [rng.standard_normal((32, 32)).astype('float32')]
+    synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=3,
+                             patch_size=16, time_window=5,
+                             static_vars=statics)
+    batch = synth(jnp.arange(3), jax.random.PRNGKey(3))
+    assert batch['lr'].shape == (3, 5, 4, 4, 1)   # statics NOT in lr for spt
+    assert batch['hr'].shape == (3, 5, 16, 16, 1)
+    assert batch['aux'].shape == (3, 16, 16, 1)
+
+
+def test_synth_explicit_lr_pairs(rng):
+    hr = rng.standard_normal((20, 32, 32, 1)).astype('float32')
+    lr = np.asarray(resize2d(jnp.asarray(hr), (8, 8), 'inter_area'))
+    synth = BatchSynthesizer(hr, lr, 'spc', scale=4, batch_size=4,
+                             patch_size=16)
+    batch = synth(jnp.arange(4), jax.random.PRNGKey(4))
+    assert batch['lr'].shape == (4, 4, 4, 1)
+    assert batch['hr'].shape == (4, 16, 16, 1)
+
+
+def test_synth_season_ids(hr_data):
+    season_ids = np.tile([0, 1, 2, 3], 6)
+    synth = BatchSynthesizer(hr_data, None, 'pin', scale=4, batch_size=4,
+                             season_ids=season_ids)
+    batch = synth(jnp.arange(4), jax.random.PRNGKey(5))
+    # lr channels: data(1) + season(4)
+    assert batch['lr'].shape == (4, 32, 32, 5)
+    lr = np.asarray(batch['lr'])
+    np.testing.assert_allclose(lr[0, :, :, 1], 1.0)  # sample 0 -> winter
+    np.testing.assert_allclose(lr[1, :, :, 2], 1.0)  # sample 1 -> spring
+
+
+def test_synth_inside_jit(hr_data):
+    """The synthesizer must be fuseable into a larger jitted function."""
+    synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=4,
+                             patch_size=16)
+
+    @jax.jit
+    def step(indices, key):
+        batch = synth._make_batch(indices, key)
+        return batch['hr'].mean() + batch['lr'].mean()
+
+    v = step(jnp.arange(4), jax.random.PRNGKey(0))
+    assert np.isfinite(float(v))

@@ -1,0 +1,195 @@
+"""Model-zoo tests: init/forward shapes for all families x backbones, the
+name-suffix contract, aux branches, LCB, dropout variants and normalization.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl4ds_tpu.models import (net_postupsampling, net_pin, unet_pin,
+                              recnet_postupsampling, recnet_pin,
+                              residual_discriminator, build_model)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize('backbone', ['convnet', 'resnet', 'densenet',
+                                      'convnext'])
+@pytest.mark.parametrize('upsampling', ['spc', 'rc', 'dc'])
+def test_net_postupsampling_shapes(backbone, upsampling):
+    model = net_postupsampling(backbone, upsampling, scale=4, n_channels=2,
+                               n_aux_channels=0, lr_size=(8, 8), n_filters=4,
+                               n_blocks=2)
+    assert model.name == f'{backbone}_{upsampling}'
+    variables = model.init(KEY, batch_size=2)
+    x = jnp.zeros((2, 8, 8, 2))
+    y = model.apply(variables, x)
+    assert y.shape == (2, 32, 32, 1)
+
+
+@pytest.mark.parametrize('backbone', ['convnet', 'resnet', 'densenet',
+                                      'convnext'])
+def test_net_pin_shapes(backbone):
+    model = net_pin(backbone, n_channels=1, n_aux_channels=0,
+                    hr_size=(16, 16), n_filters=4, n_blocks=2)
+    assert model.name == f'{backbone}_pin'
+    variables = model.init(KEY, batch_size=2)
+    y = model.apply(variables, jnp.zeros((2, 16, 16, 1)))
+    assert y.shape == (2, 16, 16, 1)
+
+
+def test_net_with_aux_branch():
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=3,
+                               n_aux_channels=2, lr_size=(8, 8), n_filters=4,
+                               n_blocks=2)
+    variables = model.init(KEY, batch_size=2)
+    x = jnp.zeros((2, 8, 8, 3))
+    aux = jnp.zeros((2, 32, 32, 2))
+    y = model.apply(variables, x, aux)
+    assert y.shape == (2, 32, 32, 1)
+
+
+def test_localcon_layer():
+    model = net_pin('resnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(16, 16), n_filters=4, n_blocks=1,
+                    localcon_layer=True)
+    variables = model.init(KEY, batch_size=2)
+    y = model.apply(variables, jnp.zeros((2, 16, 16, 1)))
+    assert y.shape == (2, 16, 16, 1)
+    # locally connected kernel is per-pixel: [H, W, Cin, F]
+    flat = jax.tree_util.tree_leaves_with_path(variables['params'])
+    assert any('local_kernel' in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+@pytest.mark.parametrize('decoder_upsampling', ['rc', 'spc', 'dc'])
+def test_unet_pin_shapes(decoder_upsampling):
+    model = unet_pin('unet', n_channels=1, n_aux_channels=0,
+                     hr_size=(32, 32), n_filters=4, n_blocks=3,
+                     decoder_upsampling=decoder_upsampling)
+    variables = model.init(KEY, batch_size=2)
+    y = model.apply(variables, jnp.zeros((2, 32, 32, 1)))
+    assert y.shape == (2, 32, 32, 1)
+
+
+def test_unet_autoshrink_depth():
+    # 16x16 grid cannot downsample 6 times; depth must auto-shrink
+    model = unet_pin('unet', n_channels=1, n_aux_channels=0,
+                     hr_size=(16, 16), n_filters=4, n_blocks=6)
+    variables = model.init(KEY, batch_size=1)
+    y = model.apply(variables, jnp.zeros((1, 16, 16, 1)))
+    assert y.shape == (1, 16, 16, 1)
+
+
+@pytest.mark.parametrize('backbone', ['convnet', 'resnet', 'densenet'])
+def test_recnet_postupsampling_shapes(backbone):
+    model = recnet_postupsampling(backbone, 'spc', scale=4, n_channels=1,
+                                  n_aux_channels=0, lr_size=(8, 8),
+                                  time_window=3, n_filters=4, n_blocks=1)
+    assert model.name == f'rec{backbone}_spc'
+    variables = model.init(KEY, batch_size=2)
+    y = model.apply(variables, jnp.zeros((2, 3, 8, 8, 1)))
+    assert y.shape == (2, 3, 32, 32, 1)
+
+
+@pytest.mark.parametrize('backbone', ['convnet', 'resnet', 'densenet'])
+def test_recnet_pin_shapes(backbone):
+    model = recnet_pin(backbone, n_channels=1, n_aux_channels=0,
+                       hr_size=(16, 16), time_window=3, n_filters=4,
+                       n_blocks=1)
+    assert model.name == f'rec{backbone}_pin'
+    variables = model.init(KEY, batch_size=2)
+    y = model.apply(variables, jnp.zeros((2, 3, 16, 16, 1)))
+    assert y.shape == (2, 3, 16, 16, 1)
+
+
+def test_recnet_with_aux():
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=1, lr_size=(8, 8),
+                                  time_window=3, n_filters=4, n_blocks=1)
+    variables = model.init(KEY, batch_size=2)
+    x = jnp.zeros((2, 3, 8, 8, 1))
+    aux = jnp.zeros((2, 16, 16, 1))
+    y = model.apply(variables, x, aux)
+    assert y.shape == (2, 3, 16, 16, 1)
+
+
+@pytest.mark.parametrize('upsampling,spatiotemp', [('spc', False),
+                                                   ('pin', False),
+                                                   ('spc', True)])
+def test_discriminator_shapes(upsampling, spatiotemp):
+    model = residual_discriminator(
+        n_channels=1, upsampling=upsampling, is_spatiotemporal=spatiotemp,
+        scale=4, lr_size=(8, 8), n_filters=4, n_res_blocks=2, time_window=3)
+    if spatiotemp:
+        x = jnp.zeros((2, 3, 8, 8, 1))
+        ref = jnp.zeros((2, 3, 32, 32, 1))
+    else:
+        x = jnp.zeros((2, 8, 8, 1)) if upsampling == 'spc' \
+            else jnp.zeros((2, 32, 32, 1))
+        ref = jnp.zeros((2, 32, 32, 1))
+    variables = model.module.init({'params': KEY, 'dropout': KEY}, x, ref,
+                                  training=False)
+    y = model.module.apply(variables, x, ref, training=False)
+    assert y.shape == (2, 1)
+    assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
+
+
+def test_build_model_dispatch():
+    m = build_model('resnet', 'spc', 4, 1, 0, (8, 8), (32, 32))
+    assert m.name == 'resnet_spc'
+    m = build_model('unet', 'pin', 4, 1, 0, (8, 8), (32, 32))
+    assert m.name == 'unet_pin'
+    m = build_model('resnet', 'pin', 4, 1, 0, (8, 8), (32, 32),
+                    time_window=4)
+    assert m.name == 'recresnet_pin'
+
+
+@pytest.mark.parametrize('variant', ['vanilla', 'gaussian', 'spatial',
+                                     'mcdrop'])
+def test_dropout_variants_train_and_eval(variant):
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(16, 16), n_filters=4, n_blocks=1,
+                    dropout_rate=0.3, dropout_variant=variant)
+    variables = model.init(KEY, batch_size=2)
+    x = jnp.ones((2, 16, 16, 1))
+    y_eval = model.apply(variables, x, training=False,
+                         rngs={'dropout': KEY})
+    y_train = model.apply(variables, x, training=True,
+                          rngs={'dropout': KEY})
+    assert y_eval.shape == y_train.shape == (2, 16, 16, 1)
+    if variant == 'mcdrop':
+        # MC dropout is stochastic even at inference
+        y2 = model.apply(variables, x, training=False,
+                         rngs={'dropout': jax.random.PRNGKey(9)})
+        assert not np.allclose(np.asarray(y_eval), np.asarray(y2))
+
+
+@pytest.mark.parametrize('norm', ['bn', 'ln'])
+def test_normalization_variants(norm):
+    model = net_pin('resnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(16, 16), n_filters=4, n_blocks=1,
+                    normalization=norm)
+    variables = model.init(KEY, batch_size=2)
+    x = jnp.ones((2, 16, 16, 1))
+    if norm == 'bn':
+        assert 'batch_stats' in variables
+        y, updates = model.apply(variables, x, training=True,
+                                 rngs={'dropout': KEY},
+                                 mutable=['batch_stats'])
+        assert 'batch_stats' in updates
+    else:
+        y = model.apply(variables, x, training=False)
+    assert y.shape == (2, 16, 16, 1)
+
+
+def test_fully_convolutional_any_size():
+    """Spatial nets without LCB must run on any grid size (per-shape
+    recompile, mirroring the reference's None-shaped inputs)."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8), n_filters=4,
+                               n_blocks=1)
+    variables = model.init(KEY, batch_size=1)
+    for hw in [(8, 8), (12, 20), (31, 7)]:
+        y = model.apply(variables, jnp.zeros((1, *hw, 1)))
+        assert y.shape == (1, hw[0] * 2, hw[1] * 2, 1)
