@@ -1,0 +1,304 @@
+#!/usr/bin/env python
+"""
+absl.FLAGS-based command-line app (reference: dl4ds/app.py).
+
+Run:
+    python -m dl4ds_tpu.app --flagfile=params.cfg
+
+The `--data_module` flag points at a user Python file that is imported at
+runtime and must expose: data_train, data_val, data_test (+ *_lr when
+--paired_samples=explicit), predictors_train/val/test, static_vars,
+inference_data, inference_scaler, inference_predictors, gt_holdout_dataset,
+gt_mask — the same contract as the reference (dl4ds/app.py:111-116,
+:177-186, :262-270, :294-297).
+"""
+
+import importlib.util
+
+import numpy as np
+from absl import app, flags
+
+import dl4ds_tpu as dds
+from dl4ds_tpu import (BACKBONE_BLOCKS, UPSAMPLING_METHODS,
+                       INTERPOLATION_METHODS, LOSS_FUNCTIONS,
+                       DROPOUT_VARIANTS)
+
+FLAGS = flags.FLAGS
+
+# EXPERIMENT
+flags.DEFINE_bool('train', True, 'Training a model')
+flags.DEFINE_bool('test', True, 'Testing the trained model on holdout data')
+flags.DEFINE_bool('metrics', True,
+                  'Running verification metrics on the downscaled arrays')
+flags.DEFINE_bool('debug', False,
+                  'If True a debug training run (2 epochs with 6 steps) is '
+                  'executed')
+
+# DOWNSCALING PARAMS
+flags.DEFINE_enum('trainer', 'SupervisedTrainer',
+                  ['SupervisedTrainer', 'CGANTrainer'], 'Trainer')
+flags.DEFINE_enum('paired_samples', 'implicit', ['implicit', 'explicit'],
+                  'Type of learning: implicit (PerfectProg) or explicit (MOS)')
+flags.DEFINE_string('data_module', None,
+                    'Python module where the data pre-processing is done')
+
+# MODEL
+flags.DEFINE_enum('backbone', 'resnet', BACKBONE_BLOCKS, 'Backbone section')
+flags.DEFINE_enum('upsampling', 'spc', UPSAMPLING_METHODS,
+                  'Upsampling method')
+flags.DEFINE_integer('time_window', None,
+                     'Time window for training spatio-temporal models')
+flags.DEFINE_integer('n_filters', 8,
+                     'Number of convolutional filters for the first '
+                     'convolutional block')
+flags.DEFINE_integer('n_blocks', 6, 'Number of convolutional blocks')
+flags.DEFINE_integer('n_disc_filters', 32,
+                     'Number of convolutional filters per convolutional '
+                     'block in the discriminator')
+flags.DEFINE_integer('n_disc_blocks', 4,
+                     'Number of residual blocks for discriminator network')
+flags.DEFINE_enum('normalization', None, ['bn', 'ln'], 'Normalization')
+flags.DEFINE_float('dropout_rate', 0.2, 'Dropout rate')
+flags.DEFINE_enum('dropout_variant', 'vanilla', DROPOUT_VARIANTS,
+                  'Dropout variants')
+flags.DEFINE_bool('attention', False,
+                  'Attention block in convolutional layers')
+flags.DEFINE_enum('activation', 'relu',
+                  ['elu', 'relu', 'gelu', 'crelu', 'leaky_relu', 'selu'],
+                  'Activation used in intermediate convolutional blocks')
+flags.DEFINE_enum('output_activation', None,
+                  ['elu', 'relu', 'gelu', 'crelu', 'leaky_relu', 'selu'],
+                  'Activation used in the last convolutional block')
+flags.DEFINE_bool('localcon_layer', False,
+                  'Locally connected convolutional layer')
+flags.DEFINE_enum('decoder_upsampling', 'rc', UPSAMPLING_METHODS,
+                  'Upsampling in decoder blocks (unet backbone)')
+flags.DEFINE_enum('rc_interpolation', 'bilinear', INTERPOLATION_METHODS,
+                  'Interpolation used in resize convolution upsampling')
+
+# TRAINING PROCEDURE
+flags.DEFINE_enum('device', 'TPU', ['TPU', 'GPU', 'CPU'],
+                  'Device to be used')
+flags.DEFINE_bool('save', True,
+                  'Saving to disk the trained model, metrics, run info, etc')
+flags.DEFINE_string('save_path', './dl4ds_results/',
+                    'Path for saving results to disk')
+flags.DEFINE_integer('scale', 2, 'Scaling factor, positive integer')
+flags.DEFINE_integer('epochs', 100, 'Number of training epochs')
+flags.DEFINE_enum('loss', 'mae', LOSS_FUNCTIONS, 'Loss function')
+flags.DEFINE_enum('interpolation', 'inter_area', INTERPOLATION_METHODS,
+                  'Interpolation method')
+flags.DEFINE_integer('patch_size', None,
+                     'Patch size in number of px/gridpoints')
+flags.DEFINE_integer('batch_size', 32,
+                     'Batch size (of samples) used during training')
+flags.DEFINE_multi_float('learning_rate', 1e-3, 'Learning rate')
+flags.DEFINE_bool('gpu_memory_growth', True,
+                  'Kept for flag-file compatibility (no-op on TPU)')
+flags.DEFINE_bool('use_multiprocessing', True,
+                  'Kept for flag-file compatibility (data synthesis is '
+                  'device-resident)')
+flags.DEFINE_float('lr_decay_after', 1e5,
+                   'Steps to tweak the learning rate using the '
+                   'piecewise-constant scheduler')
+flags.DEFINE_bool('early_stopping', False, 'Early stopping')
+flags.DEFINE_integer('patience', 6,
+                     'Patience in number of epochs w/o improvement for '
+                     'early stopping')
+flags.DEFINE_float('min_delta', 0.0,
+                   'Minimum delta improvement for early stopping')
+flags.DEFINE_bool('show_plot', False,
+                  'Show the learning curve plot on finish')
+flags.DEFINE_bool('save_bestmodel', True,
+                  'SupervisedTrainer - Whether to save the best model')
+flags.DEFINE_bool('verbose', True, 'Verbosity')
+flags.DEFINE_integer('checkpoints_frequency', 2,
+                     'CGANTrainer - Frequency for saving checkpoints and '
+                     'the generator')
+
+# INFERENCE/TEST
+flags.DEFINE_bool('inference_array_in_hr', False,
+                  'Whether the inference array is in high resolution')
+flags.DEFINE_string('inference_save_fname', None,
+                    'Filename for saving the inference array')
+
+
+def dl4ds(argv):
+    """DL4DS-TPU command-line entry point (reference: dl4ds/app.py:94-299).
+    """
+    running_on_first_worker = True
+    try:
+        import jax
+        if FLAGS.device == 'CPU':
+            jax.config.update('jax_platforms', 'cpu')
+        running_on_first_worker = jax.process_index() == 0
+    except Exception:  # noqa: BLE001
+        pass
+
+    if running_on_first_worker:
+        print('<' * 37, 'DL4DS-TPU', '>' * 36, '\n')
+
+    if FLAGS.debug:
+        epochs = 2
+        steps_per_epoch = test_steps = validation_steps = 6
+    else:
+        epochs = FLAGS.epochs
+        steps_per_epoch = test_steps = validation_steps = None
+
+    if running_on_first_worker:
+        print('<' * 33, 'Loading data', '>' * 33, '\n')
+    if FLAGS.data_module is None:
+        raise ValueError('`data_module` flag must be provided (path to the '
+                         'data preprocessing module)')
+    spec = importlib.util.spec_from_file_location('module.name',
+                                                  FLAGS.data_module)
+    DATA = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(DATA)
+
+    # Architecture parameters (reference: app.py:119-168)
+    architecture_params = dict(
+        n_filters=FLAGS.n_filters,
+        normalization=FLAGS.normalization,
+        dropout_rate=FLAGS.dropout_rate,
+        dropout_variant=FLAGS.dropout_variant,
+        attention=FLAGS.attention,
+        activation=FLAGS.activation,
+        output_activation=FLAGS.output_activation,
+        localcon_layer=FLAGS.localcon_layer)
+    if FLAGS.time_window is None or FLAGS.upsampling == 'pin':
+        architecture_params['n_blocks'] = FLAGS.n_blocks
+    if FLAGS.upsampling != 'pin':
+        architecture_params['rc_interpolation'] = FLAGS.rc_interpolation
+    if FLAGS.backbone == 'unet' and FLAGS.upsampling == 'pin':
+        architecture_params['decoder_upsampling'] = FLAGS.decoder_upsampling
+        architecture_params['rc_interpolation'] = FLAGS.rc_interpolation
+
+    explicit = FLAGS.paired_samples == 'explicit'
+    trainer = None
+    if FLAGS.train:
+        if running_on_first_worker:
+            print('\n' + '<' * 29, 'DL4DS Training phase', '>' * 29 + '\n')
+        if FLAGS.trainer == 'SupervisedTrainer':
+            trainer = dds.SupervisedTrainer(
+                backbone=FLAGS.backbone,
+                upsampling=FLAGS.upsampling,
+                data_train=DATA.data_train,
+                data_val=DATA.data_val,
+                data_test=DATA.data_test,
+                data_train_lr=DATA.data_train_lr if explicit else None,
+                data_val_lr=DATA.data_val_lr if explicit else None,
+                data_test_lr=DATA.data_test_lr if explicit else None,
+                predictors_train=DATA.predictors_train,
+                predictors_val=DATA.predictors_val,
+                predictors_test=DATA.predictors_test,
+                static_vars=DATA.static_vars,
+                scale=FLAGS.scale,
+                interpolation=FLAGS.interpolation,
+                patch_size=FLAGS.patch_size,
+                time_window=FLAGS.time_window,
+                batch_size=FLAGS.batch_size,
+                loss=FLAGS.loss,
+                epochs=epochs,
+                steps_per_epoch=steps_per_epoch,
+                validation_steps=validation_steps,
+                test_steps=test_steps,
+                device=FLAGS.device,
+                learning_rate=tuple(FLAGS.learning_rate),
+                lr_decay_after=FLAGS.lr_decay_after,
+                early_stopping=FLAGS.early_stopping,
+                patience=FLAGS.patience,
+                min_delta=FLAGS.min_delta,
+                show_plot=FLAGS.show_plot,
+                save=FLAGS.save,
+                save_path=FLAGS.save_path,
+                save_bestmodel=FLAGS.save_bestmodel,
+                verbose=FLAGS.verbose,
+                **architecture_params)
+        else:
+            discriminator_params = dict(
+                n_filters=FLAGS.n_disc_filters,
+                n_res_blocks=FLAGS.n_disc_blocks,
+                normalization=FLAGS.normalization,
+                activation=FLAGS.activation,
+                attention=FLAGS.attention)
+            trainer = dds.CGANTrainer(
+                backbone=FLAGS.backbone,
+                upsampling=FLAGS.upsampling,
+                data_train=DATA.data_train,
+                data_test=DATA.data_test,
+                data_train_lr=DATA.data_train_lr if explicit else None,
+                data_test_lr=DATA.data_test_lr if explicit else None,
+                predictors_train=DATA.predictors_train,
+                predictors_test=DATA.predictors_test,
+                scale=FLAGS.scale,
+                patch_size=FLAGS.patch_size,
+                time_window=FLAGS.time_window,
+                loss=FLAGS.loss,
+                epochs=epochs,
+                batch_size=FLAGS.batch_size,
+                learning_rates=tuple(FLAGS.learning_rate),
+                device=FLAGS.device,
+                steps_per_epoch=steps_per_epoch,
+                interpolation=FLAGS.interpolation,
+                static_vars=DATA.static_vars,
+                checkpoints_frequency=FLAGS.checkpoints_frequency,
+                save=FLAGS.save,
+                save_path=FLAGS.save_path,
+                save_logs=False,
+                save_loss_history=FLAGS.save,
+                verbose=FLAGS.verbose,
+                generator_params=architecture_params,
+                discriminator_params=discriminator_params)
+        trainer.run()
+
+    y_hat = None
+    if FLAGS.test and trainer is not None and running_on_first_worker:
+        print('\n' + '<' * 29, 'DL4DS Test phase', '>' * 29 + '\n')
+        predictor = dds.Predictor(
+            trainer=trainer,
+            array=DATA.inference_data,
+            array_in_hr=FLAGS.inference_array_in_hr,
+            scale=FLAGS.scale,
+            interpolation=FLAGS.interpolation,
+            predictors=DATA.inference_predictors,
+            static_vars=DATA.static_vars,
+            time_window=FLAGS.time_window,
+            batch_size=FLAGS.batch_size,
+            scaler=DATA.inference_scaler,
+            save_path=FLAGS.save_path,
+            save_fname=FLAGS.inference_save_fname,
+            device=FLAGS.device)
+        y_hat = predictor.run()
+
+        # netCDF export when xarray is available (reference: app.py:280-287)
+        try:
+            import xarray as xr
+            gt = DATA.gt_holdout_dataset
+            y_hat_da = xr.DataArray(
+                data=np.squeeze(y_hat), dims=('time', 'lat', 'lon'),
+                coords={'time': gt.time, 'lon': gt.lon, 'lat': gt.lat})
+            if FLAGS.save_path is not None:
+                y_hat_da.to_netcdf(f'{FLAGS.save_path}y_hat.nc')
+        except (ImportError, AttributeError):
+            if FLAGS.save_path is not None:
+                np.save(f'{FLAGS.save_path}y_hat_export.npy',
+                        np.squeeze(np.asarray(y_hat)).astype('float32'))
+
+    if FLAGS.metrics and y_hat is not None and running_on_first_worker:
+        print('\n' + '<' * 25, 'DL4DS Metrics computation phase',
+              '>' * 25 + '\n')
+        dds.compute_metrics(
+            y_test=DATA.gt_holdout_dataset,
+            y_test_hat=y_hat,
+            dpi=300, plot_size_px=1200,
+            mask=DATA.gt_mask,
+            save_path=FLAGS.save_path,
+            n_jobs=-1)
+
+
+def main():
+    app.run(dl4ds)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,111 @@
+"""Predictor / predict and metrics-suite tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import dl4ds_tpu as dds
+
+
+@pytest.fixture(scope='module')
+def trained():
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((40, 16, 16, 1)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:24],
+        data_val=data[24:32], data_test=data[32:], scale=4, batch_size=2,
+        epochs=1, steps_per_epoch=2, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    return tr, data
+
+
+def test_predict_hr_input(trained):
+    tr, data = trained
+    y = dds.predict(tr, data[32:], scale=4, array_in_hr=True)
+    assert y.shape == (8, 16, 16, 1)
+
+
+def test_predict_lr_input(trained):
+    tr, data = trained
+    lr = np.asarray(
+        dds.resize_array(data[32:], (4, 4), 'inter_area', squeezed=False))
+    y = dds.predict(tr, lr, scale=4, array_in_hr=False)
+    assert y.shape == (8, 16, 16, 1)
+
+
+def test_predictor_class_with_scaler_and_save(trained, tmp_path):
+    tr, data = trained
+    scaler = dds.StandardScaler()
+    scaler.fit(data)
+    pred = dds.Predictor(tr, data[32:], scale=4, array_in_hr=True,
+                         scaler=scaler, save_path=str(tmp_path),
+                         save_fname='y_hat.npy')
+    y = pred.run()
+    assert y.shape == (8, 16, 16)  # scaler squeezes
+    assert os.path.exists(os.path.join(str(tmp_path), 'y_hat.npy'))
+
+
+def test_predict_return_lr(trained):
+    tr, data = trained
+    y, lr = dds.predict(tr, data[32:], scale=4, array_in_hr=True,
+                        return_lr=True)
+    assert lr.shape == (8, 4, 4, 1)
+
+
+def test_predict_infers_upsampling_from_name(trained):
+    tr, _ = trained
+    assert tr.model.name == 'resnet_spc'
+    assert tr.model.upsampling == 'spc'
+
+
+def test_predict_arbitrary_grid_size(trained):
+    """Fully convolutional: predict on a grid the model never saw."""
+    tr, _ = trained
+    rng = np.random.default_rng(3)
+    big = rng.standard_normal((2, 32, 32, 1)).astype('float32')
+    y = dds.predict(tr, big, scale=4, array_in_hr=True)
+    assert y.shape == (2, 32, 32, 1)
+
+
+def test_compute_rmse_and_correlation(rng):
+    y = rng.standard_normal((10, 8, 8, 1)).astype('float32')
+    noise = 0.1 * rng.standard_normal(y.shape).astype('float32')
+    y_hat = y + noise
+    mse_map = dds.compute_rmse(y, y_hat, over='time')
+    assert mse_map.shape == (8, 8)
+    np.testing.assert_allclose(
+        mse_map, np.mean(noise[..., 0] ** 2, axis=0), atol=1e-6)
+    per_pair = dds.compute_rmse(y, y_hat, over='space')
+    assert len(per_pair) == 10
+    corr_map = dds.compute_correlation(y, y_hat, over='time', mode='pearson')
+    assert corr_map.shape == (8, 8)
+    assert np.nanmean(corr_map) > 0.9
+    sp = dds.compute_correlation(y, y_hat, over='space', mode='spearman')
+    assert len(sp) == 10 and np.mean(sp) > 0.9
+
+
+def test_correlation_matches_scipy(rng):
+    from scipy.stats import pearsonr, spearmanr
+    y = rng.standard_normal((30, 4, 4, 1))
+    y_hat = y + 0.5 * rng.standard_normal(y.shape)
+    cm = dds.compute_correlation(y, y_hat, over='time', mode='pearson')
+    ref = pearsonr(y[:, 2, 3, 0], y_hat[:, 2, 3, 0])[0]
+    np.testing.assert_allclose(cm[2, 3], ref, atol=1e-10)
+    cm = dds.compute_correlation(y, y_hat, over='time', mode='spearman')
+    ref = spearmanr(y[:, 1, 1, 0], y_hat[:, 1, 1, 0])[0]
+    np.testing.assert_allclose(cm[1, 1], ref, atol=1e-10)
+
+
+def test_compute_metrics_artifacts(rng, tmp_path):
+    y = rng.random((10, 16, 16, 1)).astype('float32')
+    y_hat = np.clip(y + 0.05 * rng.standard_normal(y.shape), 0,
+                    1).astype('float32')
+    mask = np.ones((16, 16))
+    rmse_map, corrmap, bias = dds.compute_metrics(
+        y, y_hat, mask=mask, save_path=str(tmp_path))
+    assert rmse_map.shape == (16, 16)
+    for fname in ['metrics_summary.txt', 'metrics_pergridpoint_rmse_map.npy',
+                  'metrics_violin_plots.png', 'metrics_nmeanbias_map.npy']:
+        assert os.path.exists(os.path.join(str(tmp_path), fname)), fname

@@ -1,0 +1,168 @@
+"""Trainer tests: supervised + CGAN end-to-end smokes on the 8-device CPU
+mesh (the reference's --debug mode analogue: few epochs x few steps), plus
+artifact outputs, early stopping and resume."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+import dl4ds_tpu as dds
+
+
+@pytest.fixture
+def data(rng):
+    return rng.standard_normal((40, 16, 16, 1)).astype('float32')
+
+
+def _splits(data):
+    return dict(data_train=data[:24], data_val=data[24:32],
+                data_test=data[32:])
+
+
+def test_supervised_pin_loss_decreases(data):
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=4, loss='mae', n_filters=4, n_blocks=1,
+        learning_rate=1e-2, save=False, verbose=False, seed=0)
+    tr.run()
+    hist = tr.fithist['loss']
+    assert hist[-1] < hist[0]
+    assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_spc_patches(data):
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        patch_size=8, batch_size=2, epochs=1, steps_per_epoch=2,
+        validation_steps=1, test_steps=1, loss='mae', n_filters=4,
+        n_blocks=1, save=False, verbose=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_batchnorm(data):
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, normalization='bn', n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    tr.run()
+    assert 'batch_stats' in tr.variables
+    assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_spatiotemporal(data):
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        time_window=3, batch_size=2, epochs=1, steps_per_epoch=2,
+        validation_steps=1, test_steps=1, n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    tr.run()
+    assert tr.model.name == 'recresnet_spc'
+    assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_early_stopping(data):
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=50, steps_per_epoch=1, validation_steps=1,
+        test_steps=1, early_stopping=True, patience=2, min_delta=10.0,
+        n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    # min_delta=10 means no epoch ever "improves" -> stops after patience+1
+    assert len(tr.fithist['loss']) <= 4
+
+
+def test_supervised_resume(data):
+    tr1 = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr1.run()
+    tr2 = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=2, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False,
+        trained_model=(tr1.model, tr1.variables), trained_epochs=1)
+    tr2.run()
+    assert len(tr2.fithist['loss']) == 1  # epochs 1 -> 2
+
+
+def test_supervised_save_artifacts(data, tmp_path):
+    save_path = str(tmp_path) + '/'
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=True,
+        save_path=save_path, verbose=False)
+    tr.run()
+    assert os.path.exists(save_path + 'running_time.txt')
+    assert os.path.exists(save_path + 'test_loss.txt')
+    assert os.path.exists(save_path + 'learning_curve.png')
+    assert os.path.isdir(save_path + 'convnet_pin')
+
+
+def test_supervised_explicit_pairs(rng):
+    hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
+    from dl4ds_tpu.interpolation import resize2d
+    lr = np.asarray(resize2d(hr, (4, 4), 'inter_area'))
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=hr[:20],
+        data_val=hr[20:24], data_test=hr[24:], data_train_lr=lr[:20],
+        data_val_lr=lr[20:24], data_test_lr=lr[24:], scale=4, batch_size=2,
+        epochs=1, steps_per_epoch=2, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_cgan_trainer(data, tmp_path):
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, time_window=None,
+        batch_size=2, epochs=2, steps_per_epoch=2, loss='mae',
+        checkpoints_frequency=1, save=False,
+        save_path=str(tmp_path) + '/', verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert len(tr.gentotal) == 2
+    assert np.isfinite(tr.test_loss)
+    assert os.path.exists(str(tmp_path) + '/losses.npy')
+    losses = np.load(str(tmp_path) + '/losses.npy')
+    assert losses.shape == (4, 2)
+
+
+def test_cgan_load_checkpoint(data, tmp_path):
+    save_path = str(tmp_path) + '/'
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, batch_size=2, epochs=1,
+        steps_per_epoch=1, checkpoints_frequency=1, save=False,
+        save_path=save_path, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    gen, gen_params, disc, disc_params = dds.load_checkpoint(
+        save_path, 1, backbone='resnet', upsampling='spc', scale=4,
+        input_height_width=(2, 2), n_blocks=(1, 1), n_filters=(4, 4))
+    # restored generator params produce the same output as the trained one
+    import jax.numpy as jnp
+    x = jnp.ones((1, 2, 2, 1))
+    y1 = gen.module.apply({'params': gen_params}, x, None, training=False)
+    y2 = tr.generator.module.apply({'params': tr.gen_state.params}, x, None,
+                                   training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_lr_scaling_with_mesh(data):
+    """Goyal et al. linear LR scaling: LR multiplied by mesh size."""
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, learning_rate=1e-3, n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    tr._build_optimizer()
+    assert tr.n_devices == 8
+    assert np.isclose(float(tr._lr), 8e-3) or callable(tr._lr)
