@@ -37,6 +37,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def build(trainer_mod, mesh=None):
     import numpy as np
+    import jax.numpy as jnp
+    dtype = (jnp.float32 if os.environ.get('BENCH_DTYPE') == 'f32'
+             else jnp.bfloat16)
     rng = np.random.default_rng(0)
     data = rng.standard_normal((N_SAMPLES, GRID, GRID, 1)).astype('float32')
     tr = trainer_mod.SupervisedTrainer(
@@ -44,7 +47,7 @@ def build(trainer_mod, mesh=None):
         data_val=data[:64], data_test=data[:64], scale=SCALE,
         patch_size=PATCH, batch_size=BATCH, loss='mae', epochs=1,
         n_filters=N_FILTERS, n_blocks=N_BLOCKS, attention=True, save=False,
-        verbose=False, mesh=mesh)
+        verbose=False, mesh=mesh, dtype=dtype)
     tr.setup_datagen()
     tr.setup_model()
     return tr
@@ -95,7 +98,8 @@ def cpu_baseline():
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--cpu-probe'],
-            capture_output=True, text=True, timeout=900, check=True)
+            capture_output=True, text=True, timeout=900, check=True,
+            env=dict(os.environ, BENCH_DTYPE='f32'))
         pps = json.loads(out.stdout.strip().splitlines()[-1])['pps']
         with open(CACHE, 'w') as fh:
             json.dump({'pps': pps}, fh)

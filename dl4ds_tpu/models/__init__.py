@@ -80,9 +80,11 @@ def net_postupsampling(backbone_block, upsampling, scale, n_channels,
                        dropout_variant=None, attention=False,
                        activation='relu', output_activation=None,
                        rc_interpolation='bilinear', localcon_layer=False,
-                       dtype=jnp.float32):
+                       output_attention=True, dtype=jnp.float32):
     """Spatial network + post-upsampling head
-    (reference factory: dl4ds/models/sp_postups.py:14)."""
+    (reference factory: dl4ds/models/sp_postups.py:14). `output_attention`
+    keeps the reference's always-on output-head channel attention; set False
+    for exact halo-tiled inference (see parallel.predict_tiled)."""
     backbone_block = checkarg_backbone(backbone_block)
     upsampling = checkarg_upsampling(upsampling)
     dropout_variant = checkarg_dropout_variant(dropout_variant)
@@ -94,7 +96,7 @@ def net_postupsampling(backbone_block, upsampling, scale, n_channels,
         dropout_variant=dropout_variant, attention=attention,
         activation=activation, output_activation=output_activation,
         rc_interpolation=rc_interpolation, localcon_layer=localcon_layer,
-        dtype=dtype)
+        output_attention=output_attention, dtype=dtype)
     aux_shape = ((int(h_lr * scale), int(w_lr * scale), n_aux_channels)
                  if n_aux_channels > 0 else None)
     return DSModel(module, f'{backbone_block}_{upsampling}',
@@ -105,7 +107,7 @@ def net_pin(backbone_block, n_channels, n_aux_channels, hr_size,
             n_channels_out=1, n_filters=8, n_blocks=6, dropout_rate=0,
             dropout_variant=None, normalization=None, attention=False,
             activation='relu', output_activation=None, localcon_layer=False,
-            dtype=jnp.float32):
+            output_attention=True, dtype=jnp.float32):
     """Spatial pre-upsampled network
     (reference factory: dl4ds/models/sp_preups.py:13)."""
     backbone_block = checkarg_backbone(backbone_block)
@@ -117,7 +119,7 @@ def net_pin(backbone_block, n_channels, n_aux_channels, hr_size,
         dropout_variant=dropout_variant, normalization=normalization,
         attention=attention, activation=activation,
         output_activation=output_activation, localcon_layer=localcon_layer,
-        dtype=dtype)
+        output_attention=output_attention, dtype=dtype)
     aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
     return DSModel(module, f'{backbone_block}_pin', (h_hr, w_hr, n_channels),
                    aux_shape)
@@ -128,7 +130,8 @@ def unet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
              dropout_rate=0, dropout_variant=None, normalization=None,
              attention=False, decoder_upsampling='rc',
              rc_interpolation='bilinear', output_activation=None,
-             width_cap=256, localcon_layer=False, dtype=jnp.float32):
+             width_cap=256, localcon_layer=False, output_attention=True,
+             dtype=jnp.float32):
     """U-Net pre-upsampled network
     (reference factory: dl4ds/models/sp_preups.py:192)."""
     backbone_block = checkarg_backbone(backbone_block)
@@ -142,7 +145,8 @@ def unet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
         decoder_upsampling=decoder_upsampling,
         rc_interpolation=rc_interpolation,
         output_activation=output_activation, width_cap=width_cap,
-        localcon_layer=localcon_layer, dtype=dtype)
+        localcon_layer=localcon_layer, output_attention=output_attention,
+        dtype=dtype)
     aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
     return DSModel(module, f'{backbone_block}_pin', (h_hr, w_hr, n_channels),
                    aux_shape)

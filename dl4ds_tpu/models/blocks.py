@@ -125,20 +125,32 @@ class _Norm(nn.Module):
 class ChannelAttention2D(nn.Module):
     """Squeeze-and-excite channel attention
     (reference: dl4ds/models/blocks.py:537-599): global average pool ->
-    1x1 conv C/r -> relu -> 1x1 conv C -> sigmoid gate."""
+    1x1 conv C/r -> relu -> 1x1 conv C -> sigmoid gate.
+
+    On TPU the whole gate is one fused Pallas kernel (see
+    ops/pallas_ops.fused_channel_attention); `use_pallas=False` forces the
+    unfused XLA formulation (identical math, golden-tested)."""
     nf: int
     r: int = 4
+    use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        y = nn.Conv(max(int(self.nf / self.r), 1), (1, 1),
-                    dtype=self.dtype)(y)
-        y = jax.nn.relu(y)
-        y = nn.Conv(self.nf, (1, 1), dtype=self.dtype)(y)
-        y = jax.nn.sigmoid(y)
-        return x * y
+        from ..ops.pallas_ops import (fused_channel_attention,
+                                      channel_attention_reference)
+        c = x.shape[-1]
+        cr = max(int(self.nf / self.r), 1)
+        w1 = self.param('w1', nn.initializers.lecun_normal(), (c, cr))
+        b1 = self.param('b1', nn.initializers.zeros, (cr,))
+        w2 = self.param('w2', nn.initializers.lecun_normal(), (cr, self.nf))
+        b2 = self.param('b2', nn.initializers.zeros, (self.nf,))
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == 'tpu'
+        if use_pallas:
+            return fused_channel_attention(x, w1, b1, w2, b2)
+        return channel_attention_reference(x, w1, b1, w2, b2)
 
 
 def _conv(filters, ks, strides=1, use_bias=True, separable=False,

@@ -122,6 +122,7 @@ class _OutputModule(nn.Module):
     output_activation: Optional[str] = None
     normalization: Optional[str] = None
     dropout_rate: float = 0.0
+    attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +131,8 @@ class _OutputModule(nn.Module):
                             name='TransitionLast')(x, training)
         x = ConvBlock(self.n_filters, ks_cl1=self.ks, ks_cl2=self.ks,
                       activation=None, dropout_rate=self.dropout_rate,
-                      normalization=self.normalization, attention=True,
+                      normalization=self.normalization,
+                      attention=self.attention,
                       dtype=self.dtype)(x, training)
         x = ConvBlock(self.n_channels_out, ks_cl1=self.ks, ks_cl2=self.ks,
                       activation=self.output_activation, dropout_rate=0.0,
@@ -180,6 +182,7 @@ class NetPostupsampling(nn.Module):
     output_activation: Optional[str] = None
     rc_interpolation: str = 'bilinear'
     localcon_layer: bool = False
+    output_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +218,7 @@ class NetPostupsampling(nn.Module):
         return _OutputModule(self.n_filters, self.n_channels_out, ks,
                              self.activation, self.output_activation,
                              self.normalization, self.dropout_rate,
+                             attention=self.output_attention,
                              dtype=self.dtype)(x, training)
 
 
@@ -233,6 +237,7 @@ class NetPIN(nn.Module):
     activation: Optional[str] = 'relu'
     output_activation: Optional[str] = None
     localcon_layer: bool = False
+    output_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -253,6 +258,7 @@ class NetPIN(nn.Module):
         return _OutputModule(self.n_filters, self.n_channels_out, ks,
                              self.activation, self.output_activation,
                              self.normalization, self.dropout_rate,
+                             attention=self.output_attention,
                              dtype=self.dtype)(x, training)
 
 
@@ -275,6 +281,7 @@ class UnetPIN(nn.Module):
     output_activation: Optional[str] = None
     width_cap: int = 256
     localcon_layer: bool = False
+    output_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -332,6 +339,7 @@ class UnetPIN(nn.Module):
         return _OutputModule(self.n_filters, self.n_channels_out, (3, 3),
                              self.activation, self.output_activation,
                              self.normalization, self.dropout_rate,
+                             attention=self.output_attention,
                              dtype=self.dtype)(x, training)
 
 

@@ -1,0 +1,116 @@
+"""
+Spatial tiling / sharding utilities.
+
+`predict_tiled` runs full-grid inference in halo-overlapped tiles — the
+spatial analogue of context parallelism for grids that exceed one chip's
+HBM (SURVEY.md §5: "our analogue of context parallelism for this domain" —
+not a reference feature).
+
+Geometry: fixed-size windows of `tile + 2*halo` are anchored INSIDE the
+grid (clipped flush at the true borders), so border windows reproduce the
+exact zero-padding context the full-grid convolutions see — tiled output is
+bit-comparable to untiled inference wherever `halo` >= the network's
+receptive-field radius, including at the borders. One window shape means
+one compiled executable; the window batch is sharded over the mesh's data
+axis when a mesh is given.
+
+Exactness caveat: models with *global* channel attention (the zoo's output
+head default, reference sp_postups.py:208) aggregate statistics over the
+whole grid; with tiling the gate is computed per window, making the result
+an approximation. Build models with `output_attention=False` (and
+`attention=False`) for exact tiling.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ['predict_tiled', 'receptive_field_radius']
+
+
+def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
+    """Conservative receptive-field radius estimate for the zoo's backbones:
+    each KxK conv adds (K-1)/2 px per side."""
+    per_conv = (ks - 1) // 2
+    return per_conv * (n_blocks * convs_per_block + extra)
+
+
+def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
+                  batch_size=8, mesh=None):
+    """Tiled inference over [B, h, w, C] input (LR for post-upsampling
+    models; HR-sized for 'pin').
+
+    Returns [B, h*s, w*s, C_out] where s is the model's output scale
+    (1 for 'pin').
+    """
+    x = jnp.asarray(x, jnp.float32)
+    b, h, w, c = x.shape
+    upsampling = model.name.split('_')[-1]
+    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
+        else 1
+
+    t_in_y = min(h, tile + 2 * halo)
+    t_in_x = min(w, tile + 2 * halo)
+    n_ty = -(-h // tile)
+    n_tx = -(-w // tile)
+
+    # aux lives on the HR(-output) grid; scale its window geometry
+    s_aux = None
+    if aux is not None:
+        aux = jnp.asarray(aux, jnp.float32)
+        s_aux = aux.shape[1] // h
+
+    windows, aux_windows, placements = [], [], []
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            y0, x0 = ty * tile, tx * tile
+            y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+            wy0 = min(max(y0 - halo, 0), h - t_in_y)
+            wx0 = min(max(x0 - halo, 0), w - t_in_x)
+            windows.append(x[:, wy0:wy0 + t_in_y, wx0:wx0 + t_in_x, :])
+            if aux is not None:
+                windows_aux = aux[:, wy0 * s_aux:(wy0 + t_in_y) * s_aux,
+                                  wx0 * s_aux:(wx0 + t_in_x) * s_aux, :]
+                aux_windows.append(windows_aux)
+            # where the tile region sits inside the window, and in the output
+            placements.append((y0, x0, y1 - y0, x1 - x0, y0 - wy0, x0 - wx0))
+
+    tiles = jnp.concatenate(windows, axis=0)       # [B*nt, t_in_y, t_in_x, C]
+    aux_tiles = (jnp.concatenate(aux_windows, axis=0) if aux is not None
+                 else None)
+
+    apply = jax.jit(lambda v, xb, ab: model.module.apply(
+        v, xb, ab, training=False))
+    n_win = tiles.shape[0]
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P('data'))
+        pad_to = -(-n_win // mesh.size) * mesh.size
+        if pad_to != n_win:
+            reps = pad_to - n_win
+            tiles = jnp.concatenate([tiles, tiles[:reps]], axis=0)
+            if aux_tiles is not None:
+                aux_tiles = jnp.concatenate([aux_tiles, aux_tiles[:reps]],
+                                            axis=0)
+        tiles = jax.device_put(tiles, sharding)
+        if aux_tiles is not None:
+            aux_tiles = jax.device_put(aux_tiles, sharding)
+        out_tiles = np.asarray(apply(variables, tiles, aux_tiles))[:n_win]
+    else:
+        outs = []
+        for i in range(0, n_win, batch_size):
+            ab = (aux_tiles[i:i + batch_size] if aux_tiles is not None
+                  else None)
+            outs.append(np.asarray(apply(variables, tiles[i:i + batch_size],
+                                         ab)))
+        out_tiles = np.concatenate(outs, axis=0)
+
+    c_out = out_tiles.shape[-1]
+    full = np.zeros((b, h * scale, w * scale, c_out), np.float32)
+    for k, (y0, x0, ty_len, tx_len, oy, ox) in enumerate(placements):
+        blk = out_tiles[k * b:(k + 1) * b]
+        full[:, y0 * scale:(y0 + ty_len) * scale,
+             x0 * scale:(x0 + tx_len) * scale, :] = \
+            blk[:, oy * scale:(oy + ty_len) * scale,
+                ox * scale:(ox + tx_len) * scale, :]
+    return full

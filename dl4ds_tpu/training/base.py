@@ -125,6 +125,35 @@ class Trainer(ABC):
                 f'`{name}` object must be of np.ndarray or xr.DataArray type')
         return x
 
+    # ------------------------------------------------------------------
+    # Observability (reference analogues: Timing at utils.py:206-248,
+    # TensorBoard scalars at cgan.py:619-624 — here a device-agnostic
+    # JSONL scalar log plus optional jax.profiler traces)
+    # ------------------------------------------------------------------
+    def start_profiler(self, logdir=None):
+        """Begin a jax.profiler trace (view in TensorBoard/XProf)."""
+        import jax.profiler
+        logdir = logdir or (self.save_path + 'profile')
+        jax.profiler.start_trace(logdir)
+        self._profiling = True
+
+    def stop_profiler(self):
+        import jax.profiler
+        if getattr(self, '_profiling', False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+
+    def log_scalars(self, step, **scalars):
+        """Append one JSONL record of named scalars (worker 0 only)."""
+        if not self.running_on_first_worker:
+            return
+        import json
+        if not hasattr(self, '_log_fh'):
+            os.makedirs(self.save_path, exist_ok=True)
+            self._log_fh = open(self.save_path + 'scalars.jsonl', 'a')
+        self._log_fh.write(json.dumps({'step': step, **scalars}) + '\n')
+        self._log_fh.flush()
+
     @abstractmethod
     def run(self):
         ...

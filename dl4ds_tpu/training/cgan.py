@@ -254,6 +254,10 @@ class CGANTrainer(Trainer):
             self.gengan.append(g_gan)
             self.gen_pxloss.append(g_px)
             self.disc.append(d_loss)
+            if self.save_logs:
+                self.log_scalars(epoch, gen_total_loss=g_total,
+                                 gen_gan_loss=g_gan, gen_px_loss=g_px,
+                                 disc_loss=d_loss)
             if self.verbose and self.running_on_first_worker:
                 print(f'  gen_total_loss: {g_total:.5f}  gen_crosentr_loss: '
                       f'{g_gan:.5f}  gen_px_loss: {g_px:.5f}  disc_loss: '

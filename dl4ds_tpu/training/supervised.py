@@ -53,7 +53,8 @@ class SupervisedTrainer(Trainer):
                  show_plot=False, save=False, save_path=None,
                  save_bestmodel=False, trained_model=None, trained_epochs=0,
                  verbose=True, seed=42, mesh=None, devices=None,
-                 gpu_memory_growth=None, **architecture_params):
+                 gpu_memory_growth=None, save_logs=False, profile=False,
+                 **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -92,6 +93,8 @@ class SupervisedTrainer(Trainer):
         self.trained_epochs = trained_epochs
         self.save_bestmodel = save_bestmodel
         self.seed = seed
+        self.save_logs = save_logs
+        self.profile = profile
         self.model = None
         self.variables = None
 
@@ -190,9 +193,10 @@ class SupervisedTrainer(Trainer):
                 out, updates = model.apply(variables, batch['lr'],
                                            batch['aux'],
                                            mutable=['batch_stats'], **kwargs)
-                return out, updates['batch_stats']
+                return out.astype(jnp.float32), updates['batch_stats']
             out = model.apply(variables, batch['lr'], batch['aux'], **kwargs)
-            return out, batch_stats
+            # loss in f32 regardless of the model's compute dtype (bf16 path)
+            return out.astype(jnp.float32), batch_stats
 
         def train_step(state, indices, key):
             skey, dkey = jax.random.split(key)
@@ -248,6 +252,8 @@ class SupervisedTrainer(Trainer):
         patience_left = self.patience
         stop = False
 
+        if self.profile:
+            self.start_profiler()
         for epoch in range(self.trained_epochs, self.epochs):
             key, ekey = jax.random.split(key)
             idx_epoch = np.asarray(
@@ -276,6 +282,10 @@ class SupervisedTrainer(Trainer):
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
+            if self.profile and epoch == self.trained_epochs:
+                self.stop_profiler()
+            if self.save_logs:
+                self.log_scalars(epoch, loss=train_loss, val_loss=val_loss)
             if self.verbose and self.running_on_first_worker:
                 print(f'Epoch {epoch + 1}/{self.epochs}  '
                       f'loss: {train_loss:.6f}  val_loss: {val_loss:.6f}')

@@ -1,0 +1,69 @@
+"""Halo-tiled inference tests: tiled output must match untiled inference
+(attention-free fully-convolutional models; halo >= receptive field)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dl4ds_tpu as dds
+from dl4ds_tpu.parallel import predict_tiled, receptive_field_radius
+from dl4ds_tpu.models import net_postupsampling, net_pin
+
+
+def test_receptive_field_estimate():
+    assert receptive_field_radius(2) >= 10
+
+
+def test_tiled_matches_untiled_spc(rng):
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((2, 48, 48, 1)).astype('float32')
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    halo = receptive_field_radius(1)
+    y_tiled = predict_tiled(model, variables, x, tile=16, halo=halo)
+    assert y_tiled.shape == y_full.shape == (2, 96, 96, 1)
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_tiled_matches_untiled_pin(rng):
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(32, 32), n_filters=4, n_blocks=1,
+                    attention=False, output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 64, 1)).astype('float32')
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    y_tiled = predict_tiled(model, variables, x, tile=32,
+                            halo=receptive_field_radius(1))
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_tiled_sharded_over_mesh(rng):
+    from dl4ds_tpu.training.base import make_mesh
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 64, 1)).astype('float32')
+    mesh = make_mesh()
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    y_tiled = predict_tiled(model, variables, x, tile=16,
+                            halo=receptive_field_radius(1), mesh=mesh)
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_tiled_nondivisible_grid(rng):
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(32, 32), n_filters=4, n_blocks=1,
+                    attention=False, output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 50, 38, 1)).astype('float32')
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    y_tiled = predict_tiled(model, variables, x, tile=16,
+                            halo=receptive_field_radius(1))
+    assert y_tiled.shape == y_full.shape
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
