@@ -616,3 +616,93 @@ class BatchSynthesizer:
         if reps > 1:
             perm = jnp.concatenate([perm] * reps)
         return perm[:steps * self.batch_size].reshape(steps, self.batch_size)
+
+
+class HostStreamer:
+    """Host->device batch pipeline for datasets larger than device memory.
+
+    The dataset stays in host RAM; each batch's window gather + random patch
+    crop runs in the native C++/OpenMP kernels (dl4ds_tpu.native, numpy
+    fallback), a background thread keeps `prefetch` batches in flight, and
+    the LR coarsening (or pre-upsampling crop) happens on device after the
+    transfer — so only HR patches cross PCIe.
+
+    Covers implicit (HR-only) pairs, spatial or spatio-temporal samples,
+    'pin' and post-upsampling modes. For datasets that fit in HBM prefer
+    `BatchSynthesizer` (no host round-trip at all).
+    """
+
+    def __init__(self, array, upsampling, scale, batch_size, patch_size=None,
+                 time_window=None, interpolation='inter_area', prefetch=2,
+                 seed=0):
+        self.array = np.ascontiguousarray(_values(array), 'float32')
+        if self.array.ndim != 4:
+            raise ValueError('`array` must be [n, y, x, c]')
+        self.upsampling = upsampling
+        self.is_postups = upsampling in POSTUPSAMPLING_METHODS
+        self.scale = int(scale)
+        self.batch_size = int(batch_size)
+        self.patch_size = patch_size
+        self.time_window = time_window
+        self.interpolation = interpolation
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        n_total, self.hr_y, self.hr_x, _ = self.array.shape
+        self.n = n_total - time_window if time_window is not None else n_total
+        if patch_size is not None and self.is_postups \
+                and patch_size % scale != 0:
+            raise ValueError('`patch_size` must be divisible by `scale`')
+
+    def _host_batch(self, idx):
+        from . import native
+        p = self.patch_size
+        tw = self.time_window or 1
+        if p is not None:
+            ys = self.rng.integers(0, max(self.hr_y - p, 1),
+                                   size=idx.shape[0])
+            xs = self.rng.integers(0, max(self.hr_x - p, 1),
+                                   size=idx.shape[0])
+            return native.gather_crop(self.array, idx, ys, xs, p,
+                                      time_window=tw)
+        return native.gather_windows(self.array, idx, time_window=tw)
+
+    def _to_device(self, hr_np):
+        hr = jax.device_put(jnp.asarray(hr_np))
+        if self.upsampling == 'pin':
+            h, w = hr.shape[-3], hr.shape[-2]
+            lr = resize2d(resize2d(hr, (h // self.scale, w // self.scale),
+                                   self.interpolation), (h, w),
+                          self.interpolation)
+        else:
+            h, w = hr.shape[-3], hr.shape[-2]
+            lr = resize2d(hr, (h // self.scale, w // self.scale),
+                          self.interpolation)
+        return {'lr': lr, 'hr': hr, 'aux': None}
+
+    def epochs(self, n_epochs=1, steps=None):
+        """Iterate batches with background prefetch: yields dicts like
+        `BatchSynthesizer` (lr/hr/aux device arrays)."""
+        import queue
+        import threading
+
+        n_batches = self.n // self.batch_size
+        steps = n_batches if steps is None else steps
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            for _ in range(n_epochs):
+                perm = self.rng.permutation(self.n)
+                for i in range(steps):
+                    idx = perm[(i * self.batch_size) % self.n:]
+                    idx = np.resize(idx, self.batch_size).astype(np.int64)
+                    q.put(self._host_batch(idx))
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield self._to_device(item)

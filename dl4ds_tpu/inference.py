@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .utils import Timing, checkarray_ndim, spatiotemporal_to_spatial_samples
 from .interpolation import resize_array
-from .dataloader import create_batch_hr_lr
+from .dataloader import BatchSynthesizer
 
 __all__ = ['Predictor', 'predict']
 
@@ -107,22 +107,22 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
         array_lr = array
 
-    batch = create_batch_hr_lr(
-        all_indices=np.arange(n_samples), index=0, array=array_hr,
-        array_lr=array_lr, upsampling=upsampling, scale=scale,
-        batch_size=n_samples, patch_size=None, time_window=time_window,
-        static_vars=static_vars, predictors=predictors,
-        interpolation=interpolation, time_metadata=time_metadata)
-
-    if static_vars is not None:
-        [batch_lr, batch_aux], _ = batch
-    else:
-        [batch_lr], _ = batch
-        batch_aux = None
-
-    x = jnp.asarray(batch_lr, jnp.float32)
-    aux = jnp.asarray(batch_aux, jnp.float32) if batch_aux is not None \
-        else None
+    # whole-dataset batch via the device tier (one jitted synthesis instead
+    # of the reference's per-sample host loop, inference.py:205-218); the
+    # device and host tiers are equivalence-tested in tests/test_dataloader.
+    synth = BatchSynthesizer(
+        checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1),
+        array_lr, upsampling=upsampling, scale=scale, batch_size=n_samples,
+        patch_size=None,
+        time_window=time_window if time_window is not None else None,
+        static_vars=static_vars,
+        predictors=[predictors] if predictors is not None else None,
+        interpolation=interpolation)
+    batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
+                  jax.random.PRNGKey(0))
+    x = batch['lr']
+    aux = batch['aux']
+    batch_lr = x
 
     apply = jax.jit(
         lambda v, xb, ab: model.module.apply(v, xb, ab, training=False))

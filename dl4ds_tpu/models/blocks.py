@@ -147,7 +147,9 @@ class ChannelAttention2D(nn.Module):
         b2 = self.param('b2', nn.initializers.zeros, (self.nf,))
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == 'tpu'
+            import os
+            use_pallas = (jax.default_backend() == 'tpu'
+                          and not os.environ.get('DL4DS_DISABLE_PALLAS'))
         if use_pallas:
             return fused_channel_attention(x, w1, b1, w2, b2)
         return channel_attention_reference(x, w1, b1, w2, b2)
