@@ -237,6 +237,42 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
     lr_array = np.asarray(lr_array, 'float32')
     if static_vars is not None or season is not None:
         static_array_hr = np.asarray(static_array_hr, 'float32')
+
+    if debug:
+        # shape/crop diagnostics + matplotlib panels
+        # (reference: dl4ds/dataloader.py:254-289, ecubevis-based)
+        if static_vars is not None or season is not None:
+            print(f'HR array: {hr_array.shape}, LR array: {lr_array.shape}, '
+                  f'Auxiliary array: {static_array_hr.shape}')
+        else:
+            print(f'HR array: {hr_array.shape}, LR array: {lr_array.shape}')
+        if patch_size is not None:
+            print(f'Crop X,Y: {crop_x}, {crop_y}')
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            panels = [('HR array', np.squeeze(hr_array))]
+            lr2d = np.squeeze(lr_array)
+            if lr2d.ndim == 3:
+                for ci in range(lr2d.shape[-1]):
+                    panels.append((f'LR array, variable {ci + 1}',
+                                   lr2d[..., ci]))
+            else:
+                panels.append(('LR array', lr2d))
+            fig, axes = plt.subplots(1, len(panels),
+                                     figsize=(4 * len(panels), 4), dpi=100)
+            for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+                while img.ndim > 2:
+                    img = img[0]
+                ax.imshow(img, origin='lower')
+                ax.set_title(title)
+            fig.savefig('dl4ds_pair_debug.png')
+            plt.close(fig)
+        except Exception:  # noqa: BLE001 — plotting is best-effort
+            pass
+
+    if static_vars is not None or season is not None:
         return hr_array, lr_array, static_array_hr
     return hr_array, lr_array
 

@@ -25,7 +25,7 @@ from . import blocks
 
 __all__ = ['DSModel', 'net_postupsampling', 'net_pin', 'unet_pin',
            'recnet_postupsampling', 'recnet_pin', 'residual_discriminator',
-           'build_model', 'blocks']
+           'build_model', 'blocks', 'save_model', 'load_model']
 
 
 @dataclasses.dataclass
@@ -226,6 +226,68 @@ def residual_discriminator(n_channels, upsampling, is_spatiotemporal, scale,
         in_shape = (h_lr, w_lr, n_channels)
         ref_shape = (h_lr * scale, w_lr * scale, 1)
     return DSModel(module, 'discriminator', in_shape, ref_shape)
+
+
+_MODULE_CLASSES = {c.__name__: c for c in
+                   (NetPostupsampling, NetPIN, UnetPIN, RecNetPostupsampling,
+                    RecNetPIN, ResidualDiscriminator)}
+
+
+def save_model(model, variables, path):
+    """Persist a DSModel: architecture config (JSON) + variables (orbax).
+    Counterpart of the reference's SavedModel export (base.py:177) — the
+    model can be reloaded standalone with `load_model`."""
+    import json
+    import os
+    import numpy as np
+    os.makedirs(path, exist_ok=True)
+    cfg = {f.name: getattr(model.module, f.name)
+           for f in dataclasses.fields(type(model.module))
+           if f.name not in ('parent', 'name')}
+    cfg['dtype'] = jnp.dtype(cfg.get('dtype', jnp.float32)).name
+    meta = {'module_class': type(model.module).__name__,
+            'config': cfg, 'name': model.name,
+            'input_shape': list(model.input_shape),
+            'aux_shape': (list(model.aux_shape)
+                          if model.aux_shape is not None else None)}
+    with open(os.path.join(path, 'model_config.json'), 'w') as fh:
+        json.dump(meta, fh, indent=2)
+    payload = jax.tree_util.tree_map(np.asarray, variables)
+    try:
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(os.path.join(path, 'variables')), payload,
+            force=True)
+    except Exception:  # noqa: BLE001 — orbax optional
+        import pickle
+        with open(os.path.join(path, 'variables.pkl'), 'wb') as fh:
+            pickle.dump(payload, fh)
+
+
+def load_model(path):
+    """Rebuild a DSModel from `save_model` output; returns
+    (model, variables)."""
+    import json
+    import os
+    with open(os.path.join(path, 'model_config.json')) as fh:
+        meta = json.load(fh)
+    cfg = meta['config']
+    cfg['dtype'] = jnp.dtype(cfg['dtype'])
+    for key in ('ks_cl1', 'ks_cl2', 'kernel_size', 'lr_size'):
+        if key in cfg and isinstance(cfg[key], list):
+            cfg[key] = tuple(cfg[key])
+    module = _MODULE_CLASSES[meta['module_class']](**cfg)
+    model = DSModel(module, meta['name'], tuple(meta['input_shape']),
+                    tuple(meta['aux_shape']) if meta['aux_shape'] else None)
+    var_dir = os.path.abspath(os.path.join(path, 'variables'))
+    if os.path.isdir(var_dir):
+        import orbax.checkpoint as ocp
+        variables = ocp.PyTreeCheckpointer().restore(var_dir)
+    else:
+        import pickle
+        with open(os.path.join(path, 'variables.pkl'), 'rb') as fh:
+            variables = pickle.load(fh)
+    return model, variables
 
 
 def build_model(backbone, upsampling, scale, n_channels, n_aux_channels,

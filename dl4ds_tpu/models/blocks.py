@@ -127,9 +127,12 @@ class ChannelAttention2D(nn.Module):
     (reference: dl4ds/models/blocks.py:537-599): global average pool ->
     1x1 conv C/r -> relu -> 1x1 conv C -> sigmoid gate.
 
-    On TPU the whole gate is one fused Pallas kernel (see
-    ops/pallas_ops.fused_channel_attention); `use_pallas=False` forces the
-    unfused XLA formulation (identical math, golden-tested)."""
+    A fused Pallas kernel for the whole gate is available
+    (ops/pallas_ops.fused_channel_attention, identical math, golden-tested).
+    Measured on v5e it is throughput-neutral for this zoo's small channel
+    counts (3742 vs 3794 patches/s on the bench workload), so the default
+    is the XLA formulation; opt in with use_pallas=True or
+    DL4DS_USE_PALLAS=1."""
     nf: int
     r: int = 4
     use_pallas: Optional[bool] = None
@@ -149,7 +152,7 @@ class ChannelAttention2D(nn.Module):
         if use_pallas is None:
             import os
             use_pallas = (jax.default_backend() == 'tpu'
-                          and not os.environ.get('DL4DS_DISABLE_PALLAS'))
+                          and bool(os.environ.get('DL4DS_USE_PALLAS')))
         if use_pallas:
             return fused_channel_attention(x, w1, b1, w2, b2)
         return channel_attention_reference(x, w1, b1, w2, b2)

@@ -173,16 +173,21 @@ class Trainer(ABC):
                                 + '_' + self.upsampling + '/')
         if self.running_on_first_worker:
             os.makedirs(self.model_save_path, exist_ok=True)
-            if params_to_save is not None:
+            if model is None:
+                model = getattr(self, 'model', None)
+            if params_to_save is not None and model is not None \
+                    and hasattr(model, 'module'):
+                from ..models import save_model
+                save_model(model, params_to_save, self.model_save_path)
+            elif params_to_save is not None:
                 try:
                     import orbax.checkpoint as ocp
-                    ckpt = ocp.PyTreeCheckpointer()
-                    ckpt.save(
+                    ocp.PyTreeCheckpointer().save(
                         os.path.abspath(
                             os.path.join(self.model_save_path, 'checkpoint')),
                         jax.tree_util.tree_map(np.asarray, params_to_save),
                         force=True)
-                except Exception as exc:  # noqa: BLE001 — orbax optional
+                except Exception:  # noqa: BLE001 — orbax optional
                     import pickle
                     with open(os.path.join(self.model_save_path,
                                            'checkpoint.pkl'), 'wb') as fh:

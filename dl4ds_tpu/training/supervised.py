@@ -54,7 +54,7 @@ class SupervisedTrainer(Trainer):
                  save_bestmodel=False, trained_model=None, trained_epochs=0,
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, save_logs=False, profile=False,
-                 **architecture_params):
+                 data_in_hbm=True, **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -95,6 +95,14 @@ class SupervisedTrainer(Trainer):
         self.seed = seed
         self.save_logs = save_logs
         self.profile = profile
+        # data_in_hbm=False streams the training split from host RAM through
+        # the native gather/crop kernels (for datasets larger than HBM);
+        # implicit pairs only — predictors/statics require the device tier.
+        self.data_in_hbm = data_in_hbm
+        if not data_in_hbm and (static_vars is not None
+                                or predictors_train is not None):
+            raise ValueError('data_in_hbm=False supports implicit HR-only '
+                             'pairs without static/predictor channels')
         self.model = None
         self.variables = None
 
@@ -108,9 +116,17 @@ class SupervisedTrainer(Trainer):
                       time_window=self.time_window,
                       static_vars=self.static_vars,
                       interpolation=self.interpolation)
-        self.ds_train = BatchSynthesizer(
-            self.data_train, self.data_train_lr,
-            predictors=self.predictors_train, **common)
+        if self.data_in_hbm:
+            self.ds_train = BatchSynthesizer(
+                self.data_train, self.data_train_lr,
+                predictors=self.predictors_train, **common)
+        else:
+            from ..dataloader import HostStreamer
+            self.ds_train = HostStreamer(
+                self.data_train, upsampling=self.upsampling,
+                scale=self.scale, batch_size=self.global_batch_size,
+                patch_size=self.patch_size, time_window=self.time_window,
+                interpolation=self.interpolation, seed=self.seed)
         self.ds_val = BatchSynthesizer(
             self.data_val, self.data_val_lr,
             predictors=self.predictors_val, **common)
@@ -198,12 +214,9 @@ class SupervisedTrainer(Trainer):
             # loss in f32 regardless of the model's compute dtype (bf16 path)
             return out.astype(jnp.float32), batch_stats
 
-        def train_step(state, indices, key):
-            skey, dkey = jax.random.split(key)
-            batch = synth_train._make_batch(indices, skey)
-
+        def train_step_batch(state, batch, key):
             def loss_fn(params):
-                out, new_bs = forward(params, state.batch_stats, batch, dkey,
+                out, new_bs = forward(params, state.batch_stats, batch, key,
                                       True, synth_train)
                 return lossf(batch['hr'], out), new_bs
 
@@ -212,6 +225,11 @@ class SupervisedTrainer(Trainer):
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
             return state, loss
 
+        def train_step(state, indices, key):
+            skey, dkey = jax.random.split(key)
+            batch = synth_train._make_batch(indices, skey)
+            return train_step_batch(state, batch, dkey)
+
         def eval_step(state, indices, key, synth_consts):
             skey, dkey = jax.random.split(key)
             batch = synth_consts._make_batch(indices, skey)
@@ -219,7 +237,9 @@ class SupervisedTrainer(Trainer):
                              False, synth_consts)
             return lossf(batch['hr'], out)
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0)
+        if self.data_in_hbm:
+            self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step_val = jax.jit(
             lambda s, i, k: eval_step(s, i, k, synth_val))
         self._eval_step_test = jax.jit(
@@ -256,16 +276,25 @@ class SupervisedTrainer(Trainer):
             self.start_profiler()
         for epoch in range(self.trained_epochs, self.epochs):
             key, ekey = jax.random.split(key)
-            idx_epoch = np.asarray(
-                self.ds_train.epoch_indices(ekey, steps=steps))
             epoch_losses = []
-            for i in range(steps):
-                key, skey = jax.random.split(key)
-                indices = jax.device_put(
-                    jnp.asarray(idx_epoch[i], jnp.int32),
-                    self.batch_sharding)
-                state, loss = self._train_step(state, indices, skey)
-                epoch_losses.append(loss)
+            if self.data_in_hbm:
+                idx_epoch = np.asarray(
+                    self.ds_train.epoch_indices(ekey, steps=steps))
+                for i in range(steps):
+                    key, skey = jax.random.split(key)
+                    indices = jax.device_put(
+                        jnp.asarray(idx_epoch[i], jnp.int32),
+                        self.batch_sharding)
+                    state, loss = self._train_step(state, indices, skey)
+                    epoch_losses.append(loss)
+            else:
+                for batch in self.ds_train.epochs(n_epochs=1, steps=steps):
+                    key, skey = jax.random.split(key)
+                    batch = {k: (jax.device_put(v, self.batch_sharding)
+                                 if v is not None else None)
+                             for k, v in batch.items()}
+                    state, loss = self._train_step_batch(state, batch, skey)
+                    epoch_losses.append(loss)
             train_loss = float(np.mean(jax.device_get(epoch_losses)))
 
             # validation

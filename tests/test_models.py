@@ -193,3 +193,20 @@ def test_fully_convolutional_any_size():
     for hw in [(8, 8), (12, 20), (31, 7)]:
         y = model.apply(variables, jnp.zeros((1, *hw, 1)))
         assert y.shape == (1, hw[0] * 2, hw[1] * 2, 1)
+
+
+def test_save_load_model_roundtrip(tmp_path, rng):
+    from dl4ds_tpu.models import save_model, load_model
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=2,
+                               n_aux_channels=1, lr_size=(8, 8), n_filters=4,
+                               n_blocks=2, attention=True)
+    variables = model.init(KEY, batch_size=1)
+    save_model(model, variables, str(tmp_path / 'm'))
+    model2, variables2 = load_model(str(tmp_path / 'm'))
+    assert model2.name == model.name
+    assert model2.input_shape == model.input_shape
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype('float32'))
+    aux = jnp.asarray(rng.standard_normal((1, 32, 32, 1)).astype('float32'))
+    y1 = model.apply(variables, x, aux)
+    y2 = model2.apply(variables2, x, aux)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)

@@ -166,3 +166,16 @@ def test_lr_scaling_with_mesh(data):
     tr._build_optimizer()
     assert tr.n_devices == 8
     assert np.isclose(float(tr._lr), 8e-3) or callable(tr._lr)
+
+
+def test_supervised_host_streamer(data):
+    """data_in_hbm=False: training streams batches from host RAM through the
+    native gather/crop path."""
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        patch_size=8, batch_size=2, epochs=2, steps_per_epoch=3,
+        validation_steps=1, test_steps=1, n_filters=4, n_blocks=1,
+        save=False, verbose=False, data_in_hbm=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+    assert len(tr.fithist['loss']) == 2

@@ -1,0 +1,92 @@
+"""Utility tests: reshaping, cropping, validators, Timing, distributed
+helpers."""
+
+import numpy as np
+import pytest
+
+import dl4ds_tpu as dds
+from dl4ds_tpu.utils import (crop_array, checkarray_ndim,
+                             spatial_to_spatiotemporal_samples,
+                             spatiotemporal_to_spatial_samples, Timing,
+                             checkarg_loss)
+
+
+def test_spatial_spatiotemporal_roundtrip(rng):
+    x = rng.standard_normal((20, 8, 8, 1)).astype('float32')
+    spt = spatial_to_spatiotemporal_samples(x, 5)
+    assert spt.shape == (16, 5, 8, 8, 1)
+    np.testing.assert_array_equal(spt[3], x[3:8])
+    back = spatiotemporal_to_spatial_samples(spt, 5)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_spatiotemporal_wrong_window_raises(rng):
+    x = rng.standard_normal((4, 5, 8, 8, 1))
+    with pytest.raises(ValueError):
+        spatiotemporal_to_spatial_samples(x, 3)
+
+
+def test_checkarray_ndim():
+    x = np.zeros((4, 4))
+    assert checkarray_ndim(x, 3, -1).shape == (4, 4, 1)
+    assert checkarray_ndim(x, 4, 0).shape == (1, 1, 4, 4)
+    assert checkarray_ndim(np.zeros((2, 3, 4)), 3).shape == (2, 3, 4)
+
+
+@pytest.mark.parametrize('ndim,shape,spatial', [
+    (2, (12, 14), (0, 1)),
+    (3, (12, 14, 2), (0, 1)),
+    (4, (5, 12, 14, 2), (1, 2)),
+    (5, (5, 3, 12, 14, 2), (2, 3)),
+])
+def test_crop_array_axes(ndim, shape, spatial, rng):
+    x = rng.standard_normal(shape)
+    out, y, cx = crop_array(x, 8, position=True)
+    assert out.shape[spatial[0]] == 8 and out.shape[spatial[1]] == 8
+    out2 = crop_array(x, 8, yx=(y, cx))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_crop_array_errors(rng):
+    with pytest.raises(ValueError):
+        crop_array(rng.standard_normal((4, 4)), 8)
+    with pytest.raises(TypeError):
+        crop_array(rng.standard_normal((8, 8)), 4.5)
+    with pytest.raises(TypeError):
+        crop_array(rng.standard_normal((8,)), 4)
+
+
+def test_checkarg_loss_resolution():
+    from dl4ds_tpu import losses
+    assert checkarg_loss('mae') is losses.mae
+    assert checkarg_loss('msdssim_mae_mse') is losses.msdssim_mae_mse
+    assert checkarg_loss(losses.mse) is losses.mse
+    with pytest.raises(ValueError):
+        checkarg_loss('nope')
+    with pytest.raises(TypeError):
+        checkarg_loss(3)
+
+
+def test_timing_runs(capsys):
+    t = Timing(verbose=True)
+    t.checktime()
+    t.runtime()
+    assert t.running_time is not None
+    assert len(t.checktimes) == 1
+
+
+def test_distributed_helpers():
+    from dl4ds_tpu import distributed
+    assert distributed.process_index() == 0
+    assert distributed.process_count() == 1
+    assert not distributed.is_multi_host()
+    mesh = distributed.global_mesh()
+    assert mesh.size == 8
+
+
+def test_pair_debug_mode(rng, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    hr = rng.standard_normal((16, 16, 1)).astype('float32')
+    dds.create_pair_hr_lr(hr, None, 'spc', scale=4, patch_size=8, debug=True)
+    import os
+    assert os.path.exists('dl4ds_pair_debug.png')
