@@ -29,7 +29,7 @@ N_BLOCKS = 6
 N_SAMPLES = 256
 GRID = 128          # HR grid size of the synthetic dataset
 WARMUP = 3
-STEPS = 30
+STEPS = 50
 CPU_STEPS = 4
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      '.bench_cpu_baseline.json')
@@ -53,7 +53,7 @@ def build(trainer_mod, mesh=None):
     return tr
 
 
-def measure(steps, warmup):
+def measure(steps, warmup, use_scan=True):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -67,20 +67,33 @@ def measure(steps, warmup):
         tx=tx, batch_stats=tr.variables.get('batch_stats'))
     tr._make_steps()
     key = jax.random.PRNGKey(0)
-    idx = np.asarray(tr.ds_train.epoch_indices(key, steps=warmup + steps))
-    # warmup (compile)
-    for i in range(warmup):
-        key, k = jax.random.split(key)
-        state, loss = tr._train_step(state,
-                                     jnp.asarray(idx[i], jnp.int32), k)
-    loss.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(warmup, warmup + steps):
-        key, k = jax.random.split(key)
-        state, loss = tr._train_step(state,
-                                     jnp.asarray(idx[i], jnp.int32), k)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+    idx = np.asarray(tr.ds_train.epoch_indices(key, steps=warmup + 2 * steps))
+    if use_scan:
+        # multi-step dispatch (lax.scan over the fused step) — the
+        # production TPU path of SupervisedTrainer.run
+        key, k1, k2 = jax.random.split(key, 3)
+        state, losses = tr._train_many(
+            state, jnp.asarray(idx[:steps], jnp.int32), k1)  # compile+warm
+        losses.block_until_ready()
+        t0 = time.perf_counter()
+        state, losses = tr._train_many(
+            state, jnp.asarray(idx[steps:2 * steps], jnp.int32), k2)
+        losses.block_until_ready()
+        dt = time.perf_counter() - t0
+    else:
+        # per-step dispatch — faster for XLA:CPU, used for the CPU baseline
+        for i in range(warmup):
+            key, k = jax.random.split(key)
+            state, loss = tr._train_step(
+                state, jnp.asarray(idx[i], jnp.int32), k)
+        loss.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(warmup, warmup + steps):
+            key, k = jax.random.split(key)
+            state, loss = tr._train_step(
+                state, jnp.asarray(idx[i], jnp.int32), k)
+        loss.block_until_ready()
+        dt = time.perf_counter() - t0
     return steps * tr.global_batch_size / dt
 
 
@@ -88,7 +101,7 @@ def cpu_probe():
     os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
     jax.config.update('jax_platforms', 'cpu')
-    print(json.dumps({'pps': measure(CPU_STEPS, 2)}))
+    print(json.dumps({'pps': measure(CPU_STEPS, 2, use_scan=False)}))
 
 
 def cpu_baseline():

@@ -198,7 +198,23 @@ class CGANTrainer(Trainer):
             disc_state = disc_state.apply_gradients(grads=d_grads)
             return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
 
+        def train_many(gen_state, disc_state, idx_mat, key):
+            """One XLA program per epoch chunk: lax.scan over the fused
+            G+D step (single host dispatch, no per-step latency)."""
+            keys = jax.random.split(key, idx_mat.shape[0])
+
+            def body(carry, xs):
+                gs, ds = carry
+                indices, k = xs
+                gs, ds, losses = train_step(gs, ds, indices, k)
+                return (gs, ds), jnp.stack(losses)
+
+            (gen_state, disc_state), losses = jax.lax.scan(
+                body, (gen_state, disc_state), (idx_mat, keys))
+            return gen_state, disc_state, losses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_many = jax.jit(train_many, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def run(self):
@@ -235,21 +251,21 @@ class CGANTrainer(Trainer):
                  else int(n / self.global_batch_size))
         key = jax.random.PRNGKey(self.seed)
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
         for epoch in range(self.epochs):
             if self.verbose and self.running_on_first_worker:
                 print(f'\nEpoch {epoch + 1}/{self.epochs}')
-            key, ekey = jax.random.split(key)
-            idx_epoch = np.asarray(
-                self.ds_train.epoch_indices(ekey, steps=steps))
-            losses = None
-            for i in range(steps):
-                key, skey = jax.random.split(key)
-                indices = jax.device_put(
-                    jnp.asarray(idx_epoch[i], jnp.int32), self.batch_sharding)
-                gen_state, disc_state, losses = self._train_step(
-                    gen_state, disc_state, indices, skey)
+            key, ekey, skey = jax.random.split(key, 3)
+            idx_epoch = jax.device_put(
+                jnp.asarray(np.asarray(self.ds_train.epoch_indices(
+                    ekey, steps=steps)), jnp.int32), idx_mat_sharding)
+            gen_state, disc_state, losses = self._train_many(
+                gen_state, disc_state, idx_epoch, skey)
+            # last step's losses, matching the reference's per-epoch record
+            # (cgan.py:365-368 records the final step of the epoch)
             g_total, g_gan, g_px, d_loss = [float(v) for v in
-                                            jax.device_get(losses)]
+                                            jax.device_get(losses[-1])]
             self.gentotal.append(g_total)
             self.gengan.append(g_gan)
             self.gen_pxloss.append(g_px)

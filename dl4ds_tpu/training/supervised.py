@@ -54,7 +54,8 @@ class SupervisedTrainer(Trainer):
                  save_bestmodel=False, trained_model=None, trained_epochs=0,
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, save_logs=False, profile=False,
-                 data_in_hbm=True, **architecture_params):
+                 data_in_hbm=True, steps_per_execution=None,
+                 **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -99,6 +100,9 @@ class SupervisedTrainer(Trainer):
         # the native gather/crop kernels (for datasets larger than HBM);
         # implicit pairs only — predictors/statics require the device tier.
         self.data_in_hbm = data_in_hbm
+        # steps executed per host dispatch (lax.scan chunk); None = whole
+        # epoch in one XLA program (TPU-idiomatic: no per-step host latency)
+        self.steps_per_execution = steps_per_execution
         if not data_in_hbm and (static_vars is not None
                                 or predictors_train is not None):
             raise ValueError('data_in_hbm=False supports implicit HR-only '
@@ -230,6 +234,30 @@ class SupervisedTrainer(Trainer):
             batch = synth_train._make_batch(indices, skey)
             return train_step_batch(state, batch, dkey)
 
+        def train_many(state, idx_mat, key):
+            """Run idx_mat.shape[0] steps in ONE XLA program (lax.scan over
+            the fused step) — a single host->device dispatch per chunk
+            instead of per step, hiding dispatch latency entirely."""
+            keys = jax.random.split(key, idx_mat.shape[0])
+
+            def body(state, xs):
+                indices, k = xs
+                state, loss = train_step(state, indices, k)
+                return state, loss
+
+            state, losses = jax.lax.scan(body, state, (idx_mat, keys))
+            return state, losses
+
+        def eval_many(state, idx_mat, key, synth_consts):
+            keys = jax.random.split(key, idx_mat.shape[0])
+
+            def body(carry, xs):
+                indices, k = xs
+                return carry, eval_step(state, indices, k, synth_consts)
+
+            _, losses = jax.lax.scan(body, None, (idx_mat, keys))
+            return losses
+
         def eval_step(state, indices, key, synth_consts):
             skey, dkey = jax.random.split(key)
             batch = synth_consts._make_batch(indices, skey)
@@ -240,10 +268,15 @@ class SupervisedTrainer(Trainer):
         self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0)
         if self.data_in_hbm:
             self._train_step = jax.jit(train_step, donate_argnums=0)
+            self._train_many = jax.jit(train_many, donate_argnums=0)
         self._eval_step_val = jax.jit(
             lambda s, i, k: eval_step(s, i, k, synth_val))
         self._eval_step_test = jax.jit(
             lambda s, i, k: eval_step(s, i, k, self.ds_test))
+        self._eval_many_val = jax.jit(
+            lambda s, m, k: eval_many(s, m, k, synth_val))
+        self._eval_many_test = jax.jit(
+            lambda s, m, k: eval_many(s, m, k, self.ds_test))
 
     # ------------------------------------------------------------------
     def run(self):
@@ -274,19 +307,26 @@ class SupervisedTrainer(Trainer):
 
         if self.profile:
             self.start_profiler()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
+        spe = self.steps_per_execution or steps
+
         for epoch in range(self.trained_epochs, self.epochs):
             key, ekey = jax.random.split(key)
             epoch_losses = []
             if self.data_in_hbm:
                 idx_epoch = np.asarray(
                     self.ds_train.epoch_indices(ekey, steps=steps))
-                for i in range(steps):
+                for c in range(0, steps, spe):
                     key, skey = jax.random.split(key)
-                    indices = jax.device_put(
-                        jnp.asarray(idx_epoch[i], jnp.int32),
-                        self.batch_sharding)
-                    state, loss = self._train_step(state, indices, skey)
-                    epoch_losses.append(loss)
+                    chunk = jax.device_put(
+                        jnp.asarray(idx_epoch[c:c + spe], jnp.int32),
+                        idx_mat_sharding)
+                    state, losses = self._train_many(state, chunk, skey)
+                    epoch_losses.append(losses)
+                train_loss = float(np.mean(np.concatenate(
+                    [np.atleast_1d(jax.device_get(l))
+                     for l in epoch_losses])))
             else:
                 for batch in self.ds_train.epochs(n_epochs=1, steps=steps):
                     key, skey = jax.random.split(key)
@@ -295,19 +335,15 @@ class SupervisedTrainer(Trainer):
                              for k, v in batch.items()}
                     state, loss = self._train_step_batch(state, batch, skey)
                     epoch_losses.append(loss)
-            train_loss = float(np.mean(jax.device_get(epoch_losses)))
+                train_loss = float(np.mean(jax.device_get(epoch_losses)))
 
-            # validation
-            key, vkey = jax.random.split(key)
-            vidx = np.asarray(self.ds_val.epoch_indices(vkey,
-                                                        steps=val_steps))
-            val_losses = []
-            for i in range(val_steps):
-                key, skey = jax.random.split(key)
-                indices = jax.device_put(jnp.asarray(vidx[i], jnp.int32),
-                                         self.batch_sharding)
-                val_losses.append(self._eval_step_val(state, indices, skey))
-            val_loss = float(np.mean(jax.device_get(val_losses)))
+            # validation — one dispatch
+            key, vkey, skey = jax.random.split(key, 3)
+            vidx = jax.device_put(
+                jnp.asarray(np.asarray(self.ds_val.epoch_indices(
+                    vkey, steps=val_steps)), jnp.int32), idx_mat_sharding)
+            val_loss = float(np.mean(jax.device_get(
+                self._eval_many_val(state, vidx, skey))))
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
@@ -345,16 +381,12 @@ class SupervisedTrainer(Trainer):
             test_batches = self.ds_test.n // self.global_batch_size
             test_steps = (self.test_steps if self.test_steps is not None
                           else max(test_batches, 1))
-            key, tkey = jax.random.split(key)
-            tidx = np.asarray(self.ds_test.epoch_indices(tkey,
-                                                         steps=test_steps))
-            losses = []
-            for i in range(test_steps):
-                key, skey = jax.random.split(key)
-                indices = jax.device_put(jnp.asarray(tidx[i], jnp.int32),
-                                         self.batch_sharding)
-                losses.append(self._eval_step_test(state, indices, skey))
-            self.test_loss = float(np.mean(jax.device_get(losses)))
+            key, tkey, skey = jax.random.split(key, 3)
+            tidx = jax.device_put(
+                jnp.asarray(np.asarray(self.ds_test.epoch_indices(
+                    tkey, steps=test_steps)), jnp.int32), idx_mat_sharding)
+            self.test_loss = float(np.mean(jax.device_get(
+                self._eval_many_test(state, tidx, skey))))
             if self.verbose:
                 print(f'\nScore on the test set: {self.test_loss}')
             self.timing.runtime()

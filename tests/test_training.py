@@ -21,11 +21,16 @@ def _splits(data):
                 data_test=data[32:])
 
 
-def test_supervised_pin_loss_decreases(data):
+def test_supervised_pin_loss_decreases():
+    # learnable smooth field (random noise has no LR->HR signal to learn)
+    t = np.arange(40)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing='ij')
+    data = np.stack([np.sin(0.3 * yy + 0.1 * k) * np.cos(0.4 * xx - 0.05 * k)
+                     for k in t])[..., None].astype('float32')
     tr = dds.SupervisedTrainer(
         backbone='convnet', upsampling='pin', **_splits(data), scale=4,
-        batch_size=2, epochs=4, loss='mae', n_filters=4, n_blocks=1,
-        learning_rate=1e-2, save=False, verbose=False, seed=0)
+        batch_size=2, epochs=5, loss='mae', n_filters=4, n_blocks=1,
+        learning_rate=3e-3, save=False, verbose=False, seed=0)
     tr.run()
     hist = tr.fithist['loss']
     assert hist[-1] < hist[0]
@@ -179,3 +184,16 @@ def test_supervised_host_streamer(data):
     tr.run()
     assert np.isfinite(tr.test_loss)
     assert len(tr.fithist['loss']) == 2
+
+
+def test_cgan_spatiotemporal(data):
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, time_window=3,
+        batch_size=2, epochs=1, steps_per_epoch=1, save=False,
+        verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert tr.generator.name == 'recresnet_spc'
+    assert np.isfinite(tr.test_loss)
