@@ -55,6 +55,7 @@ class SupervisedTrainer(Trainer):
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, save_logs=False, profile=False,
                  data_in_hbm=True, steps_per_execution=None,
+                 checkpoints_frequency=0, resume_from_checkpoint=None,
                  **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
@@ -103,6 +104,12 @@ class SupervisedTrainer(Trainer):
         # steps executed per host dispatch (lax.scan chunk); None = whole
         # epoch in one XLA program (TPU-idiomatic: no per-step host latency)
         self.steps_per_execution = steps_per_execution
+        # preemption resilience: periodic full-state checkpoints (params +
+        # optimizer state + epoch) every k epochs; resume with
+        # resume_from_checkpoint=<path> (beyond the reference, which only
+        # checkpoints the CGAN, SURVEY.md §5)
+        self.checkpoints_frequency = checkpoints_frequency
+        self.resume_from_checkpoint = resume_from_checkpoint
         if not data_in_hbm and (static_vars is not None
                                 or predictors_train is not None):
             raise ValueError('data_in_hbm=False supports implicit HR-only '
@@ -289,6 +296,12 @@ class SupervisedTrainer(Trainer):
         state = TrainState.create(
             apply_fn=self.model.module.apply, params=self.variables['params'],
             tx=tx, batch_stats=self.variables.get('batch_stats'))
+        if self.resume_from_checkpoint is not None:
+            state, self.trained_epochs = self._restore_checkpoint(
+                state, self.resume_from_checkpoint)
+            if self.verbose:
+                print(f'Resumed from checkpoint at epoch '
+                      f'{self.trained_epochs}')
         state = jax.device_put(state, self.replicated_sharding)
         self._make_steps()
 
@@ -355,6 +368,11 @@ class SupervisedTrainer(Trainer):
                 print(f'Epoch {epoch + 1}/{self.epochs}  '
                       f'loss: {train_loss:.6f}  val_loss: {val_loss:.6f}')
 
+            if (self.checkpoints_frequency > 0
+                    and self.running_on_first_worker
+                    and (epoch + 1) % self.checkpoints_frequency == 0):
+                self._save_full_checkpoint(state, epoch + 1)
+
             improved = val_loss < best_val - self.min_delta
             if improved:
                 best_val = val_loss
@@ -406,3 +424,31 @@ class SupervisedTrainer(Trainer):
             ocp.PyTreeCheckpointer().save(path, payload, force=True)
         except Exception:  # noqa: BLE001
             pass
+
+    def _save_full_checkpoint(self, state, epoch):
+        """Full train state (params + opt state + epoch) for resume."""
+        import os
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(
+            self.savecheckpoint_path, 'checkpoints', f'epoch-{epoch}'))
+        payload = {'params': jax.device_get(state.params),
+                   'opt_state': jax.device_get(state.opt_state),
+                   'step': int(state.step), 'epoch': epoch}
+        if state.batch_stats is not None:
+            payload['batch_stats'] = jax.device_get(state.batch_stats)
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+
+    def _restore_checkpoint(self, state, path):
+        import os
+        import orbax.checkpoint as ocp
+        template = {'params': state.params, 'opt_state': state.opt_state,
+                    'step': 0, 'epoch': 0}
+        if state.batch_stats is not None:
+            template['batch_stats'] = state.batch_stats
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                                   item=template)
+        state = state.replace(
+            params=payload['params'], opt_state=payload['opt_state'],
+            step=payload['step'],
+            batch_stats=payload.get('batch_stats', state.batch_stats))
+        return state, int(payload['epoch'])

@@ -197,3 +197,24 @@ def test_cgan_spatiotemporal(data):
     tr.run()
     assert tr.generator.name == 'recresnet_spc'
     assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_checkpoint_resume(data, tmp_path):
+    """Periodic full-state checkpoints + resume_from_checkpoint."""
+    save_path = str(tmp_path) + '/'
+    tr1 = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=2, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False,
+        save_path=save_path, verbose=False, checkpoints_frequency=1)
+    tr1.run()
+    ckpt = save_path + 'checkpoints/epoch-2'
+    assert os.path.isdir(ckpt)
+    tr2 = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=3, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False,
+        resume_from_checkpoint=ckpt)
+    tr2.run()
+    assert len(tr2.fithist['loss']) == 1   # resumed at epoch 2 of 3
+    assert np.isfinite(tr2.test_loss)
