@@ -53,16 +53,18 @@ def _filter_valid(x, kernel1d):
 
 def _ssim_per_channel(img1, img2, max_val, filter_size, filter_sigma, k1, k2):
     """Returns (ssim, cs) per image: mean over VALID spatial window positions,
-    shape [..., C] reduced over channels by the caller."""
+    shape [..., C] reduced over channels by the caller.
+
+    The five required filtered moments (mu1, mu2, E[x^2], E[y^2], E[xy]) are
+    stacked on a leading axis and filtered with ONE pair of banded matmuls —
+    a 5x larger MXU contraction instead of five small ones."""
     kernel = _gaussian_kernel1d(filter_size, filter_sigma)
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
 
-    mu1 = _filter_valid(img1, kernel)
-    mu2 = _filter_valid(img2, kernel)
-    mu11 = _filter_valid(img1 * img1, kernel)
-    mu22 = _filter_valid(img2 * img2, kernel)
-    mu12 = _filter_valid(img1 * img2, kernel)
+    stacked = jnp.stack(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    mu1, mu2, mu11, mu22, mu12 = _filter_valid(stacked, kernel)
 
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = mu11 - mu1_sq

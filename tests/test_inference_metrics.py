@@ -109,3 +109,18 @@ def test_compute_metrics_artifacts(rng, tmp_path):
     for fname in ['metrics_summary.txt', 'metrics_pergridpoint_rmse_map.npy',
                   'metrics_violin_plots.png', 'metrics_nmeanbias_map.npy']:
         assert os.path.exists(os.path.join(str(tmp_path), fname)), fname
+
+
+def test_predict_spatiotemporal_collapse(rng):
+    """5D spatio-temporal predictions collapse back to a spatial sequence
+    (reference: inference.py:241-242)."""
+    data = rng.standard_normal((30, 16, 16, 1)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='spc', data_train=data[:20],
+        data_val=data[20:25], data_test=data[25:], scale=4, time_window=3,
+        batch_size=2, epochs=1, steps_per_epoch=1, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    y = dds.predict(tr, data[25:], scale=4, array_in_hr=True, time_window=3)
+    # n_samples = 5 - (3-1) = 3 windows -> collapsed to 5 spatial grids
+    assert y.shape == (5, 16, 16, 1)

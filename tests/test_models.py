@@ -210,3 +210,23 @@ def test_save_load_model_roundtrip(tmp_path, rng):
     y1 = model.apply(variables, x, aux)
     y2 = model2.apply(variables2, x, aux)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+@pytest.mark.parametrize('upsampling', ['rc', 'dc'])
+def test_recnet_other_upsamplings(upsampling):
+    model = recnet_postupsampling('resnet', upsampling, scale=2,
+                                  n_channels=1, n_aux_channels=0,
+                                  lr_size=(8, 8), time_window=3,
+                                  n_filters=4, n_blocks=1)
+    variables = model.init(KEY, batch_size=1)
+    y = model.apply(variables, jnp.zeros((1, 3, 8, 8, 1)))
+    assert y.shape == (1, 3, 16, 16, 1)
+
+
+def test_unet_with_aux():
+    model = unet_pin('unet', n_channels=2, n_aux_channels=3,
+                     hr_size=(32, 32), n_filters=4, n_blocks=2)
+    variables = model.init(KEY, batch_size=1)
+    y = model.apply(variables, jnp.zeros((1, 32, 32, 2)),
+                    jnp.zeros((1, 32, 32, 3)))
+    assert y.shape == (1, 32, 32, 1)

@@ -218,3 +218,15 @@ def test_supervised_checkpoint_resume(data, tmp_path):
     tr2.run()
     assert len(tr2.fithist['loss']) == 1   # resumed at epoch 2 of 3
     assert np.isfinite(tr2.test_loss)
+
+
+def test_cgan_with_static_vars(data, rng):
+    statics = [rng.standard_normal((16, 16)).astype('float32')]
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, batch_size=2, epochs=1,
+        steps_per_epoch=1, static_vars=statics, save=False, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
