@@ -75,9 +75,10 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             predictors=None, time_window=None, time_metadata=None,
             interpolation='inter_area', batch_size=64, scaler=None,
             save_path=None, save_fname='y_hat.npy', return_lr=False,
-            device='TPU'):
+            device='TPU', mesh=None):
     """Super-resolve/downscale `array` with a trained model
-    (reference: dl4ds/inference.py:109-255)."""
+    (reference: dl4ds/inference.py:109-255). With `mesh`, the sample batch
+    is sharded over the mesh's 'data' axis (multi-chip inference)."""
     timing = Timing()
 
     model, variables = _resolve_model(trainer)
@@ -126,12 +127,27 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
 
     apply = jax.jit(
         lambda v, xb, ab: model.module.apply(v, xb, ab, training=False))
-    outs = []
-    for i in range(0, x.shape[0], batch_size):
-        xb = x[i:i + batch_size]
-        ab = aux[i:i + batch_size] if aux is not None else None
-        outs.append(np.asarray(apply(variables, xb, ab)))
-    out = np.concatenate(outs, axis=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P('data'))
+        n = x.shape[0]
+        pad_to = -(-n // mesh.size) * mesh.size
+        if pad_to != n:
+            reps = pad_to - n
+            x = jnp.concatenate([x, x[:reps]], axis=0)
+            if aux is not None:
+                aux = jnp.concatenate([aux, aux[:reps]], axis=0)
+        x = jax.device_put(x, sharding)
+        if aux is not None:
+            aux = jax.device_put(aux, sharding)
+        out = np.asarray(apply(variables, x, aux))[:n]
+    else:
+        outs = []
+        for i in range(0, x.shape[0], batch_size):
+            xb = x[i:i + batch_size]
+            ab = aux[i:i + batch_size] if aux is not None else None
+            outs.append(np.asarray(apply(variables, xb, ab)))
+        out = np.concatenate(outs, axis=0)
 
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)

@@ -124,3 +124,12 @@ def test_predict_spatiotemporal_collapse(rng):
     y = dds.predict(tr, data[25:], scale=4, array_in_hr=True, time_window=3)
     # n_samples = 5 - (3-1) = 3 windows -> collapsed to 5 spatial grids
     assert y.shape == (5, 16, 16, 1)
+
+
+def test_predict_sharded_over_mesh(trained):
+    from dl4ds_tpu.training.base import make_mesh
+    tr, data = trained
+    y_single = dds.predict(tr, data[32:], scale=4, array_in_hr=True)
+    y_mesh = dds.predict(tr, data[32:], scale=4, array_in_hr=True,
+                         mesh=make_mesh())
+    np.testing.assert_allclose(y_mesh, y_single, atol=1e-5)

@@ -230,3 +230,40 @@ def test_cgan_with_static_vars(data, rng):
         discriminator_params=dict(n_filters=4, n_res_blocks=1))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_supervised_deterministic_seed(data):
+    runs = []
+    for _ in range(2):
+        tr = dds.SupervisedTrainer(
+            backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+            batch_size=2, epochs=2, steps_per_epoch=2, validation_steps=1,
+            test_steps=1, n_filters=4, n_blocks=1, save=False,
+            verbose=False, seed=123)
+        tr.run()
+        runs.append(tr.fithist['loss'])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
+
+
+def test_supervised_dssim_loss(data):
+    """SSIM-family loss trains inside the scanned step (patch > filter)."""
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, loss='dssim_mae', n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_multi_channel_output(rng):
+    data = rng.standard_normal((30, 16, 16, 2)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', data_train=data[:20],
+        data_val=data[20:25], data_test=data[25:], scale=4, batch_size=2,
+        epochs=1, steps_per_epoch=2, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, n_channels_out=2, save=False,
+        verbose=False)
+    tr.run()
+    y = dds.predict(tr, data[25:], scale=4, array_in_hr=True)
+    assert y.shape == (5, 16, 16, 2)
