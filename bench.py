@@ -21,7 +21,7 @@ import subprocess
 import sys
 import time
 
-BATCH = 32
+BATCH = int(os.environ.get('BENCH_BATCH', 128))
 PATCH = 64          # HR patch size; LR input is 16x16
 SCALE = 4
 N_FILTERS = 8
@@ -57,7 +57,7 @@ def measure(steps, warmup, use_scan=True):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    import optax
+
     from dl4ds_tpu.training import supervised
 
     tr = build(supervised)
@@ -121,9 +121,42 @@ def cpu_baseline():
         return None
 
 
+def infer_bench():
+    """Secondary metric: full-grid inference throughput (grids/sec) —
+    BASELINE.md north-star 'grids/sec (infer)'. 128x128 LR -> 512x512 HR."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dl4ds_tpu.models import net_postupsampling
+    model = net_postupsampling('resnet', 'spc', scale=SCALE, n_channels=1,
+                               n_aux_channels=0, lr_size=(128, 128),
+                               n_filters=N_FILTERS, n_blocks=N_BLOCKS,
+                               attention=True, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (8, 128, 128, 1)), jnp.float32)
+    apply = jax.jit(lambda v, xb: model.module.apply(v, xb, None,
+                                                     training=False))
+    y = apply(variables, x)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 12
+    for _ in range(reps):
+        y = apply(variables, x)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'infer_throughput_resnet_spc_4x_grid512',
+        'value': round(reps * x.shape[0] / dt, 2),
+        'unit': 'grids/sec/chip', 'vs_baseline': None}))
+
+
 def main():
     if '--cpu-probe' in sys.argv:
         cpu_probe()
+        return
+    if '--infer' in sys.argv:
+        infer_bench()
         return
     pps = measure(STEPS, WARMUP)
     cpu_pps = cpu_baseline()

@@ -95,6 +95,10 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     n_samples = array.shape[0]
     if time_window is not None:
         n_samples -= time_window - 1
+    if n_samples <= 0:
+        raise ValueError(
+            f'`array` yields no samples (shape {array.shape}, '
+            f'time_window={time_window})')
 
     if predictors is not None:
         predictors = np.concatenate(

@@ -11,7 +11,6 @@ vectorized jnp/numpy computation — the whole RMSE map is one reduction.
 import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from .utils import checkarray_ndim, Timing
 from .ops.ssim import ssim as _ssim, psnr as _psnr

@@ -11,7 +11,7 @@ used for initialization and inference).
 """
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +80,8 @@ def net_postupsampling(backbone_block, upsampling, scale, n_channels,
                        dropout_variant=None, attention=False,
                        activation='relu', output_activation=None,
                        rc_interpolation='bilinear', localcon_layer=False,
-                       output_attention=True, dtype=jnp.float32):
+                       output_attention=True, remat=False,
+                       dtype=jnp.float32):
     """Spatial network + post-upsampling head
     (reference factory: dl4ds/models/sp_postups.py:14). `output_attention`
     keeps the reference's always-on output-head channel attention; set False
@@ -96,7 +97,7 @@ def net_postupsampling(backbone_block, upsampling, scale, n_channels,
         dropout_variant=dropout_variant, attention=attention,
         activation=activation, output_activation=output_activation,
         rc_interpolation=rc_interpolation, localcon_layer=localcon_layer,
-        output_attention=output_attention, dtype=dtype)
+        output_attention=output_attention, remat=remat, dtype=dtype)
     aux_shape = ((int(h_lr * scale), int(w_lr * scale), n_aux_channels)
                  if n_aux_channels > 0 else None)
     return DSModel(module, f'{backbone_block}_{upsampling}',
@@ -107,7 +108,7 @@ def net_pin(backbone_block, n_channels, n_aux_channels, hr_size,
             n_channels_out=1, n_filters=8, n_blocks=6, dropout_rate=0,
             dropout_variant=None, normalization=None, attention=False,
             activation='relu', output_activation=None, localcon_layer=False,
-            output_attention=True, dtype=jnp.float32):
+            output_attention=True, remat=False, dtype=jnp.float32):
     """Spatial pre-upsampled network
     (reference factory: dl4ds/models/sp_preups.py:13)."""
     backbone_block = checkarg_backbone(backbone_block)
@@ -119,7 +120,7 @@ def net_pin(backbone_block, n_channels, n_aux_channels, hr_size,
         dropout_variant=dropout_variant, normalization=normalization,
         attention=attention, activation=activation,
         output_activation=output_activation, localcon_layer=localcon_layer,
-        output_attention=output_attention, dtype=dtype)
+        output_attention=output_attention, remat=remat, dtype=dtype)
     aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
     return DSModel(module, f'{backbone_block}_pin', (h_hr, w_hr, n_channels),
                    aux_shape)

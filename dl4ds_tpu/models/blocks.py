@@ -17,7 +17,7 @@ Deviations from the reference (intentional, documented):
     reference crashes on None at blocks.py:174).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

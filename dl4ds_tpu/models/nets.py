@@ -41,11 +41,19 @@ class _Backbone(nn.Module):
     attention: bool = False
     dropout_rate: float = 0.0
     dropout_variant: Optional[str] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         bb, f0 = self.backbone, self.n_filters
+        # rematerialization: recompute block activations in the backward pass
+        # instead of storing them (jax.checkpoint via nn.remat) — trades
+        # FLOPs for HBM on deep backbones / large patches
+        wrap = nn.remat if self.remat else (lambda cls: cls)
+        ConvBlock_, ResidualBlock_, DenseBlock_, ConvNextBlock_ = (
+            wrap(ConvBlock), wrap(ResidualBlock), wrap(DenseBlock),
+            wrap(ConvNextBlock))
         ks = (7, 7) if bb == 'convnext' else (3, 3)
         stem = nn.Conv(f0, ks, padding='SAME', dtype=self.dtype,
                        name='stem')(x)
@@ -54,7 +62,7 @@ class _Backbone(nn.Module):
         if bb == 'convnext':
             for i in range(self.n_blocks):
                 n_filters = f0 * (i + 1)
-                b = ConvNextBlock(
+                b = ConvNextBlock_(
                     filters=n_filters, drop_path=0.0,
                     normalization=self.normalization,
                     use_1x1conv=(i != 0), activation=self.activation,
@@ -65,7 +73,7 @@ class _Backbone(nn.Module):
         for i in range(self.n_blocks):
             n_filters = f0 * (i + 1)
             if bb == 'convnet':
-                b = ConvBlock(
+                b = ConvBlock_(
                     n_filters, activation=self.activation,
                     dropout_rate=self.dropout_rate,
                     dropout_variant=self.dropout_variant,
@@ -73,7 +81,7 @@ class _Backbone(nn.Module):
                     attention=self.attention, dtype=self.dtype,
                     name=f'ConvBlock{i + 1}')(b, training)
             elif bb == 'resnet':
-                b = ResidualBlock(
+                b = ResidualBlock_(
                     n_filters, activation=self.activation,
                     dropout_rate=self.dropout_rate,
                     dropout_variant=self.dropout_variant,
@@ -81,7 +89,7 @@ class _Backbone(nn.Module):
                     use_1x1conv=(i != 0), attention=self.attention,
                     dtype=self.dtype, name=f'ResidualBlock{i + 1}')(b, training)
             elif bb == 'densenet':
-                b = DenseBlock(
+                b = DenseBlock_(
                     n_filters, activation=self.activation,
                     dropout_rate=self.dropout_rate,
                     dropout_variant=self.dropout_variant,
@@ -183,6 +191,7 @@ class NetPostupsampling(nn.Module):
     rc_interpolation: str = 'bilinear'
     localcon_layer: bool = False
     output_attention: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -191,7 +200,8 @@ class NetPostupsampling(nn.Module):
         x, n_filters = _Backbone(
             self.backbone, self.n_filters, self.n_blocks, self.activation,
             self.normalization, self.attention, self.dropout_rate,
-            self.dropout_variant, dtype=self.dtype)(x, training)
+            self.dropout_variant, remat=self.remat, dtype=self.dtype)(
+                x, training)
         if self.upsampling == 'spc':
             x = SubpixelConvolutionBlock(self.scale, n_filters,
                                          dtype=self.dtype)(x)
@@ -238,6 +248,7 @@ class NetPIN(nn.Module):
     output_activation: Optional[str] = None
     localcon_layer: bool = False
     output_attention: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -246,7 +257,8 @@ class NetPIN(nn.Module):
         x, n_filters = _Backbone(
             self.backbone, self.n_filters, self.n_blocks, self.activation,
             self.normalization, self.attention, self.dropout_rate,
-            self.dropout_variant, dtype=self.dtype)(x, training)
+            self.dropout_variant, remat=self.remat, dtype=self.dtype)(
+                x, training)
         if self.localcon_layer:
             lws = LocalizedConvBlock(filters=2, use_bias=True,
                                      dtype=self.dtype)(x, training)

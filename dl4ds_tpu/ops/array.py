@@ -6,7 +6,6 @@ the canonical reshape/transpose formulation below compiles to a pure layout
 change that XLA fuses with the producing convolution.
 """
 
-import jax.numpy as jnp
 
 __all__ = ['depth_to_space', 'space_to_depth']
 

@@ -14,7 +14,6 @@ from abc import ABC, abstractmethod
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils import (check_compatibility_upsbackb, checkarg_loss,

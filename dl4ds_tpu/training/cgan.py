@@ -14,7 +14,6 @@ Losses (reference: cgan.py:525-572):
 """
 
 import os
-from typing import Any
 
 import numpy as np
 import jax
@@ -22,7 +21,6 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from .. import POSTUPSAMPLING_METHODS
 from ..utils import Timing
 from ..dataloader import BatchSynthesizer
 from ..models import build_model, residual_discriminator

@@ -17,8 +17,8 @@ TPU-native counterpart of the reference SupervisedTrainer
     scaling by mesh size (reference: supervised.py:336-353).
 """
 
-from functools import partial
-from typing import Any, Optional
+
+from typing import Any
 
 import numpy as np
 import jax
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from .. import POSTUPSAMPLING_METHODS
+
 from ..utils import Timing
 from ..dataloader import BatchSynthesizer
 from ..models import build_model

@@ -230,3 +230,24 @@ def test_unet_with_aux():
     y = model.apply(variables, jnp.zeros((1, 32, 32, 2)),
                     jnp.zeros((1, 32, 32, 3)))
     assert y.shape == (1, 32, 32, 1)
+
+
+def test_remat_backbone_same_outputs_and_grads(rng):
+    """Rematerialized backbone computes identical outputs and gradients."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype('float32'))
+    models = [net_pin('resnet', n_channels=1, n_aux_channels=0,
+                      hr_size=(16, 16), n_filters=4, n_blocks=2, remat=r)
+              for r in (False, True)]
+    variables = models[0].init(KEY, batch_size=2)
+
+    def loss(m, v):
+        return lambda p: jnp.mean(m.apply({'params': p}, x) ** 2)
+
+    y0 = models[0].apply(variables, x)
+    y1 = models[1].apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+    g0 = jax.grad(loss(models[0], variables))(variables['params'])
+    g1 = jax.grad(loss(models[1], variables))(variables['params'])
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
