@@ -56,7 +56,7 @@ class SupervisedTrainer(Trainer):
                  gpu_memory_growth=None, save_logs=False, profile=False,
                  data_in_hbm=True, steps_per_execution=None,
                  checkpoints_frequency=0, resume_from_checkpoint=None,
-                 **architecture_params):
+                 season_ids=None, **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -110,6 +110,15 @@ class SupervisedTrainer(Trainer):
         # checkpoints the CGAN, SURVEY.md §5)
         self.checkpoints_frequency = checkpoints_frequency
         self.resume_from_checkpoint = resume_from_checkpoint
+        # per-sample season indices 0..3, one array per split
+        # ((train, val, test) tuple); one-hot channels appended on device —
+        # replaces the reference's per-sample xarray time lookups
+        # (dataloader.py:508-542)
+        if season_ids is not None and (not isinstance(season_ids, (tuple, list))
+                                       or len(season_ids) != 3):
+            raise ValueError('`season_ids` must be a (train, val, test) '
+                             'tuple of int arrays')
+        self.season_ids = season_ids
         if not data_in_hbm and (static_vars is not None
                                 or predictors_train is not None):
             raise ValueError('data_in_hbm=False supports implicit HR-only '
@@ -127,10 +136,12 @@ class SupervisedTrainer(Trainer):
                       time_window=self.time_window,
                       static_vars=self.static_vars,
                       interpolation=self.interpolation)
+        season = self.season_ids or (None, None, None)
         if self.data_in_hbm:
             self.ds_train = BatchSynthesizer(
                 self.data_train, self.data_train_lr,
-                predictors=self.predictors_train, **common)
+                predictors=self.predictors_train,
+                season_ids=season[0], **common)
         else:
             from ..dataloader import HostStreamer
             self.ds_train = HostStreamer(
@@ -140,10 +151,10 @@ class SupervisedTrainer(Trainer):
                 interpolation=self.interpolation, seed=self.seed)
         self.ds_val = BatchSynthesizer(
             self.data_val, self.data_val_lr,
-            predictors=self.predictors_val, **common)
+            predictors=self.predictors_val, season_ids=season[1], **common)
         self.ds_test = BatchSynthesizer(
             self.data_test, self.data_test_lr,
-            predictors=self.predictors_test, **common)
+            predictors=self.predictors_test, season_ids=season[2], **common)
 
     def setup_model(self):
         """Channel bookkeeping + model construction
@@ -163,6 +174,9 @@ class SupervisedTrainer(Trainer):
                 n_aux_channels = len(self.static_vars)
             if self.predictors_train is not None:
                 n_channels += len(self.predictors_train)
+            if self.season_ids is not None:
+                n_channels += 4
+                n_aux_channels += 4
 
         if self.patch_size is None:
             hr_height = int(self.data_train.shape[1])

@@ -60,3 +60,56 @@ def test_app_debug_run(tmp_path):
     assert os.path.exists(save_path + 'metrics_summary.txt')
     y_hat = np.load(save_path + 'y_hat.npy')
     assert y_hat.shape == (10, 16, 16, 1)
+
+
+def test_app_cgan_debug_run(tmp_path):
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((40, 16, 16, 1)).astype('float32')
+        data_train = _all[:30]
+        data_val = _all[30:36]
+        data_test = _all[36:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[36:]
+        inference_scaler = None
+        inference_predictors = None
+        gt_holdout_dataset = _all[36:]
+        gt_mask = np.ones((16, 16))
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    os.makedirs(save_path, exist_ok=True)
+    cfg = tmp_path / 'params.cfg'
+    cfg.write_text(textwrap.dedent(f"""
+        --debug
+        --device=CPU
+        --trainer=CGANTrainer
+        --data_module={data_file}
+        --backbone=resnet
+        --upsampling=spc
+        --scale=4
+        --batch_size=2
+        --n_filters=4
+        --n_blocks=1
+        --n_disc_filters=4
+        --n_disc_blocks=1
+        --dropout_rate=0
+        --checkpoints_frequency=0
+        --save_path={save_path}
+        --inference_save_fname=y_hat.npy
+        --nometrics
+        --noshow_plot
+    """))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg}'],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert os.path.exists(save_path + 'y_hat.npy')
+    assert os.path.exists(save_path + 'losses.npy')

@@ -267,3 +267,14 @@ def test_multi_channel_output(rng):
     tr.run()
     y = dds.predict(tr, data[25:], scale=4, array_in_hr=True)
     assert y.shape == (5, 16, 16, 2)
+
+
+def test_supervised_with_season_ids(data):
+    season_ids = np.tile([0, 1, 2, 3], 10)
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False,
+        season_ids=(season_ids[:24], season_ids[24:32], season_ids[32:40]))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
