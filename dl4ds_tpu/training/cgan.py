@@ -160,7 +160,6 @@ class CGANTrainer(Trainer):
     def _make_step(self):
         gen, disc, lossf = self.generator, self.discriminator, self.lossf
         synth = self.ds_train
-        has_aux = synth.has_aux
 
         def train_step(gen_state, disc_state, indices, key):
             skey, gkey, dkey = jax.random.split(key, 3)

@@ -120,9 +120,10 @@ class SupervisedTrainer(Trainer):
                              'tuple of int arrays')
         self.season_ids = season_ids
         if not data_in_hbm and (static_vars is not None
-                                or predictors_train is not None):
+                                or predictors_train is not None
+                                or season_ids is not None):
             raise ValueError('data_in_hbm=False supports implicit HR-only '
-                             'pairs without static/predictor channels')
+                             'pairs without static/predictor/season channels')
         self.model = None
         self.variables = None
 
