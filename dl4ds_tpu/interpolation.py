@@ -70,8 +70,10 @@ def _kernel_matrix(kernel, support, out_size, in_size, normalize=True):
 
 
 def _nearest_matrix(out_size, in_size):
-    """cv2.INTER_NEAREST: sx = floor(dx * scale), clamped."""
-    scale = in_size / out_size
+    """cv2.INTER_NEAREST: sx = floor(dx * scale), clamped — with OpenCV's
+    exact double arithmetic (scale = 1/inv_scale, not in/out; the two
+    doubles differ at exact-integer boundaries)."""
+    scale = 1.0 / (out_size / in_size)
     idx = np.clip(np.floor(np.arange(out_size) * scale).astype(np.int64),
                   0, in_size - 1)
     mat = np.zeros((out_size, in_size), dtype=np.float64)
@@ -101,11 +103,14 @@ def _area_generic_matrix(out_size, in_size):
     a 2-tap variant with sx = floor(dx*scale) and
     fx = frac((dx+1) - (sx+1) * out/in), clamped at the borders."""
     mat = np.zeros((out_size, in_size), dtype=np.float64)
-    scale = in_size / out_size
+    # match OpenCV's exact double arithmetic: scale derived as 1/inv_scale
+    # (NOT in/out — the two doubles differ at exact-integer boundaries),
+    # and fx truncated to float32 like cv2's (float) cast
     inv_scale = out_size / in_size
+    scale = 1.0 / inv_scale
     for o in range(out_size):
         sx = int(np.floor(o * scale))
-        fx = (o + 1) - (sx + 1) * inv_scale
+        fx = np.float32((o + 1) - (sx + 1) * inv_scale)
         fx = 0.0 if fx <= 0 else fx - np.floor(fx)
         if sx < 0:
             sx, fx = 0, 0.0

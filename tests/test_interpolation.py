@@ -95,3 +95,17 @@ def test_jit_and_vmap(rng):
     y1 = f(jnp.asarray(x))
     y2 = jax.vmap(lambda a: resize2d(a, (8, 8), 'inter_area'))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_randomized_sweep_vs_opencv(rng):
+    """Randomized shape sweep across all modes (property-test style)."""
+    for _ in range(25):
+        hi, wi = int(rng.integers(6, 70)), int(rng.integers(6, 70))
+        ho, wo = int(rng.integers(4, 70)), int(rng.integers(4, 70))
+        mode = list(CV2_MODES)[int(rng.integers(0, 5))]
+        x = rng.standard_normal((hi, wi)).astype(np.float32)
+        ref = cv2.resize(x, (wo, ho), interpolation=CV2_MODES[mode])
+        got = np.asarray(resize2d(x, (ho, wo), mode))
+        np.testing.assert_allclose(
+            got, ref, atol=3e-5, rtol=0,
+            err_msg=f'{mode} {hi}x{wi}->{ho}x{wo}')

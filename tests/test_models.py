@@ -251,3 +251,48 @@ def test_remat_backbone_same_outputs_and_grads(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize('scale', [2, 5, 8, 10, 20])
+def test_subpixel_scale_factorizations(scale):
+    """Composite pixel-shuffle factorizations (2*2=4, 2*2*2=8, 2*5=10,
+    2*2*5=20, direct otherwise) — reference blocks.py:433-454."""
+    from dl4ds_tpu.models.blocks import SubpixelConvolutionBlock
+    mod = SubpixelConvolutionBlock(scale, 4)
+    x = jnp.zeros((1, 6, 6, 4))
+    variables = mod.init(KEY, x)
+    y = mod.apply(variables, x)
+    assert y.shape == (1, 6 * scale, 6 * scale, 4)
+
+
+@pytest.mark.parametrize('scale', [2, 4, 8, 5])
+def test_deconv_scale_chains(scale):
+    from dl4ds_tpu.models.blocks import DeconvolutionBlock
+    mod = DeconvolutionBlock(scale, 4)
+    x = jnp.zeros((1, 6, 6, 2))
+    variables = mod.init(KEY, x)
+    y = mod.apply(variables, x)
+    assert y.shape == (1, 6 * scale, 6 * scale, 4)
+
+
+@pytest.mark.parametrize('scale', [3, 5])
+def test_resizeconv_scales(scale):
+    from dl4ds_tpu.models.blocks import ResizeConvolutionBlock
+    mod = ResizeConvolutionBlock(scale, 4)
+    x = jnp.zeros((1, 6, 6, 2))
+    variables = mod.init(KEY, x)
+    y = mod.apply(variables, x)
+    assert y.shape == (1, 6 * scale, 6 * scale, 4)
+
+
+def test_trainer_scale5(rng):
+    """Reference default scale is 5 (supervised.py:44)."""
+    import dl4ds_tpu as dds
+    data = rng.standard_normal((30, 20, 20, 1)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:20],
+        data_val=data[20:25], data_test=data[25:], scale=5, batch_size=2,
+        epochs=1, steps_per_epoch=1, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
