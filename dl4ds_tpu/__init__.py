@@ -71,5 +71,5 @@ from .models import (net_postupsampling, net_pin, unet_pin,
                      recnet_postupsampling, recnet_pin,
                      residual_discriminator, build_model)
 from .training import Trainer, SupervisedTrainer, CGANTrainer, load_checkpoint
-from .inference import Predictor, predict
+from .inference import Predictor, predict, predict_mc
 from .metrics import compute_rmse, compute_correlation, compute_metrics

@@ -18,7 +18,7 @@ from .utils import Timing, checkarray_ndim, spatiotemporal_to_spatial_samples
 from .interpolation import resize_array
 from .dataloader import BatchSynthesizer
 
-__all__ = ['Predictor', 'predict']
+__all__ = ['Predictor', 'predict', 'predict_mc']
 
 
 class Predictor:
@@ -174,3 +174,67 @@ def _maybe_values(x):
     except ImportError:
         pass
     return x
+
+
+def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
+    """Monte-Carlo-dropout ensemble inference: run `predict` n_members times
+    with different dropout streams and return (mean, std) over members.
+
+    Only meaningful for models built with an 'mc*' dropout variant
+    (mcdrop / mcgaussiandrop / mcspatialdrop — active at inference, matching
+    the reference's MC layers, dl4ds/models/blocks.py:659-676); for other
+    variants all members are identical.
+    """
+    model, variables = _resolve_model(trainer)
+    members = []
+    key = jax.random.PRNGKey(seed)
+    base_kwargs = dict(kwargs)
+    base_kwargs.pop('return_lr', None)
+    for i in range(n_members):
+        key, sub = jax.random.split(key)
+        members.append(_predict_once_with_rng(model, variables, array, scale,
+                                              sub, **base_kwargs))
+    stack = np.stack(members, axis=0)
+    return stack.mean(axis=0), stack.std(axis=0)
+
+
+def _predict_once_with_rng(model, variables, array, scale, rng_key,
+                           array_in_hr=True, static_vars=None,
+                           predictors=None, time_window=None,
+                           interpolation='inter_area', batch_size=64,
+                           scaler=None, **_):
+    """One stochastic forward pass (dropout rng supplied)."""
+    array = np.asarray(_maybe_values(array), 'float32')
+    n_samples = array.shape[0]
+    if time_window is not None:
+        n_samples -= time_window - 1
+    upsampling = model.name.split('_')[-1]
+    if array_in_hr:
+        array_hr, array_lr = array, None
+    else:
+        array = checkarray_ndim(array, 4, -1)
+        hr_xy = (array.shape[2] * scale, array.shape[1] * scale)
+        array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
+        array_lr = array
+    synth = BatchSynthesizer(
+        checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1), array_lr,
+        upsampling=upsampling, scale=scale, batch_size=n_samples,
+        patch_size=None, time_window=time_window, static_vars=static_vars,
+        predictors=[predictors] if predictors is not None else None,
+        interpolation=interpolation)
+    batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
+                  jax.random.PRNGKey(0))
+    apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
+        v, xb, ab, training=False, rngs={'dropout': k}))
+    outs = []
+    for i in range(0, n_samples, batch_size):
+        ab = (batch['aux'][i:i + batch_size] if batch['aux'] is not None
+              else None)
+        outs.append(np.asarray(apply(variables, batch['lr'][i:i + batch_size],
+                                     ab, rng_key)))
+    out = np.concatenate(outs, axis=0)
+    if out.ndim == 5 and time_window is not None:
+        out = spatiotemporal_to_spatial_samples(out, time_window)
+    if scaler is not None:
+        out = scaler.inverse_transform(out)
+    return out

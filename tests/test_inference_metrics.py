@@ -133,3 +133,19 @@ def test_predict_sharded_over_mesh(trained):
     y_mesh = dds.predict(tr, data[32:], scale=4, array_in_hr=True,
                          mesh=make_mesh())
     np.testing.assert_allclose(y_mesh, y_single, atol=1e-5)
+
+
+def test_predict_mc_uncertainty(rng):
+    """MC-dropout ensemble: nonzero spread for mc variants."""
+    data = rng.standard_normal((20, 16, 16, 1)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', data_train=data[:12],
+        data_val=data[12:16], data_test=data[16:], scale=4, batch_size=2,
+        epochs=1, steps_per_epoch=1, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, dropout_rate=0.3, dropout_variant='mcdrop',
+        save=False, verbose=False)
+    tr.run()
+    mean, std = dds.predict_mc(tr, data[16:], scale=4, n_members=4,
+                               array_in_hr=True)
+    assert mean.shape == (4, 16, 16, 1)
+    assert float(np.mean(std)) > 0  # stochastic members differ
