@@ -218,13 +218,19 @@ def residual_discriminator(n_channels, upsampling, is_spatiotemporal, scale,
         lr_size=tuple(lr_size), n_filters=n_filters,
         n_res_blocks=n_res_blocks, normalization=normalization,
         activation=activation, attention=attention, dtype=dtype)
+    from .. import POSTUPSAMPLING_METHODS
     h_lr, w_lr = lr_size
+    # the conditioned input is the *model input*: LR-sized for
+    # post-upsampling generators, HR-sized (pre-upsampled) for 'pin'
+    # (reference: discriminator.py:26-29 takes the generator's input)
+    h_in, w_in = ((h_lr, w_lr) if upsampling in POSTUPSAMPLING_METHODS
+                  else (h_lr * scale, w_lr * scale))
     if is_spatiotemporal:
         tw = time_window or 1
-        in_shape = (tw, h_lr, w_lr, n_channels)
+        in_shape = (tw, h_in, w_in, n_channels)
         ref_shape = (tw, h_lr * scale, w_lr * scale, 1)
     else:
-        in_shape = (h_lr, w_lr, n_channels)
+        in_shape = (h_in, w_in, n_channels)
         ref_shape = (h_lr * scale, w_lr * scale, 1)
     return DSModel(module, 'discriminator', in_shape, ref_shape)
 

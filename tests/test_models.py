@@ -296,3 +296,13 @@ def test_trainer_scale5(rng):
         n_filters=4, n_blocks=1, save=False, verbose=False)
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_unet_odd_grid():
+    """pad_concat reconciles odd encoder/decoder shapes
+    (reference PadConcat, blocks.py:621-656)."""
+    model = unet_pin('unet', n_channels=1, n_aux_channels=0,
+                     hr_size=(25, 37), n_filters=4, n_blocks=3)
+    variables = model.init(KEY, batch_size=1)
+    y = model.apply(variables, jnp.zeros((1, 25, 37, 1)))
+    assert y.shape == (1, 25, 37, 1)

@@ -278,3 +278,30 @@ def test_supervised_with_season_ids(data):
         season_ids=(season_ids[:24], season_ids[24:32], season_ids[32:40]))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_cgan_pin_mode(data):
+    tr = dds.CGANTrainer(
+        backbone='convnet', upsampling='pin', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, batch_size=2, epochs=1,
+        steps_per_epoch=1, save=False, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert tr.generator.name == 'convnet_pin'
+    assert np.isfinite(tr.test_loss)
+
+
+def test_cgan_explicit_pairs(rng):
+    hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
+    from dl4ds_tpu.interpolation import resize2d
+    lr = np.asarray(resize2d(hr, (4, 4), 'inter_area'))
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=hr[:24],
+        data_test=hr[24:], data_train_lr=lr[:24], data_test_lr=lr[24:],
+        scale=4, batch_size=2, epochs=1, steps_per_epoch=1, save=False,
+        verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
