@@ -71,6 +71,46 @@ def _resolve_model(trainer):
     raise TypeError('Cannot resolve a model from `trainer`')
 
 
+
+def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
+                     predictors, time_window, interpolation):
+    """Whole-dataset (lr, aux) device batch for inference — shared by
+    `predict` and `predict_mc`."""
+    array = np.asarray(_maybe_values(array), 'float32')
+    if static_vars is not None:
+        static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
+    n_samples = array.shape[0]
+    if time_window is not None:
+        n_samples -= time_window - 1
+    if n_samples <= 0:
+        raise ValueError(
+            f'`array` yields no samples (shape {array.shape}, '
+            f'time_window={time_window})')
+    if predictors is not None:
+        predictors = np.concatenate(
+            [np.asarray(_maybe_values(p)) for p in predictors], axis=-1)
+    if array_in_hr:
+        array_hr, array_lr = array, None
+    else:
+        array = checkarray_ndim(array, 4, -1)
+        hr_xy = (array.shape[2] * scale, array.shape[1] * scale)
+        array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
+        array_lr = array
+    # whole-dataset batch via the device tier (one jitted synthesis instead
+    # of the reference's per-sample host loop, inference.py:205-218); the
+    # device and host tiers are equivalence-tested in tests/test_dataloader.
+    upsampling = model.name.split('_')[-1]
+    synth = BatchSynthesizer(
+        checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1), array_lr,
+        upsampling=upsampling, scale=scale, batch_size=n_samples,
+        patch_size=None, time_window=time_window, static_vars=static_vars,
+        predictors=[predictors] if predictors is not None else None,
+        interpolation=interpolation)
+    batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
+                  jax.random.PRNGKey(0))
+    return batch['lr'], batch['aux'], n_samples
+
+
 def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             predictors=None, time_window=None, time_metadata=None,
             interpolation='inter_area', batch_size=64, scaler=None,
@@ -88,45 +128,9 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         raise ValueError(
             '`time_window` must be provided for spatiotemporal model')
 
-    array = np.asarray(_maybe_values(array), 'float32')
-    if static_vars is not None:
-        static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
-
-    n_samples = array.shape[0]
-    if time_window is not None:
-        n_samples -= time_window - 1
-    if n_samples <= 0:
-        raise ValueError(
-            f'`array` yields no samples (shape {array.shape}, '
-            f'time_window={time_window})')
-
-    if predictors is not None:
-        predictors = np.concatenate(
-            [np.asarray(_maybe_values(p)) for p in predictors], axis=-1)
-
-    if array_in_hr:
-        array_hr, array_lr = array, None
-    else:
-        array = checkarray_ndim(array, 4, -1)
-        hr_xy = (array.shape[2] * scale, array.shape[1] * scale)
-        array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
-        array_lr = array
-
-    # whole-dataset batch via the device tier (one jitted synthesis instead
-    # of the reference's per-sample host loop, inference.py:205-218); the
-    # device and host tiers are equivalence-tested in tests/test_dataloader.
-    synth = BatchSynthesizer(
-        checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1),
-        array_lr, upsampling=upsampling, scale=scale, batch_size=n_samples,
-        patch_size=None,
-        time_window=time_window if time_window is not None else None,
-        static_vars=static_vars,
-        predictors=[predictors] if predictors is not None else None,
-        interpolation=interpolation)
-    batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
-                  jax.random.PRNGKey(0))
-    x = batch['lr']
-    aux = batch['aux']
+    x, aux, n_samples = _assemble_inputs(
+        model, array, scale, array_in_hr, static_vars, predictors,
+        time_window, interpolation)
     batch_lr = x
 
     apply = jax.jit(
@@ -204,33 +208,15 @@ def _predict_once_with_rng(model, variables, array, scale, rng_key,
                            interpolation='inter_area', batch_size=64,
                            scaler=None, **_):
     """One stochastic forward pass (dropout rng supplied)."""
-    array = np.asarray(_maybe_values(array), 'float32')
-    n_samples = array.shape[0]
-    if time_window is not None:
-        n_samples -= time_window - 1
-    upsampling = model.name.split('_')[-1]
-    if array_in_hr:
-        array_hr, array_lr = array, None
-    else:
-        array = checkarray_ndim(array, 4, -1)
-        hr_xy = (array.shape[2] * scale, array.shape[1] * scale)
-        array_hr = resize_array(array, hr_xy, interpolation, squeezed=False)
-        array_lr = array
-    synth = BatchSynthesizer(
-        checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1), array_lr,
-        upsampling=upsampling, scale=scale, batch_size=n_samples,
-        patch_size=None, time_window=time_window, static_vars=static_vars,
-        predictors=[predictors] if predictors is not None else None,
-        interpolation=interpolation)
-    batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
-                  jax.random.PRNGKey(0))
+    x, aux, n_samples = _assemble_inputs(
+        model, array, scale, array_in_hr, static_vars, predictors,
+        time_window, interpolation)
     apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
         v, xb, ab, training=False, rngs={'dropout': k}))
     outs = []
     for i in range(0, n_samples, batch_size):
-        ab = (batch['aux'][i:i + batch_size] if batch['aux'] is not None
-              else None)
-        outs.append(np.asarray(apply(variables, batch['lr'][i:i + batch_size],
+        ab = aux[i:i + batch_size] if aux is not None else None
+        outs.append(np.asarray(apply(variables, x[i:i + batch_size],
                                      ab, rng_key)))
     out = np.concatenate(outs, axis=0)
     if out.ndim == 5 and time_window is not None:
