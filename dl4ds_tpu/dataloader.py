@@ -547,15 +547,22 @@ class BatchSynthesizer:
         return jnp.take(data, win.reshape(-1), axis=0).reshape(
             indices.shape[0], self.time_window, *data.shape[1:])
 
+    def _gather_crop(self, data, indices, ys, xs, size):
+        """Fused gather + crop: ONE `lax.dynamic_slice` per sample on the
+        full 4-D dataset (no intermediate full-grid materialization)."""
+        tw = self.time_window or 1
+        c = data.shape[-1]
+
+        def one(i, y, x):
+            return jax.lax.dynamic_slice(data, (i, y, x, 0),
+                                          (tw, size, size, c))
+
+        out = jax.vmap(one)(indices, ys, xs)          # [B, tw, p, p, C]
+        return out if self.time_window is not None else out[:, 0]
+
     def _make_batch(self, indices, key):
         tw = self.time_window
         b = indices.shape[0]
-        hr = self._gather(self.hr, indices)          # [B(,T),H,W,C]
-        pred = self._gather(self.pred, indices) if self.pred is not None \
-            else None
-        # crops are vmapped over the batch dim, so the per-sample spatial
-        # axis is 1 for [T, H, W, C] windows and 0 for [H, W, C] samples
-        spatial_axis = 1 if tw is not None else 0
 
         if self.patch_size is not None:
             p, plr, s = self.patch_size, None, self.scale
@@ -576,21 +583,22 @@ class BatchSynthesizer:
                 ys_hr, xs_hr = ys, xs
                 ys_lr, xs_lr = ys, xs  # pin: same HR-coord crop
 
-            crop = jax.vmap(dynamic_crop, in_axes=(0, None, 0, 0, None))
-            hr = crop(hr, p, ys_hr, xs_hr, spatial_axis)
+            hr = self._gather_crop(self.hr, indices, ys_hr, xs_hr, p)
+            pred = None
             if self.upsampling == 'pin':
-                lr = crop(self._gather(self.lr_pre, indices), p, ys_hr, xs_hr,
-                          spatial_axis)
-                if pred is not None:
-                    pred = crop(pred, p, ys_hr, xs_hr, spatial_axis)
+                lr = self._gather_crop(self.lr_pre, indices, ys_hr, xs_hr, p)
+                if self.pred is not None:
+                    pred = self._gather_crop(self.pred, indices, ys_hr,
+                                             xs_hr, p)
             else:
                 if self.lr is not None:
-                    lr = crop(self._gather(self.lr, indices), plr, ys_lr,
-                              xs_lr, spatial_axis)
+                    lr = self._gather_crop(self.lr, indices, ys_lr, xs_lr,
+                                           plr)
                 else:
                     lr = resize2d(hr, (plr, plr), self.interpolation)
-                if pred is not None:
-                    pred = crop(pred, plr, ys_lr, xs_lr, spatial_axis)
+                if self.pred is not None:
+                    pred = self._gather_crop(self.pred, indices, ys_lr,
+                                             xs_lr, plr)
             crop2 = jax.vmap(dynamic_crop, in_axes=(None, None, 0, 0, None))
             static_hr = (crop2(self.static_hr, p, ys_hr, xs_hr, 0)
                          if self.static_hr is not None else None)
@@ -603,6 +611,9 @@ class BatchSynthesizer:
             else:
                 static_lr = None
         else:
+            hr = self._gather(self.hr, indices)      # [B(,T),H,W,C]
+            pred = (self._gather(self.pred, indices)
+                    if self.pred is not None else None)
             if self.upsampling == 'pin':
                 lr = self._gather(self.lr_pre, indices)
             else:

@@ -34,8 +34,7 @@ def compute_rmse(y, y_hat, over='time', squared=False, n_jobs=None):
     if over == 'space':
         axes = tuple(range(1, y.ndim))
         mse = np.mean((y - y_hat) ** 2, axis=axes)
-        return list(mse if squared else np.sqrt(mse) ** 2 if False else
-                    (mse if squared else np.sqrt(mse)))
+        return list(mse if squared else np.sqrt(mse))
     raise ValueError("`over` must be 'time' or 'space'")
 
 
