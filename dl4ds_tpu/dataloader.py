@@ -681,10 +681,12 @@ class HostStreamer:
 
     def __init__(self, array, upsampling, scale, batch_size, patch_size=None,
                  time_window=None, interpolation='inter_area', prefetch=2,
-                 seed=0):
+                 seed=0, array_lr=None):
         self.array = np.ascontiguousarray(_values(array), 'float32')
         if self.array.ndim != 4:
             raise ValueError('`array` must be [n, y, x, c]')
+        self.array_lr = (np.ascontiguousarray(_values(array_lr), 'float32')
+                         if array_lr is not None else None)
         self.upsampling = upsampling
         self.is_postups = upsampling in POSTUPSAMPLING_METHODS
         self.scale = int(scale)
@@ -705,23 +707,53 @@ class HostStreamer:
         p = self.patch_size
         tw = self.time_window or 1
         if p is not None:
+            if self.is_postups and self.array_lr is not None:
+                # explicit pairs: crop LR at LR coords, HR at scale*coords
+                plr = p // self.scale
+                lr_y, lr_x = self.array_lr.shape[1:3]
+                ys = self.rng.integers(0, max(lr_y - plr, 1),
+                                       size=idx.shape[0])
+                xs = self.rng.integers(0, max(lr_x - plr, 1),
+                                       size=idx.shape[0])
+                lr = native.gather_crop(self.array_lr, idx, ys, xs, plr,
+                                        time_window=tw)
+                hr = native.gather_crop(self.array, idx, ys * self.scale,
+                                        xs * self.scale, p, time_window=tw)
+                return hr, lr
             ys = self.rng.integers(0, max(self.hr_y - p, 1),
                                    size=idx.shape[0])
             xs = self.rng.integers(0, max(self.hr_x - p, 1),
                                    size=idx.shape[0])
-            return native.gather_crop(self.array, idx, ys, xs, p,
-                                      time_window=tw)
-        return native.gather_windows(self.array, idx, time_window=tw)
+            hr = native.gather_crop(self.array, idx, ys, xs, p,
+                                    time_window=tw)
+        else:
+            hr = native.gather_windows(self.array, idx, time_window=tw)
+        if self.array_lr is not None and not self.is_postups:
+            # pin with explicit pairs: ship both; device pre-upsamples LR
+            lr = (native.gather_windows(self.array_lr, idx, time_window=tw)
+                  if p is None else None)
+            if lr is None:
+                raise ValueError('HostStreamer pin mode with explicit pairs '
+                                 'supports full grids only (patch_size=None)')
+            return hr, lr
+        if self.array_lr is not None and p is None:
+            return hr, native.gather_windows(self.array_lr, idx,
+                                             time_window=tw)
+        return hr, None
 
-    def _to_device(self, hr_np):
+    def _to_device(self, item):
+        hr_np, lr_np = item
         hr = jax.device_put(jnp.asarray(hr_np))
-        if self.upsampling == 'pin':
-            h, w = hr.shape[-3], hr.shape[-2]
+        h, w = hr.shape[-3], hr.shape[-2]
+        if lr_np is not None:
+            lr = jax.device_put(jnp.asarray(lr_np))
+            if self.upsampling == 'pin':
+                lr = resize2d(lr, (h, w), self.interpolation)
+        elif self.upsampling == 'pin':
             lr = resize2d(resize2d(hr, (h // self.scale, w // self.scale),
                                    self.interpolation), (h, w),
                           self.interpolation)
         else:
-            h, w = hr.shape[-3], hr.shape[-2]
             lr = resize2d(hr, (h // self.scale, w // self.scale),
                           self.interpolation)
         return {'lr': lr, 'hr': hr, 'aux': None}

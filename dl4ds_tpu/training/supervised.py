@@ -149,7 +149,8 @@ class SupervisedTrainer(Trainer):
                 self.data_train, upsampling=self.upsampling,
                 scale=self.scale, batch_size=self.global_batch_size,
                 patch_size=self.patch_size, time_window=self.time_window,
-                interpolation=self.interpolation, seed=self.seed)
+                interpolation=self.interpolation, seed=self.seed,
+                array_lr=self.data_train_lr)
         self.ds_val = BatchSynthesizer(
             self.data_val, self.data_val_lr,
             predictors=self.predictors_val, season_ids=season[1], **common)

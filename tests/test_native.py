@@ -70,3 +70,15 @@ def test_host_streamer_pin_full_grid(rng):
     b = next(iter(streamer.epochs(steps=1)))
     assert b['hr'].shape == (2, 16, 16, 1)
     assert b['lr'].shape == (2, 16, 16, 1)
+
+
+def test_host_streamer_explicit_pairs(rng):
+    from dl4ds_tpu.interpolation import resize2d
+    import jax.numpy as jnp
+    hr = rng.standard_normal((30, 32, 32, 1)).astype('float32')
+    lr = np.asarray(resize2d(jnp.asarray(hr), (8, 8), 'inter_area'))
+    streamer = HostStreamer(hr, 'spc', scale=4, batch_size=4, patch_size=16,
+                            array_lr=lr, seed=0)
+    b = next(iter(streamer.epochs(steps=1)))
+    assert b['hr'].shape == (4, 16, 16, 1)
+    assert b['lr'].shape == (4, 4, 4, 1)
