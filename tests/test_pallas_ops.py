@@ -81,3 +81,33 @@ def test_module_jit_and_grad(rng):
     g = jax.grad(loss)(variables['params'], x)
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree_util.tree_leaves(g))
+
+
+def test_fused_ssim_matches_xla(rng):
+    from dl4ds_tpu.ops.pallas_ops import fused_ssim_per_image
+    from dl4ds_tpu.ops.ssim import ssim
+    a = rng.random((3, 24, 24, 1)).astype('float32')
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape), 0, 1).astype('float32')
+    got = np.asarray(fused_ssim_per_image(a, b, 1.0, interpret=True))
+    ref = np.asarray(ssim(a, b, 1.0))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fused_ssim_gradient(rng):
+    from dl4ds_tpu.ops.pallas_ops import fused_ssim_per_image
+    from dl4ds_tpu.ops.ssim import ssim
+    a = jnp.asarray(rng.random((2, 16, 16, 1)).astype('float32'))
+    b = jnp.asarray(rng.random((2, 16, 16, 1)).astype('float32'))
+    g1 = jax.grad(lambda y: jnp.mean(
+        fused_ssim_per_image(a, y, 1.0, interpret=True)))(b)
+    g2 = jax.grad(lambda y: jnp.mean(ssim(a, y, 1.0)))(b)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_fused_ssim_multichannel_fallback(rng):
+    from dl4ds_tpu.ops.pallas_ops import fused_ssim_per_image
+    from dl4ds_tpu.ops.ssim import ssim
+    a = rng.random((2, 16, 16, 3)).astype('float32')
+    b = rng.random((2, 16, 16, 3)).astype('float32')
+    got = np.asarray(fused_ssim_per_image(a, b, 1.0, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(ssim(a, b, 1.0)), atol=1e-6)
