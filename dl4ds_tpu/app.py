@@ -18,6 +18,8 @@ import importlib.util
 import numpy as np
 from absl import app, flags
 
+import jax.numpy as jnp
+
 import dl4ds_tpu as dds
 from dl4ds_tpu import (BACKBONE_BLOCKS, UPSAMPLING_METHODS,
                        INTERPOLATION_METHODS, LOSS_FUNCTIONS,
@@ -116,6 +118,16 @@ flags.DEFINE_integer('checkpoints_frequency', 2,
                      'CGANTrainer - Frequency for saving checkpoints and '
                      'the generator')
 
+# TPU-FIRST KNOBS (beyond the reference's vocabulary)
+flags.DEFINE_enum('dtype', 'float32', ['float32', 'bfloat16'],
+                  'Model compute dtype (params/loss stay float32)')
+flags.DEFINE_bool('data_in_hbm', True,
+                  'Keep the training dataset in device memory (False '
+                  'streams from host RAM via the native gather/crop path)')
+flags.DEFINE_integer('steps_per_execution', None,
+                     'Training steps per host dispatch (None = whole epoch '
+                     'in one lax.scan program)')
+
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
                   'Whether the inference array is in high resolution')
@@ -213,6 +225,10 @@ def dl4ds(argv):
                 save_path=FLAGS.save_path,
                 save_bestmodel=FLAGS.save_bestmodel,
                 verbose=FLAGS.verbose,
+                data_in_hbm=FLAGS.data_in_hbm,
+                steps_per_execution=FLAGS.steps_per_execution,
+                dtype=(jnp.bfloat16 if FLAGS.dtype == 'bfloat16'
+                       else jnp.float32),
                 **architecture_params)
         else:
             discriminator_params = dict(

@@ -200,3 +200,26 @@ def test_synth_inside_jit(hr_data):
 
     v = step(jnp.arange(4), jax.random.PRNGKey(0))
     assert np.isfinite(float(v))
+
+
+def test_synth_full_channel_layout_matches_host(rng):
+    """Exact host/device equality including predictor + static channels
+    (full grid, deterministic)."""
+    hr = rng.standard_normal((12, 32, 32, 1)).astype('float32')
+    statics = [rng.standard_normal((32, 32)).astype('float32'),
+               rng.standard_normal((32, 32)).astype('float32')]
+    preds = [rng.standard_normal((12, 32, 32, 1)).astype('float32')]
+    for ups in ['spc', 'pin']:
+        synth = BatchSynthesizer(hr, None, ups, scale=4, batch_size=5,
+                                 static_vars=statics, predictors=preds)
+        batch = synth(jnp.arange(5), jax.random.PRNGKey(0))
+        [lr_host, aux_host], [hr_host] = create_batch_hr_lr(
+            np.arange(12), 0, hr, None, ups, scale=4, batch_size=5,
+            patch_size=None, static_vars=statics,
+            predictors=np.concatenate(preds, axis=-1))
+        np.testing.assert_allclose(np.asarray(batch['hr']), hr_host,
+                                   atol=1e-5, err_msg=ups)
+        np.testing.assert_allclose(np.asarray(batch['lr']), lr_host,
+                                   atol=1e-5, err_msg=ups)
+        np.testing.assert_allclose(np.asarray(batch['aux']), aux_host,
+                                   atol=1e-5, err_msg=ups)
