@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ['predict_tiled', 'receptive_field_radius']
+__all__ = ['predict_tiled', 'predict_spatial_sharded',
+           'receptive_field_radius']
 
 
 def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
@@ -114,3 +115,54 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
             blk[:, oy * scale:(oy + ty_len) * scale,
                 ox * scale:(ox + tx_len) * scale, :]
     return full
+
+
+def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
+    """Single-grid inference with the HEIGHT axis sharded across the mesh —
+    for grids whose activations exceed one chip's HBM. Each device holds
+    one horizontal band; `halo` rows are exchanged with neighbours via
+    `lax.ppermute` over ICI before the (attention-free) model runs on the
+    extended band, and the halo is cropped from the output. One collective
+    XLA program via shard_map.
+
+    Exactness: interior band boundaries are exact when `halo` >= the
+    network's receptive-field radius (see receptive_field_radius). Within
+    `halo` rows of the grid's TOP and BOTTOM edges the result can differ
+    from unsharded inference for edge bands (the exchanged halo is
+    zero-filled there, while each conv layer of an unsharded run re-pads at
+    the true border); models with global channel attention are approximate
+    everywhere (gate computed per band).
+
+    x: [B, H, W, C] with H divisible by mesh.size. Returns [B, H*s, W*s, C'].
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.size
+    x = jnp.asarray(x, jnp.float32)
+    b, h, w, c = x.shape
+    if h % n != 0:
+        raise ValueError(f'H={h} must be divisible by mesh size {n}')
+    upsampling = model.name.split('_')[-1]
+    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
+        else 1
+
+    def band_fn(x_band):
+        # x_band: [B, H/n, W, C] on each device
+        # send my top `halo` rows to the previous device, bottom to the next
+        up_perm = [(i, i - 1) for i in range(1, n)]     # receive from below
+        down_perm = [(i, i + 1) for i in range(n - 1)]  # receive from above
+        from_below = jax.lax.ppermute(x_band[:, :halo], 'data', up_perm)
+        from_above = jax.lax.ppermute(x_band[:, -halo:], 'data', down_perm)
+        ext = jnp.concatenate([from_above, x_band, from_below], axis=1)
+        y = model.module.apply(variables, ext, None, training=False)
+        return y[:, halo * scale:-halo * scale]
+
+    sharded = shard_map(
+        band_fn, mesh=mesh,
+        in_specs=P(None, 'data', None, None),
+        out_specs=P(None, 'data', None, None), check_rep=False)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, 'data', None, None)))
+    return np.asarray(jax.jit(sharded)(x_sh))

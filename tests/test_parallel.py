@@ -67,3 +67,24 @@ def test_tiled_nondivisible_grid(rng):
                             halo=receptive_field_radius(1))
     assert y_tiled.shape == y_full.shape
     np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_spatial_sharded_interior_matches(rng):
+    """H-axis sharded inference (shard_map + ppermute halo exchange) matches
+    unsharded inference away from the grid's top/bottom edges."""
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.parallel import predict_spatial_sharded
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 32, 1)).astype('float32')
+    mesh = make_mesh()
+    halo = receptive_field_radius(1)  # 10 > band interior needs
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    y_sh = predict_spatial_sharded(model, variables, x, mesh, halo=halo)
+    assert y_sh.shape == y_full.shape == (1, 128, 64, 1)
+    # interior: everything but `halo` rows near the true top/bottom edges
+    m = halo * 2
+    np.testing.assert_allclose(y_sh[:, m:-m], y_full[:, m:-m], atol=1e-4)
