@@ -160,9 +160,11 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
         y = model.module.apply(variables, ext, None, training=False)
         return y[:, halo * scale:-halo * scale]
 
-    sharded = shard_map(
-        band_fn, mesh=mesh,
-        in_specs=P(None, 'data', None, None),
-        out_specs=P(None, 'data', None, None), check_rep=False)
+    specs = dict(mesh=mesh, in_specs=P(None, 'data', None, None),
+                 out_specs=P(None, 'data', None, None))
+    try:
+        sharded = shard_map(band_fn, check_vma=False, **specs)
+    except TypeError:  # older jax uses check_rep
+        sharded = shard_map(band_fn, check_rep=False, **specs)
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, 'data', None, None)))
     return np.asarray(jax.jit(sharded)(x_sh))
