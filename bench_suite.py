@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Breadth benchmark: train throughput for all five BASELINE.md configs.
+
+    python bench_suite.py          # writes BENCH_SUITE.json, prints a table
+
+Unlike bench.py (the driver's single headline line), this measures every
+benchmark config the baseline defines:
+  1. convnet_pin supervised spatial 4x (tutorial workload)
+  2. resnet_spc + channel attention, multi-predictor + static vars
+  3. unet_pin (densenet-free encoder/decoder), PerfectProg
+  4. recresnet_spc spatio-temporal (ConvLSTM backbone)
+  5. CGAN (resnet_spc generator + two-branch discriminator)
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def measure_supervised(name, steps=20, **kwargs):
+    import jax
+    import jax.numpy as jnp
+    from dl4ds_tpu.training import supervised
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((256, 128, 128, 1)).astype('float32')
+    defaults = dict(
+        data_train=data, data_val=data[:64], data_test=data[:64],
+        scale=4, patch_size=64, batch_size=128, loss='mae', epochs=1,
+        n_filters=8, save=False, verbose=False, dtype=jnp.bfloat16)
+    defaults.update(kwargs)
+    tr = supervised.SupervisedTrainer(**defaults)
+    tr.setup_datagen()
+    tr.setup_model()
+    tx = tr._build_optimizer()
+    state = supervised.TrainState.create(
+        apply_fn=tr.model.module.apply, params=tr.variables['params'],
+        tx=tx, batch_stats=tr.variables.get('batch_stats'))
+    tr._make_steps()
+    key = jax.random.PRNGKey(0)
+    idx = jnp.asarray(np.asarray(
+        tr.ds_train.epoch_indices(key, steps=2 * steps)), jnp.int32)
+    state, losses = tr._train_many(state, idx[:steps], key)
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    state, losses = tr._train_many(state, idx[steps:], key)
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    pps = steps * tr.global_batch_size / dt
+    print(f'{name}: {pps:,.0f} patches/s  ({dt / steps * 1000:.2f} ms/step)')
+    return pps
+
+
+def measure_cgan(name, steps=20):
+    import jax
+    import jax.numpy as jnp
+    from flax.training import train_state
+    import optax
+    from dl4ds_tpu.training import cgan as cg
+    from dl4ds_tpu.dataloader import BatchSynthesizer
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((256, 128, 128, 1)).astype('float32')
+    tr = cg.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data,
+        data_test=data[:32], scale=4, patch_size=64, batch_size=128,
+        epochs=1, save=False, verbose=False,
+        generator_params=dict(n_filters=8, n_blocks=6, attention=True,
+                              dtype=jnp.bfloat16),
+        discriminator_params=dict(n_filters=32, n_res_blocks=4,
+                                  dtype=jnp.bfloat16))
+    tr.ds_train = BatchSynthesizer(
+        tr.data_train, None, upsampling='spc', scale=4,
+        batch_size=tr.global_batch_size, patch_size=64)
+    tr.setup_model()
+    gen_state = train_state.TrainState.create(
+        apply_fn=tr.generator.module.apply, params=tr.gen_vars['params'],
+        tx=optax.adam(2e-4, b1=0.5))
+    disc_state = train_state.TrainState.create(
+        apply_fn=tr.discriminator.module.apply, params=tr.disc_vars['params'],
+        tx=optax.adam(2e-4, b1=0.5))
+    tr._make_step()
+    key = jax.random.PRNGKey(0)
+    idx = jnp.asarray(np.asarray(
+        tr.ds_train.epoch_indices(key, steps=2 * steps)), jnp.int32)
+    gen_state, disc_state, losses = tr._train_many(
+        gen_state, disc_state, idx[:steps], key)
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    gen_state, disc_state, losses = tr._train_many(
+        gen_state, disc_state, idx[steps:], key)
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    pps = steps * tr.global_batch_size / dt
+    print(f'{name}: {pps:,.0f} patches/s  ({dt / steps * 1000:.2f} ms/step)')
+    return pps
+
+
+def main():
+    rng = np.random.default_rng(1)
+    statics = [rng.standard_normal((128, 128)).astype('float32')]
+    preds = [rng.standard_normal((256, 128, 128, 1)).astype('float32')]
+
+    results = {}
+    results['convnet_pin_4x'] = measure_supervised(
+        'convnet_pin 4x (tutorial)      ', backbone='convnet',
+        upsampling='pin', n_blocks=6)
+    results['resnet_spc_attn_aux_4x'] = measure_supervised(
+        'resnet_spc +attn +pred +static ', backbone='resnet',
+        upsampling='spc', n_blocks=6, attention=True, static_vars=statics,
+        predictors_train=preds, predictors_val=[preds[0][:64]],
+        predictors_test=[preds[0][:64]])
+    results['unet_pin_4x'] = measure_supervised(
+        'unet_pin (encoder/decoder)     ', backbone='unet', upsampling='pin',
+        n_blocks=4)
+    results['recresnet_spc_4x_tw4'] = measure_supervised(
+        'recresnet_spc time_window=4    ', backbone='resnet',
+        upsampling='spc', time_window=4, n_blocks=2, batch_size=16)
+    results['cgan_resnet_spc_4x'] = measure_cgan(
+        'CGAN resnet_spc G+D            ')
+
+    with open('BENCH_SUITE.json', 'w') as fh:
+        json.dump({k: round(v, 2) for k, v in results.items()}, fh, indent=2)
+    print('\nwrote BENCH_SUITE.json (patches/sec/chip, bf16, batch 128 '
+          '[16 for spatio-temporal], 64px HR patches)')
+
+
+if __name__ == '__main__':
+    main()
