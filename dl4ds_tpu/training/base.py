@@ -153,6 +153,42 @@ class Trainer(ABC):
         self._log_fh.write(json.dumps({'step': step, **scalars}) + '\n')
         self._log_fh.flush()
 
+    def channel_counts(self, predictors_train, static_vars,
+                       season_ids=None):
+        """Model input / aux channel bookkeeping shared by the trainers
+        (reference: supervised.py:245-260 and cgan.py:177-193): spatial
+        samples concatenate statics (and season) into the LR input AND the
+        HR aux branch; spatio-temporal samples keep statics aux-only."""
+        n_channels = self.data_train.shape[-1]
+        n_aux_channels = 0
+        if self.model_is_spatiotemporal:
+            if predictors_train is not None:
+                n_channels += len(predictors_train)
+            if static_vars is not None:
+                n_aux_channels += len(static_vars)
+        else:
+            if static_vars is not None:
+                n_channels += len(static_vars)
+                n_aux_channels = len(static_vars)
+            if predictors_train is not None:
+                n_channels += len(predictors_train)
+            if season_ids is not None:
+                n_channels += 4
+                n_aux_channels += 4
+        return n_channels, n_aux_channels
+
+    def grid_sizes(self):
+        """(hr_size, lr_size) from patch or full grid
+        (reference: supervised.py:262-269)."""
+        if self.patch_size is None:
+            hr_h = int(self.data_train.shape[1])
+            hr_w = int(self.data_train.shape[2])
+            return (hr_h, hr_w), (int(hr_h / self.scale),
+                                  int(hr_w / self.scale))
+        hr = int(self.patch_size)
+        lr = int(self.patch_size / self.scale)
+        return (hr, hr), (lr, lr)
+
     @abstractmethod
     def run(self):
         ...

@@ -109,27 +109,9 @@ class CGANTrainer(Trainer):
     # ------------------------------------------------------------------
     def setup_model(self):
         """Build G and D (reference: cgan.py:174-262)."""
-        n_channels = self.data_train.shape[-1]
-        n_aux_channels = 0
-        if self.model_is_spatiotemporal:
-            if self.predictors_train is not None:
-                n_channels += len(self.predictors_train)
-            if self.static_vars is not None:
-                n_aux_channels += len(self.static_vars)
-        else:
-            if self.static_vars is not None:
-                n_channels += len(self.static_vars)
-                n_aux_channels = len(self.static_vars)
-            if self.predictors_train is not None:
-                n_channels += len(self.predictors_train)
-
-        if self.patch_size is None:
-            hr_h = int(self.data_train.shape[1])
-            hr_w = int(self.data_train.shape[2])
-            lr_h, lr_w = int(hr_h / self.scale), int(hr_w / self.scale)
-        else:
-            hr_h = hr_w = int(self.patch_size)
-            lr_h = lr_w = int(self.patch_size / self.scale)
+        n_channels, n_aux_channels = self.channel_counts(
+            self.predictors_train, self.static_vars)
+        (hr_h, hr_w), (lr_h, lr_w) = self.grid_sizes()
 
         self.generator = build_model(
             backbone=self.backbone, upsampling=self.upsampling,

@@ -161,33 +161,9 @@ class SupervisedTrainer(Trainer):
     def setup_model(self):
         """Channel bookkeeping + model construction
         (reference: supervised.py:242-325)."""
-        if self.model_is_spatiotemporal:
-            n_channels = self.data_train.shape[-1]
-            n_aux_channels = 0
-            if self.predictors_train is not None:
-                n_channels += len(self.predictors_train)
-            if self.static_vars is not None:
-                n_aux_channels += len(self.static_vars)
-        else:
-            n_channels = self.data_train.shape[-1]
-            n_aux_channels = 0
-            if self.static_vars is not None:
-                n_channels += len(self.static_vars)
-                n_aux_channels = len(self.static_vars)
-            if self.predictors_train is not None:
-                n_channels += len(self.predictors_train)
-            if self.season_ids is not None:
-                n_channels += 4
-                n_aux_channels += 4
-
-        if self.patch_size is None:
-            hr_height = int(self.data_train.shape[1])
-            hr_width = int(self.data_train.shape[2])
-            lr_height = int(hr_height / self.scale)
-            lr_width = int(hr_width / self.scale)
-        else:
-            hr_height = hr_width = int(self.patch_size)
-            lr_height = lr_width = int(self.patch_size / self.scale)
+        n_channels, n_aux_channels = self.channel_counts(
+            self.predictors_train, self.static_vars, self.season_ids)
+        (hr_height, hr_width), (lr_height, lr_width) = self.grid_sizes()
 
         if self.trained_model is None:
             self.model = build_model(
