@@ -70,7 +70,7 @@ class CGANTrainer(Trainer):
                  save_path=None, save_logs=False, save_loss_history=True,
                  generator_params=None, discriminator_params=None,
                  verbose=True, seed=42, mesh=None, devices=None,
-                 gpu_memory_growth=None):
+                 gpu_memory_growth=None, resume_from_checkpoint=None):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -97,6 +97,9 @@ class CGANTrainer(Trainer):
         self.generator_params = generator_params or {}
         self.discriminator_params = discriminator_params or {}
         self.seed = seed
+        # resume G/D params + optimizer states from a periodic checkpoint
+        # saved by checkpoints_frequency (path to .../checkpoints/<name>)
+        self.resume_from_checkpoint = resume_from_checkpoint
         self.gentotal, self.gengan, self.gen_pxloss, self.disc = [], [], [], []
 
         self.time_window = time_window
@@ -221,6 +224,11 @@ class CGANTrainer(Trainer):
             apply_fn=self.discriminator.module.apply,
             params=self.disc_vars['params'],
             tx=optax.adam(dislr, b1=0.5))
+        if self.resume_from_checkpoint is not None:
+            gen_state, disc_state = self._restore_gan_checkpoint(
+                gen_state, disc_state, self.resume_from_checkpoint)
+            if self.verbose:
+                print(f'Resumed G/D from {self.resume_from_checkpoint}')
         gen_state = jax.device_put(gen_state, self.replicated_sharding)
         disc_state = jax.device_put(disc_state, self.replicated_sharding)
         self._make_step()
@@ -318,6 +326,24 @@ class CGANTrainer(Trainer):
             ocp.PyTreeCheckpointer().save(path, payload, force=True)
         except Exception:  # noqa: BLE001
             pass
+
+
+    def _restore_gan_checkpoint(self, gen_state, disc_state, path):
+        import orbax.checkpoint as ocp
+        template = {'generator': gen_state.params,
+                    'discriminator': disc_state.params,
+                    'generator_opt': gen_state.opt_state,
+                    'discriminator_opt': disc_state.opt_state,
+                    'step': 0}
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                                   item=template)
+        gen_state = gen_state.replace(params=payload['generator'],
+                                      opt_state=payload['generator_opt'],
+                                      step=payload['step'])
+        disc_state = disc_state.replace(
+            params=payload['discriminator'],
+            opt_state=payload['discriminator_opt'], step=payload['step'])
+        return gen_state, disc_state
 
 
 def load_checkpoint(checkpoint_dir, checkpoint_number, backbone, upsampling,

@@ -305,3 +305,21 @@ def test_cgan_explicit_pairs(rng):
         discriminator_params=dict(n_filters=4, n_res_blocks=1))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_cgan_resume_from_checkpoint(data, tmp_path):
+    save_path = str(tmp_path) + '/'
+    common = dict(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=8, batch_size=2,
+        steps_per_epoch=1, save=False, save_path=save_path, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr1 = dds.CGANTrainer(epochs=1, checkpoints_frequency=1, **common)
+    tr1.run()
+    tr2 = dds.CGANTrainer(
+        epochs=1, resume_from_checkpoint=save_path + 'checkpoints/epoch-1',
+        **common)
+    tr2.run()
+    assert np.isfinite(tr2.test_loss)
+    assert int(tr2.gen_state.step) >= 2   # resumed optimizer step count
