@@ -151,7 +151,21 @@ def infer_bench():
         'unit': 'grids/sec/chip', 'vs_baseline': None}))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs skip the (slow)
+    first-compile entirely."""
+    try:
+        import jax
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 '.jax_cache')
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
 def main():
+    _enable_compile_cache()
     if '--cpu-probe' in sys.argv:
         cpu_probe()
         return
