@@ -70,16 +70,19 @@ def measure(steps, warmup, use_scan=True):
     idx = np.asarray(tr.ds_train.epoch_indices(key, steps=warmup + 2 * steps))
     if use_scan:
         # multi-step dispatch (lax.scan over the fused step) — the
-        # production TPU path of SupervisedTrainer.run
+        # production TPU path of SupervisedTrainer.run. Best of 3 timed
+        # chunks to damp chip-contention variance (compile happens once).
         key, k1, k2 = jax.random.split(key, 3)
         state, losses = tr._train_many(
             state, jnp.asarray(idx[:steps], jnp.int32), k1)  # compile+warm
         losses.block_until_ready()
-        t0 = time.perf_counter()
-        state, losses = tr._train_many(
-            state, jnp.asarray(idx[steps:2 * steps], jnp.int32), k2)
-        losses.block_until_ready()
-        dt = time.perf_counter() - t0
+        dt = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, losses = tr._train_many(
+                state, jnp.asarray(idx[steps:2 * steps], jnp.int32), k2)
+            losses.block_until_ready()
+            dt = min(dt, time.perf_counter() - t0)
     else:
         # per-step dispatch — faster for XLA:CPU, used for the CPU baseline
         for i in range(warmup):
