@@ -223,3 +223,25 @@ def test_synth_full_channel_layout_matches_host(rng):
                                    atol=1e-5, err_msg=ups)
         np.testing.assert_allclose(np.asarray(batch['aux']), aux_host,
                                    atol=1e-5, err_msg=ups)
+
+
+def test_generator_with_statics_and_predictors(hr_data, rng):
+    statics = [rng.standard_normal((32, 32)).astype('float32')]
+    preds = [rng.standard_normal((24, 32, 32, 1)).astype('float32')]
+    gen = DataGenerator(hr_data, None, backbone='resnet', upsampling='spc',
+                        scale=4, batch_size=4, patch_size=16,
+                        static_vars=statics, predictors=preds, seed=0)
+    [lr, aux], [hr] = gen[0]
+    assert lr.shape == (4, 4, 4, 3)      # data + pred + static
+    assert aux.shape == (4, 16, 16, 1)
+    assert hr.shape == (4, 16, 16, 1)
+
+
+def test_generator_explicit_pairs(rng):
+    hr = rng.standard_normal((20, 32, 32, 1)).astype('float32')
+    lr = np.asarray(resize2d(jnp.asarray(hr), (8, 8), 'inter_area'))
+    gen = DataGenerator(hr, lr, backbone='resnet', upsampling='spc',
+                        scale=4, batch_size=4, patch_size=16, seed=0)
+    [blr], [bhr] = gen[0]
+    assert blr.shape == (4, 4, 4, 1)
+    assert bhr.shape == (4, 16, 16, 1)

@@ -109,3 +109,9 @@ def test_randomized_sweep_vs_opencv(rng):
         np.testing.assert_allclose(
             got, ref, atol=3e-5, rtol=0,
             err_msg=f'{mode} {hi}x{wi}->{ho}x{wo}')
+
+
+def test_keep_dynamic_range(rng):
+    x = rng.random((16, 16)).astype(np.float32)
+    out = resize_array(x, (64, 64), 'bicubic', keep_dynamic_range=True)
+    assert out.min() >= x.min() - 1e-6 and out.max() <= x.max() + 1e-6

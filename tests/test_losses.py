@@ -124,3 +124,12 @@ def test_losses_are_jittable_and_differentiable(rng):
         f = getattr(losses, name)
         g = jax.jit(jax.grad(lambda y_pred: f(a, y_pred)))(b)
         assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_losses_accept_bfloat16(rng):
+    import jax.numpy as jnp
+    a = jnp.asarray(rng.random((2, 24, 24, 1)), jnp.bfloat16)
+    b = jnp.asarray(rng.random((2, 24, 24, 1)), jnp.bfloat16)
+    for name in ['mae', 'mse', 'dssim']:
+        v = float(getattr(losses, name)(a, b))
+        assert np.isfinite(v), name

@@ -88,3 +88,20 @@ def test_spatial_sharded_interior_matches(rng):
     # interior: everything but `halo` rows near the true top/bottom edges
     m = halo * 2
     np.testing.assert_allclose(y_sh[:, m:-m], y_full[:, m:-m], atol=1e-4)
+
+
+def test_tiled_with_aux_input(rng):
+    """Halo-tiled inference slices the HR aux grid consistently."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=2, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 48, 48, 1)).astype('float32')
+    aux = rng.standard_normal((1, 96, 96, 2)).astype('float32')
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x),
+                                    jnp.asarray(aux)))
+    y_tiled = predict_tiled(model, variables, x, aux=aux, tile=16,
+                            halo=receptive_field_radius(1))
+    assert y_tiled.shape == y_full.shape
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
