@@ -23,7 +23,8 @@ __all__ = ['spatial_to_spatiotemporal_samples',
            'spatiotemporal_to_spatial_samples', 'checkarray_ndim',
            'check_compatibility_upsbackb', 'checkarg_upsampling',
            'checkarg_backbone', 'checkarg_dropout_variant', 'checkarg_loss',
-           'checkarg_interpolation', 'list_devices', 'Timing', 'crop_array',
+           'checkarg_interpolation', 'list_devices', 'set_gpu_memory_growth',
+           'set_visible_gpus', 'Timing', 'crop_array',
            'dynamic_crop', 'plot_history']
 
 
@@ -131,6 +132,18 @@ def checkarg_loss(loss):
 # -----------------------------------------------------------------------------
 # Devices
 # -----------------------------------------------------------------------------
+
+def set_gpu_memory_growth():
+    """Reference-API compat shim (dl4ds/utils.py:174-177). JAX/TPU memory
+    is managed by the runtime; preallocation is controlled via
+    XLA_PYTHON_CLIENT_PREALLOCATE, not per-device growth flags."""
+
+
+def set_visible_gpus(*indices):
+    """Reference-API compat shim (dl4ds/utils.py:195-199). Device selection
+    in JAX is done by constructing a Mesh over a device subset — pass
+    `devices=` to any trainer or `mesh=` built from jax.devices()[i:j]."""
+
 
 def list_devices(which='local', verbose=True):
     """List JAX devices (reference analogue: dl4ds/utils.py:180-192)."""
