@@ -91,10 +91,13 @@ class Dropout(nn.Module):
             noise = 1.0 + stddev * jax.random.normal(rng, x.shape, x.dtype)
             return x * noise
         if variant in ('spatial', 'mcspatialdrop'):
-            # drop whole channels: broadcast mask over spatial (and time) dims
-            n_bcast = self.dim  # (H, W) or (T, H, W)... keras drops per 2D map
+            # Drop whole channels: broadcast mask over the spatial dims, and —
+            # when dim == 3 (SpatialDropout3D, ref blocks.py:659-676) — also
+            # over the time axis, so a dropped channel is zero across the
+            # entire (T, H, W) volume, matching keras semantics.
+            n_bcast = 3 if (self.dim == 3 and x.ndim >= 5) else 2
             shape = list(x.shape)
-            for ax in range(x.ndim - 1 - 2, x.ndim - 1):  # H, W
+            for ax in range(x.ndim - 1 - n_bcast, x.ndim - 1):
                 shape[ax] = 1
             keep = 1.0 - self.rate
             mask = jax.random.bernoulli(rng, keep, tuple(shape))

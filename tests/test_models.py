@@ -165,6 +165,31 @@ def test_dropout_variants_train_and_eval(variant):
         assert not np.allclose(np.asarray(y_eval), np.asarray(y2))
 
 
+def test_spatial_dropout_3d_constant_over_time():
+    """SpatialDropout3D semantics (ref blocks.py:659-676): with dim=3 a
+    dropped channel must be zero across the entire (T, H, W) volume — the
+    mask is constant over the time axis, not redrawn per timestep."""
+    from dl4ds_tpu.models.blocks import Dropout
+
+    drop = Dropout(rate=0.5, variant='spatial', dim=3)
+    x = jnp.ones((2, 6, 8, 8, 16))  # (B, T, H, W, C)
+    y = np.asarray(drop.apply({}, x, training=True,
+                              rngs={'dropout': jax.random.PRNGKey(3)}))
+    zero = (y == 0.0)
+    # per (batch, channel): dropped entirely or kept entirely
+    frac = zero.mean(axis=(1, 2, 3))  # (B, C)
+    assert np.all((frac == 0.0) | (frac == 1.0)), \
+        'dim=3 spatial dropout mask varies within the (T,H,W) volume'
+    assert 0.0 < frac.mean() < 1.0  # some channels dropped, some kept
+    # dim=2 on 5D input still redraws per timestep (SpatialDropout2D applied
+    # per frame) — guard that dim distinguishes the two behaviors
+    drop2 = Dropout(rate=0.5, variant='spatial', dim=2)
+    y2 = np.asarray(drop2.apply({}, x, training=True,
+                                rngs={'dropout': jax.random.PRNGKey(3)}))
+    frac2 = (y2 == 0.0).mean(axis=(1, 2, 3))
+    assert not np.all((frac2 == 0.0) | (frac2 == 1.0))
+
+
 @pytest.mark.parametrize('norm', ['bn', 'ln'])
 def test_normalization_variants(norm):
     model = net_pin('resnet', n_channels=1, n_aux_channels=0,
