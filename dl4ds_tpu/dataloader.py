@@ -31,7 +31,8 @@ from .interpolation import resize_array, resize2d
 from .utils import crop_array, checkarray_ndim, dynamic_crop
 
 __all__ = ['create_pair_hr_lr', 'create_batch_hr_lr', 'DataGenerator',
-           'BatchSynthesizer', '_get_season_', '_get_season_array_']
+           'BatchSynthesizer', '_get_season_', '_get_season_array_',
+           'season_ids_from_time']
 
 
 # =============================================================================
@@ -57,6 +58,31 @@ def _get_season_(time_metadata, time_window=None):
     if month_int in (6, 7, 8):
         return 'summer'
     return 'autumn'
+
+
+def season_ids_from_time(time_metadata, time_window=None):
+    """Precompute [N] int32 season ids (0=winter .. 3=autumn) from time
+    metadata (datetime-like array / xr time coord) — the device-tier
+    replacement for the reference's per-sample xarray lookups
+    (dl4ds/dataloader.py:508-525). With `time_window`, entry i is the modal
+    season of window [i, i + time_window) (scipy.stats.mode semantics:
+    smallest most-common month), matching `_get_season_`."""
+    import pandas as pd
+    months = np.asarray(
+        pd.DatetimeIndex(np.asarray(_values(time_metadata))).month)
+    month_to_sid = np.empty(13, np.int32)
+    for sid, mm in enumerate(((12, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))):
+        for m in mm:
+            month_to_sid[m] = sid
+    if time_window is None:
+        return month_to_sid[months]
+    n = max(months.shape[0] - time_window + 1, 0)
+    out = np.empty(n, np.int32)
+    for i in range(n):
+        vals, counts = np.unique(months[i:i + time_window],
+                                 return_counts=True)
+        out[i] = month_to_sid[int(vals[np.argmax(counts)])]
+    return out
 
 
 def _get_season_array_(season, sizey, sizex):
@@ -329,10 +355,17 @@ class DataGenerator:
     def __init__(self, array, array_lr, backbone, upsampling, scale,
                  batch_size=32, patch_size=None, time_window=None,
                  static_vars=None, predictors=None,
-                 interpolation='inter_area', repeat=None, seed=None):
+                 interpolation='inter_area', repeat=None, seed=None,
+                 time_metadata=None):
+        # season conditioning: explicit `time_metadata` (datetime-like [N])
+        # or, when `array` is an xr.DataArray with a time coord, derived from
+        # it (the reference's API promise, dl4ds/dataloader.py:327-343)
+        if time_metadata is None:
+            time_metadata = _time_coord(array)
+        self.time_metadata = (np.asarray(_values(time_metadata))
+                              if time_metadata is not None else None)
         self.array = _values(array)
         self.array_lr = _values(array_lr)
-        self.time_metadata = None
         self.batch_size = batch_size
         self.scale = scale
         self.upsampling = upsampling
@@ -390,6 +423,17 @@ def _values(x):
     except ImportError:
         pass
     return np.asarray(x)
+
+
+def _time_coord(x):
+    """The 'time' coordinate values of an xr.DataArray, else None."""
+    try:
+        import xarray as xr
+        if isinstance(x, xr.DataArray) and 'time' in x.coords:
+            return x.time.values
+    except ImportError:
+        pass
+    return None
 
 
 # =============================================================================

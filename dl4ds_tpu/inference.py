@@ -73,9 +73,16 @@ def _resolve_model(trainer):
 
 
 def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
-                     predictors, time_window, interpolation):
+                     predictors, time_window, interpolation,
+                     time_metadata=None):
     """Whole-dataset (lr, aux) device batch for inference — shared by
-    `predict` and `predict_mc`."""
+    `predict` and `predict_mc`. With `time_metadata` (datetime-like [N], or
+    derived from an xr.DataArray time coord), per-sample one-hot season
+    channels are appended exactly as during training (reference:
+    dl4ds/inference.py:218 -> dataloader.py:327-343)."""
+    from .dataloader import _time_coord, season_ids_from_time
+    if time_metadata is None:
+        time_metadata = _time_coord(array)
     array = np.asarray(_maybe_values(array), 'float32')
     if static_vars is not None:
         static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
@@ -99,13 +106,21 @@ def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
     # whole-dataset batch via the device tier (one jitted synthesis instead
     # of the reference's per-sample host loop, inference.py:205-218); the
     # device and host tiers are equivalence-tested in tests/test_dataloader.
+    season_ids = None
+    if time_metadata is not None:
+        season_ids = season_ids_from_time(time_metadata, time_window)
+        if season_ids.shape[0] < n_samples:
+            raise ValueError(
+                f'`time_metadata` yields {season_ids.shape[0]} samples, '
+                f'need {n_samples}')
+        season_ids = season_ids[:n_samples]
     upsampling = model.name.split('_')[-1]
     synth = BatchSynthesizer(
         checkarray_ndim(np.asarray(array_hr, 'float32'), 4, -1), array_lr,
         upsampling=upsampling, scale=scale, batch_size=n_samples,
         patch_size=None, time_window=time_window, static_vars=static_vars,
         predictors=[predictors] if predictors is not None else None,
-        interpolation=interpolation)
+        interpolation=interpolation, season_ids=season_ids)
     batch = synth(jnp.arange(n_samples, dtype=jnp.int32),
                   jax.random.PRNGKey(0))
     return batch['lr'], batch['aux'], n_samples
@@ -130,7 +145,7 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
 
     x, aux, n_samples = _assemble_inputs(
         model, array, scale, array_in_hr, static_vars, predictors,
-        time_window, interpolation)
+        time_window, interpolation, time_metadata)
     batch_lr = x
 
     apply = jax.jit(
@@ -205,12 +220,12 @@ def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
 def _predict_once_with_rng(model, variables, array, scale, rng_key,
                            array_in_hr=True, static_vars=None,
                            predictors=None, time_window=None,
-                           interpolation='inter_area', batch_size=64,
-                           scaler=None, **_):
+                           time_metadata=None, interpolation='inter_area',
+                           batch_size=64, scaler=None, **_):
     """One stochastic forward pass (dropout rng supplied)."""
     x, aux, n_samples = _assemble_inputs(
         model, array, scale, array_in_hr, static_vars, predictors,
-        time_window, interpolation)
+        time_window, interpolation, time_metadata)
     apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
         v, xb, ab, training=False, rngs={'dropout': k}))
     outs = []

@@ -189,6 +189,25 @@ class Trainer(ABC):
         lr = int(self.patch_size / self.scale)
         return (hr, hr), (lr, lr)
 
+    @staticmethod
+    def _checkpoint_save(path, payload):
+        """Save a checkpoint payload via orbax; on failure warn LOUDLY and
+        fall back to a pickle next to the intended path (a silent no-op here
+        would mean save_bestmodel quietly saved nothing)."""
+        try:
+            import orbax.checkpoint as ocp
+            ocp.PyTreeCheckpointer().save(path, payload, force=True)
+        except Exception as exc:  # noqa: BLE001 — orbax optional/failable
+            import pickle
+            import warnings
+            fallback = path.rstrip('/') + '.pkl'
+            warnings.warn(
+                f'orbax checkpoint save failed at {path!r} ({exc!r}); '
+                f'falling back to pickle at {fallback!r}', RuntimeWarning)
+            os.makedirs(os.path.dirname(fallback), exist_ok=True)
+            with open(fallback, 'wb') as fh:
+                pickle.dump(payload, fh)
+
     @abstractmethod
     def run(self):
         ...

@@ -314,18 +314,14 @@ class CGANTrainer(Trainer):
     def _save_gan_checkpoint(self, gen_state, disc_state, name):
         path = os.path.abspath(
             os.path.join(self.savecheckpoint_path, 'checkpoints', name))
-        try:
-            import orbax.checkpoint as ocp
-            payload = {
-                'generator': jax.device_get(gen_state.params),
-                'discriminator': jax.device_get(disc_state.params),
-                'generator_opt': jax.device_get(gen_state.opt_state),
-                'discriminator_opt': jax.device_get(disc_state.opt_state),
-                'step': int(gen_state.step),
-            }
-            ocp.PyTreeCheckpointer().save(path, payload, force=True)
-        except Exception:  # noqa: BLE001
-            pass
+        payload = {
+            'generator': jax.device_get(gen_state.params),
+            'discriminator': jax.device_get(disc_state.params),
+            'generator_opt': jax.device_get(gen_state.opt_state),
+            'discriminator_opt': jax.device_get(disc_state.opt_state),
+            'step': int(gen_state.step),
+        }
+        self._checkpoint_save(path, payload)
 
 
     def _restore_gan_checkpoint(self, gen_state, disc_state, path):

@@ -56,7 +56,7 @@ class SupervisedTrainer(Trainer):
                  gpu_memory_growth=None, save_logs=False, profile=False,
                  data_in_hbm=True, steps_per_execution=None,
                  checkpoints_frequency=0, resume_from_checkpoint=None,
-                 season_ids=None, **architecture_params):
+                 season_ids=None, time_metadata=None, **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -118,6 +118,23 @@ class SupervisedTrainer(Trainer):
                                        or len(season_ids) != 3):
             raise ValueError('`season_ids` must be a (train, val, test) '
                              'tuple of int arrays')
+        # season_ids may instead be derived from per-split time metadata
+        # (datetime-like arrays, or the splits' own xr time coords) — the
+        # reference's xarray-time season path (dl4ds/dataloader.py:508-542)
+        if season_ids is None:
+            from ..dataloader import _time_coord, season_ids_from_time
+            if time_metadata is None:
+                tm = tuple(_time_coord(a) for a in (data_train, data_val,
+                                                    data_test))
+                time_metadata = tm if all(t is not None for t in tm) else None
+            elif (not isinstance(time_metadata, (tuple, list))
+                    or len(time_metadata) != 3):
+                raise ValueError('`time_metadata` must be a (train, val, '
+                                 'test) tuple of datetime-like arrays')
+            if time_metadata is not None:
+                season_ids = tuple(
+                    season_ids_from_time(t, time_window)
+                    for t in time_metadata)
         self.season_ids = season_ids
         if not data_in_hbm and (static_vars is not None
                                 or predictors_train is not None
@@ -408,14 +425,10 @@ class SupervisedTrainer(Trainer):
     def _save_checkpoint(self, state, name):
         import os
         path = os.path.abspath(os.path.join(self.savecheckpoint_path, name))
-        try:
-            import orbax.checkpoint as ocp
-            payload = {'params': jax.device_get(state.params)}
-            if state.batch_stats is not None:
-                payload['batch_stats'] = jax.device_get(state.batch_stats)
-            ocp.PyTreeCheckpointer().save(path, payload, force=True)
-        except Exception:  # noqa: BLE001
-            pass
+        payload = {'params': jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            payload['batch_stats'] = jax.device_get(state.batch_stats)
+        self._checkpoint_save(path, payload)
 
     def _save_full_checkpoint(self, state, epoch):
         """Full train state (params + opt state + epoch) for resume."""

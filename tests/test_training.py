@@ -109,6 +109,37 @@ def test_supervised_save_artifacts(data, tmp_path):
     assert os.path.isdir(save_path + 'convnet_pin')
 
 
+def test_checkpoint_save_failure_warns_and_falls_back(data, tmp_path,
+                                                      monkeypatch):
+    """A failing orbax save must warn loudly and drop a pickle fallback,
+    never silently save nothing."""
+    import pickle
+    import warnings
+    import orbax.checkpoint as ocp
+
+    class Boom:
+        def save(self, *a, **k):
+            raise IOError('disk on fire')
+
+    monkeypatch.setattr(ocp, 'PyTreeCheckpointer', Boom)
+    save_path = str(tmp_path) + '/'
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False,
+        save_bestmodel=True, save_path=save_path, verbose=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        tr.run()
+    assert any('orbax checkpoint save failed' in str(w.message)
+               for w in caught)
+    fallback = save_path + 'best_model.pkl'
+    assert os.path.exists(fallback)
+    with open(fallback, 'rb') as fh:
+        payload = pickle.load(fh)
+    assert 'params' in payload
+
+
 def test_supervised_explicit_pairs(rng):
     hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
     from dl4ds_tpu.interpolation import resize2d
@@ -278,6 +309,73 @@ def test_supervised_with_season_ids(data):
         season_ids=(season_ids[:24], season_ids[24:32], season_ids[32:40]))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_season_train_and_predict_with_time_metadata(data):
+    """Full season round-trip (ref inference.py:218 + dataloader.py:327-343):
+    train a season-conditioned model from time metadata, then predict with
+    time metadata — the one-hot channels must be rebuilt at inference."""
+    import pandas as pd
+    times = pd.date_range('2000-01-15', periods=40, freq='32D').values
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False,
+        time_metadata=(times[:24], times[24:32], times[32:]))
+    assert tr.season_ids is not None and len(tr.season_ids) == 3
+    tr.run()
+    # model input was widened by 4 season channels
+    assert tr.model.input_shape[-1] == 5
+    y = dds.predict(tr, data[32:], scale=4, array_in_hr=True,
+                    time_metadata=times[32:])
+    assert y.shape == (8, 16, 16, 1)
+    # without time_metadata the channel count mismatches -> must raise
+    with pytest.raises(Exception):
+        dds.predict(tr, data[32:], scale=4, array_in_hr=True)
+
+
+def test_datagen_season_from_time_metadata(data):
+    """Host-tier DataGenerator builds season channels from time metadata."""
+    import pandas as pd
+    times = pd.date_range('2000-01-15', periods=40, freq='91D').values
+    gen = dds.DataGenerator(data, None, backbone='convnet', upsampling='pin',
+                            scale=4, batch_size=2, seed=1,
+                            time_metadata=times)
+    assert gen.time_metadata is not None
+    [lr, aux], [hr] = gen[0]
+    assert lr.shape[-1] == 5 and aux.shape[-1] == 4  # data+season / season
+    assert np.all(aux.sum(axis=-1) == 1.0)           # one-hot
+
+
+def test_season_derived_from_xarray_time_coord(data):
+    """Trainer + predict derive seasons from an xr time coord end-to-end."""
+    import pandas as pd
+    xr = pytest.importorskip('xarray')
+    times = pd.date_range('2000-01-15', periods=40, freq='91D')
+    xda = xr.DataArray(data, dims=('time', 'y', 'x', 'c'),
+                       coords={'time': times})
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', data_train=xda[:24],
+        data_val=xda[24:32], data_test=xda[32:], scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+    assert tr.season_ids is not None
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+    y = dds.predict(tr, xda[32:], scale=4, array_in_hr=True)
+    assert y.shape == (8, 16, 16, 1)
+
+
+def test_season_ids_from_time_windows():
+    import pandas as pd
+    from dl4ds_tpu.dataloader import season_ids_from_time
+    times = pd.date_range('2000-01-01', periods=12, freq='MS').values
+    ids = season_ids_from_time(times)
+    assert list(ids) == [0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 0]
+    ids_w = season_ids_from_time(times, time_window=3)
+    assert len(ids_w) == 10
+    # window [Jan,Feb,Mar] -> modal month rule picks smallest most-common
+    assert ids_w[0] == 0 and ids_w[2] == 1
 
 
 def test_cgan_pin_mode(data):
