@@ -165,12 +165,7 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             aux = jax.device_put(aux, sharding)
         out = np.asarray(apply(variables, x, aux))[:n]
     else:
-        outs = []
-        for i in range(0, x.shape[0], batch_size):
-            xb = x[i:i + batch_size]
-            ab = aux[i:i + batch_size] if aux is not None else None
-            outs.append(np.asarray(apply(variables, xb, ab)))
-        out = np.concatenate(outs, axis=0)
+        out = _batched_apply(apply, variables, x, aux, batch_size)
 
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
@@ -183,6 +178,25 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     if return_lr:
         return out, np.asarray(batch_lr)
     return out
+
+
+def _batched_apply(apply, variables, x, aux, batch_size, *extra):
+    """Run `apply` over fixed-size batches, padding the ragged tail by
+    repeating its last sample (trimmed after) so every dispatch has the same
+    shape — ONE XLA compile regardless of n_samples % batch_size."""
+    n = x.shape[0]
+    bs = min(batch_size, n)
+    outs = []
+    for i in range(0, n, bs):
+        xb = x[i:i + bs]
+        ab = aux[i:i + bs] if aux is not None else None
+        nb = xb.shape[0]
+        if nb < bs:
+            xb = jnp.concatenate([xb, jnp.repeat(xb[-1:], bs - nb, 0)], 0)
+            if ab is not None:
+                ab = jnp.concatenate([ab, jnp.repeat(ab[-1:], bs - nb, 0)], 0)
+        outs.append(np.asarray(apply(variables, xb, ab, *extra))[:nb])
+    return np.concatenate(outs, axis=0)
 
 
 def _maybe_values(x):
@@ -228,12 +242,7 @@ def _predict_once_with_rng(model, variables, array, scale, rng_key,
         time_window, interpolation, time_metadata)
     apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
         v, xb, ab, training=False, rngs={'dropout': k}))
-    outs = []
-    for i in range(0, n_samples, batch_size):
-        ab = aux[i:i + batch_size] if aux is not None else None
-        outs.append(np.asarray(apply(variables, x[i:i + batch_size],
-                                     ab, rng_key)))
-    out = np.concatenate(outs, axis=0)
+    out = _batched_apply(apply, variables, x, aux, batch_size, rng_key)
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
     if scaler is not None:

@@ -332,14 +332,19 @@ class SupervisedTrainer(Trainer):
         from jax.sharding import NamedSharding, PartitionSpec as P
         idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
         spe = self.steps_per_execution or steps
+        # Round the epoch up to whole `spe` chunks so every `train_many`
+        # dispatch has the same [spe, batch] shape — a ragged tail chunk
+        # would trigger a second full XLA compile. `epoch_indices` wraps the
+        # permutation, so the extra steps just resample the epoch.
+        steps_exec = -(-steps // spe) * spe
 
         for epoch in range(self.trained_epochs, self.epochs):
             key, ekey = jax.random.split(key)
             epoch_losses = []
             if self.data_in_hbm:
                 idx_epoch = np.asarray(
-                    self.ds_train.epoch_indices(ekey, steps=steps))
-                for c in range(0, steps, spe):
+                    self.ds_train.epoch_indices(ekey, steps=steps_exec))
+                for c in range(0, steps_exec, spe):
                     key, skey = jax.random.split(key)
                     chunk = jax.device_put(
                         jnp.asarray(idx_epoch[c:c + spe], jnp.int32),

@@ -140,6 +140,44 @@ def test_checkpoint_save_failure_warns_and_falls_back(data, tmp_path,
     assert 'params' in payload
 
 
+def test_steps_per_execution_no_tail_recompile(data):
+    """steps=5 with steps_per_execution=2 must NOT recompile train_many for
+    a ragged tail chunk — the epoch is padded to whole chunks."""
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=2, steps_per_epoch=5, steps_per_execution=2,
+        validation_steps=1, test_steps=1, n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    tr.run()
+    assert tr._train_many._cache_size() == 1
+    assert len(tr.fithist['loss']) == 2
+
+
+def test_predict_tail_batch_single_compile(data, monkeypatch):
+    """predict over 10 samples with batch_size=4 pads the tail batch —
+    exactly one XLA compile of the apply fn."""
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=1, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+    tr.run()
+    jitted = []
+    orig_jit = jax.jit
+
+    def spy_jit(f, **kw):
+        j = orig_jit(f, **kw)
+        jitted.append(j)
+        return j
+
+    monkeypatch.setattr(jax, 'jit', spy_jit)
+    y = dds.predict(tr, data[:10], scale=4, array_in_hr=True, batch_size=4)
+    assert y.shape == (10, 16, 16, 1)
+    # every jitted fn created inside predict (batch synthesis + model apply)
+    # compiled exactly once — the ragged tail reuses the full-batch shape
+    sizes = [j._cache_size() for j in jitted]
+    assert sizes and all(s == 1 for s in sizes), sizes
+
+
 def test_supervised_explicit_pairs(rng):
     hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
     from dl4ds_tpu.interpolation import resize2d
