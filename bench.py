@@ -154,6 +154,78 @@ def infer_bench():
         'unit': 'grids/sec/chip', 'vs_baseline': None}))
 
 
+def accuracy_bench(quick=False):
+    """Accuracy-parity artifact (BASELINE.json north star 'RMSE/SSIM
+    parity'): train the README accuracy workload (synthetic field with
+    topography-correlated fine structure, 4x downscaling, resnet_spc +
+    HR static topography), run predict + metrics, and write model-vs-bicubic
+    RMSE/SSIM to ACCURACY.json. `--quick` shrinks the run for CI/CPU."""
+    import numpy as np
+    import jax
+    import dl4ds_tpu as dds
+    from dl4ds_tpu.interpolation import resize2d
+    from dl4ds_tpu.ops.ssim import ssim as jssim
+
+    n, size, epochs = (128, 32, 6) if quick else (512, 96, 100)
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing='ij')
+    topo = (np.sin(0.21 * yy) * np.cos(0.17 * xx)
+            + 0.5 * np.sin(0.53 * yy + 1.3) * np.cos(0.47 * xx))
+    frames = [(np.sin(0.07 * yy + 0.05 * k) * np.cos(0.09 * xx - 0.04 * k)
+               + 0.3 * topo + 0.05 * rng.standard_normal((size, size)))
+              for k in range(n)]
+    data = np.stack(frames)[..., None].astype('float32')
+    topo = topo.astype('float32')
+    scaler = dds.StandardScaler(axis=None)
+    data = scaler.fit_transform(data)[..., None].astype('float32')
+    i1, i2 = int(n * 0.75), int(n * 0.875)
+
+    trainer = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc',
+        data_train=data[:i1], data_val=data[i1:i2], data_test=data[i2:],
+        static_vars=[topo], scale=SCALE,
+        patch_size=16 if quick else 32, batch_size=4 if quick else 16,
+        loss='mae', epochs=epochs, n_filters=8,
+        n_blocks=2 if quick else 6, attention=True,
+        learning_rate=(1e-3, 1e-4), save=False, verbose=False, seed=0)
+    trainer.run()
+
+    test = data[i2:]
+    y_hat = dds.predict(trainer, test, scale=SCALE, array_in_hr=True,
+                        static_vars=[topo])
+    # bicubic baseline: coarsen the HR truth (inter_area, the dl4ds default)
+    # then re-upsample with bicubic — what a user gets without the network
+    lr = np.asarray(resize2d(test, (size // SCALE, size // SCALE),
+                             'inter_area'))
+    y_bicubic = np.asarray(resize2d(lr, (size, size), 'bicubic'))
+
+    import jax.numpy as jnp
+
+    def _metrics(y):
+        rmse = float(np.sqrt(np.mean((test - y) ** 2)))
+        drange = float(test.max() - test.min())
+        s = float(np.mean(np.asarray(jssim(
+            jnp.asarray(test), jnp.asarray(y), max_val=drange))))
+        return rmse, s
+
+    model_rmse, model_ssim = _metrics(y_hat.astype('float32'))
+    bic_rmse, bic_ssim = _metrics(y_bicubic.astype('float32'))
+    artifact = {
+        'workload': 'resnet_spc 4x + HR static topography '
+                    f'({n} frames, {size}px, {epochs} epochs)',
+        'platform': jax.devices()[0].platform,
+        'test_loss_mae': round(float(trainer.test_loss), 6),
+        'model': {'rmse': round(model_rmse, 6), 'ssim': round(model_ssim, 6)},
+        'bicubic': {'rmse': round(bic_rmse, 6), 'ssim': round(bic_ssim, 6)},
+        'rmse_improvement': round(bic_rmse / model_rmse, 3),
+    }
+    out = 'ACCURACY.json' if not quick else 'ACCURACY_quick.json'
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out),
+              'w') as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact))
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat bench runs skip the (slow)
     first-compile entirely."""
@@ -174,6 +246,9 @@ def main():
         return
     if '--infer' in sys.argv:
         infer_bench()
+        return
+    if '--accuracy' in sys.argv:
+        accuracy_bench(quick='--quick' in sys.argv)
         return
     pps = measure(STEPS, WARMUP)
     cpu_pps = cpu_baseline()

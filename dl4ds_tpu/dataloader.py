@@ -709,23 +709,39 @@ class BatchSynthesizer:
         return perm[:steps * self.batch_size].reshape(steps, self.batch_size)
 
 
+def _resize_chunked(arr, hw, interpolation, chunk=64):
+    """Full-dataset resize computed in device-sized chunks, result on host
+    (one-time preprocessing for the streaming tier)."""
+    outs = []
+    for i in range(0, arr.shape[0], chunk):
+        outs.append(np.asarray(resize2d(jnp.asarray(arr[i:i + chunk]), hw,
+                                        interpolation)))
+    return np.ascontiguousarray(np.concatenate(outs, axis=0))
+
+
 class HostStreamer:
     """Host->device batch pipeline for datasets larger than device memory.
 
     The dataset stays in host RAM; each batch's window gather + random patch
     crop runs in the native C++/OpenMP kernels (dl4ds_tpu.native, numpy
     fallback), a background thread keeps `prefetch` batches in flight, and
-    the LR coarsening (or pre-upsampling crop) happens on device after the
-    transfer — so only HR patches cross PCIe.
+    the LR coarsening (implicit post-upsampling pairs) happens on device
+    after the transfer — so only patches cross PCIe.
 
-    Covers implicit (HR-only) pairs, spatial or spatio-temporal samples,
-    'pin' and post-upsampling modes. For datasets that fit in HBM prefer
+    Covers the full feature matrix of `BatchSynthesizer`: implicit or
+    explicit pairs, spatial or spatio-temporal samples, 'pin' and
+    post-upsampling modes, predictors, static vars and season channels
+    (same channel layout; equivalence-tested in tests/test_native.py).
+    For 'pin' the pre-upsampled LR field is precomputed once per dataset on
+    host (costs one extra dataset-sized host allocation; crop-exact parity
+    with the device tier). For datasets that fit in HBM prefer
     `BatchSynthesizer` (no host round-trip at all).
     """
 
     def __init__(self, array, upsampling, scale, batch_size, patch_size=None,
                  time_window=None, interpolation='inter_area', prefetch=2,
-                 seed=0, array_lr=None):
+                 seed=0, array_lr=None, static_vars=None, predictors=None,
+                 season_ids=None):
         self.array = np.ascontiguousarray(_values(array), 'float32')
         if self.array.ndim != 4:
             raise ValueError('`array` must be [n, y, x, c]')
@@ -745,62 +761,138 @@ class HostStreamer:
         if patch_size is not None and self.is_postups \
                 and patch_size % scale != 0:
             raise ValueError('`patch_size` must be divisible by `scale`')
+        if self.array_lr is not None:
+            self.lr_y, self.lr_x = self.array_lr.shape[1:3]
+        else:
+            self.lr_y = self.hr_y // self.scale
+            self.lr_x = self.hr_x // self.scale
+
+        # --- one-time host-side preprocessing (mirrors BatchSynthesizer) ---
+        # pin: precompute the pre-upsampled LR field for the WHOLE dataset so
+        # patches crop from the full-grid interpolation exactly like the
+        # device tier (coarsening a crop != cropping a coarsened field).
+        self.lr_pre = None
+        if upsampling == 'pin':
+            base = (self.array_lr if self.array_lr is not None
+                    else _resize_chunked(self.array, (self.lr_y, self.lr_x),
+                                         interpolation))
+            self.lr_pre = _resize_chunked(base, (self.hr_y, self.hr_x),
+                                          interpolation)
+
+        self.pred = None
+        self.n_pred = 0
+        if predictors is not None:
+            pred = np.concatenate([_values(p) for p in predictors], axis=-1) \
+                if isinstance(predictors, (list, tuple)) else \
+                np.asarray(_values(predictors), 'float32')
+            self.n_pred = pred.shape[-1]
+            if pred.shape[1] != self.lr_y or pred.shape[2] != self.lr_x:
+                pred = _resize_chunked(pred, (self.lr_y, self.lr_x),
+                                       interpolation)
+            if upsampling == 'pin':
+                pred = _resize_chunked(pred, (self.hr_y, self.hr_x),
+                                       interpolation)
+            self.pred = np.ascontiguousarray(pred, 'float32')
+
+        self.static_hr = None
+        self.n_static = 0
+        if static_vars is not None:
+            self.static_hr = np.stack(
+                [np.squeeze(np.asarray(_values(s), 'float32'))
+                 for s in static_vars], axis=-1)        # [y, x, S]
+            self.n_static = self.static_hr.shape[-1]
+
+        self.season_ids = (np.asarray(season_ids, np.int32)
+                           if season_ids is not None else None)
+        self.has_aux = self.n_static > 0 or self.season_ids is not None
 
     def _host_batch(self, idx):
         from . import native
         p = self.patch_size
         tw = self.time_window or 1
+        b = idx.shape[0]
+        lr = pred = None
         if p is not None:
-            if self.is_postups and self.array_lr is not None:
-                # explicit pairs: crop LR at LR coords, HR at scale*coords
-                plr = p // self.scale
-                lr_y, lr_x = self.array_lr.shape[1:3]
-                ys = self.rng.integers(0, max(lr_y - plr, 1),
-                                       size=idx.shape[0])
-                xs = self.rng.integers(0, max(lr_x - plr, 1),
-                                       size=idx.shape[0])
-                lr = native.gather_crop(self.array_lr, idx, ys, xs, plr,
-                                        time_window=tw)
+            plr = p // self.scale
+            if self.is_postups:
+                # draw crops in LR coords (device-tier semantics)
+                ys = self.rng.integers(0, max(self.lr_y - plr, 1), size=b)
+                xs = self.rng.integers(0, max(self.lr_x - plr, 1), size=b)
                 hr = native.gather_crop(self.array, idx, ys * self.scale,
                                         xs * self.scale, p, time_window=tw)
-                return hr, lr
-            ys = self.rng.integers(0, max(self.hr_y - p, 1),
-                                   size=idx.shape[0])
-            xs = self.rng.integers(0, max(self.hr_x - p, 1),
-                                   size=idx.shape[0])
-            hr = native.gather_crop(self.array, idx, ys, xs, p,
-                                    time_window=tw)
+                if self.array_lr is not None:
+                    lr = native.gather_crop(self.array_lr, idx, ys, xs, plr,
+                                            time_window=tw)
+                if self.pred is not None:
+                    pred = native.gather_crop(self.pred, idx, ys, xs, plr,
+                                              time_window=tw)
+                ys_hr, xs_hr = ys * self.scale, xs * self.scale
+            else:
+                ys_hr = self.rng.integers(0, max(self.hr_y - p, 1), size=b)
+                xs_hr = self.rng.integers(0, max(self.hr_x - p, 1), size=b)
+                hr = native.gather_crop(self.array, idx, ys_hr, xs_hr, p,
+                                        time_window=tw)
+                lr = native.gather_crop(self.lr_pre, idx, ys_hr, xs_hr, p,
+                                        time_window=tw)
+                if self.pred is not None:
+                    pred = native.gather_crop(self.pred, idx, ys_hr, xs_hr,
+                                              p, time_window=tw)
+            static_hr = (self._crop_statics(ys_hr, xs_hr, p)
+                         if self.static_hr is not None else None)
         else:
             hr = native.gather_windows(self.array, idx, time_window=tw)
-        if self.array_lr is not None and not self.is_postups:
-            # pin with explicit pairs: ship both; device pre-upsamples LR
-            lr = (native.gather_windows(self.array_lr, idx, time_window=tw)
-                  if p is None else None)
-            if lr is None:
-                raise ValueError('HostStreamer pin mode with explicit pairs '
-                                 'supports full grids only (patch_size=None)')
-            return hr, lr
-        if self.array_lr is not None and p is None:
-            return hr, native.gather_windows(self.array_lr, idx,
-                                             time_window=tw)
-        return hr, None
+            src_lr = self.lr_pre if self.upsampling == 'pin' else self.array_lr
+            if src_lr is not None:
+                lr = native.gather_windows(src_lr, idx, time_window=tw)
+            if self.pred is not None:
+                pred = native.gather_windows(self.pred, idx, time_window=tw)
+            static_hr = (np.broadcast_to(
+                self.static_hr, (b,) + self.static_hr.shape)
+                if self.static_hr is not None else None)
+        sid = (self.season_ids[idx] if self.season_ids is not None else None)
+        return hr, lr, pred, static_hr, sid
+
+    def _crop_statics(self, ys, xs, p):
+        out = np.empty((ys.shape[0], p, p, self.n_static), 'float32')
+        for i in range(ys.shape[0]):
+            out[i] = self.static_hr[ys[i]:ys[i] + p, xs[i]:xs[i] + p, :]
+        return out
 
     def _to_device(self, item):
-        hr_np, lr_np = item
+        hr_np, lr_np, pred_np, static_np, sid_np = item
+        tw = self.time_window
         hr = jax.device_put(jnp.asarray(hr_np))
         h, w = hr.shape[-3], hr.shape[-2]
         if lr_np is not None:
             lr = jax.device_put(jnp.asarray(lr_np))
-            if self.upsampling == 'pin':
-                lr = resize2d(lr, (h, w), self.interpolation)
-        elif self.upsampling == 'pin':
-            lr = resize2d(resize2d(hr, (h // self.scale, w // self.scale),
-                                   self.interpolation), (h, w),
-                          self.interpolation)
-        else:
+        else:  # implicit post-upsampling pairs: coarsen on device
             lr = resize2d(hr, (h // self.scale, w // self.scale),
                           self.interpolation)
-        return {'lr': lr, 'hr': hr, 'aux': None}
+        b = hr.shape[0]
+        h_lr, w_lr = lr.shape[-3], lr.shape[-2]
+        parts_lr = [lr]
+        if pred_np is not None:
+            parts_lr.append(jax.device_put(jnp.asarray(pred_np)))
+        aux_parts = []
+        if static_np is not None:
+            static_hr = jax.device_put(jnp.asarray(static_np))
+            aux_parts.append(static_hr)
+            if tw is None:
+                static_lr = (resize2d(static_hr, (h_lr, w_lr),
+                                      self.interpolation)
+                             if self.is_postups else static_hr)
+                parts_lr.append(static_lr)
+        if sid_np is not None:
+            onehot = jax.nn.one_hot(jnp.asarray(sid_np), 4, dtype=hr.dtype)
+            aux_parts.append(jnp.broadcast_to(onehot[:, None, None, :],
+                                              (b, h, w, 4)))
+            if tw is None:
+                parts_lr.append(jnp.broadcast_to(
+                    onehot[:, None, None, :], (b, h_lr, w_lr, 4)))
+        lr = jnp.concatenate(parts_lr, axis=-1) if len(parts_lr) > 1 else lr
+        aux = (jnp.concatenate(aux_parts, axis=-1) if len(aux_parts) > 1
+               else (aux_parts[0] if aux_parts else None))
+        return {'lr': lr, 'hr': hr, 'aux': aux}
 
     def epochs(self, n_epochs=1, steps=None):
         """Iterate batches with background prefetch: yields dicts like

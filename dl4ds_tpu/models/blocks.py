@@ -416,11 +416,18 @@ class ConvLSTM2D(nn.Module):
 
     TPU-first structure: the input convolution is hoisted out of the
     recurrence and applied to the whole window at once (one big MXU conv over
-    B*T samples); only the recurrent conv + gates run inside `nn.scan`, so a
-    single compiled step is reused across the time window."""
+    B*T samples); only the recurrent conv + gates run inside the recurrence.
+    For short windows (the dl4ds regime) the recurrence is UNROLLED so XLA
+    fuses the per-step gate algebra across timesteps instead of paying
+    lax.scan loop/dynamic-update-slice overhead per step; long windows fall
+    back to `nn.scan` (one compiled step reused across time). `unroll=None`
+    picks automatically (full unroll for T <= _UNROLL_MAX_T)."""
     filters: int
     kernel_size: Tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.float32
+    unroll: Optional[int] = None
+
+    _UNROLL_MAX_T = 16
 
     @nn.compact
     def __call__(self, x):
@@ -431,8 +438,12 @@ class ConvLSTM2D(nn.Module):
         zx = jnp.moveaxis(zx, 1, 0)                           # [T,B,H,W,4F]
         init = (jnp.zeros((b, h, w, f), x.dtype),
                 jnp.zeros((b, h, w, f), x.dtype))
+        unroll = self.unroll
+        if unroll is None:
+            unroll = t if t <= self._UNROLL_MAX_T else 1
         scan = nn.scan(_ConvLSTMCell, variable_broadcast='params',
-                       split_rngs={'params': False}, in_axes=0, out_axes=0)
+                       split_rngs={'params': False}, in_axes=0, out_axes=0,
+                       unroll=unroll)
         _, ys = scan(self.filters, self.kernel_size, self.dtype,
                      name='cell')(init, zx)
         return jnp.moveaxis(ys, 0, 1)                         # [B,T,H,W,F]

@@ -136,11 +136,6 @@ class SupervisedTrainer(Trainer):
                     season_ids_from_time(t, time_window)
                     for t in time_metadata)
         self.season_ids = season_ids
-        if not data_in_hbm and (static_vars is not None
-                                or predictors_train is not None
-                                or season_ids is not None):
-            raise ValueError('data_in_hbm=False supports implicit HR-only '
-                             'pairs without static/predictor/season channels')
         self.model = None
         self.variables = None
 
@@ -167,7 +162,8 @@ class SupervisedTrainer(Trainer):
                 scale=self.scale, batch_size=self.global_batch_size,
                 patch_size=self.patch_size, time_window=self.time_window,
                 interpolation=self.interpolation, seed=self.seed,
-                array_lr=self.data_train_lr)
+                array_lr=self.data_train_lr, static_vars=self.static_vars,
+                predictors=self.predictors_train, season_ids=season[0])
         self.ds_val = BatchSynthesizer(
             self.data_val, self.data_val_lr,
             predictors=self.predictors_val, season_ids=season[1], **common)

@@ -82,3 +82,101 @@ def test_host_streamer_explicit_pairs(rng):
     b = next(iter(streamer.epochs(steps=1)))
     assert b['hr'].shape == (4, 16, 16, 1)
     assert b['lr'].shape == (4, 4, 4, 1)
+
+
+def _streamer_batch(streamer, idx):
+    return streamer._to_device(streamer._host_batch(idx))
+
+
+def test_host_streamer_full_grid_equivalence_vs_synthesizer(rng):
+    """Full-feature full-grid batches (statics + predictors + season) must
+    match the device tier's BatchSynthesizer exactly — same channel layout,
+    same values."""
+    import jax
+    from dl4ds_tpu.dataloader import BatchSynthesizer
+
+    data = rng.standard_normal((24, 16, 16, 1)).astype('float32')
+    statics = [rng.standard_normal((16, 16)).astype('float32'),
+               rng.standard_normal((16, 16)).astype('float32')]
+    preds = [rng.standard_normal((24, 4, 4, 1)).astype('float32')]
+    season_ids = np.tile([0, 1, 2, 3], 6).astype(np.int32)
+    idx = np.array([0, 5, 9, 13], np.int64)
+
+    for ups in ('spc', 'pin'):
+        synth = BatchSynthesizer(data, None, upsampling=ups, scale=4,
+                                 batch_size=4, static_vars=statics,
+                                 predictors=preds, season_ids=season_ids)
+        ref = synth(idx.astype(np.int32), jax.random.PRNGKey(0))
+        streamer = HostStreamer(data, ups, scale=4, batch_size=4, seed=0,
+                                static_vars=statics, predictors=preds,
+                                season_ids=season_ids)
+        got = _streamer_batch(streamer, idx)
+        for k in ('hr', 'lr', 'aux'):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]), atol=1e-5,
+                                       err_msg=f'{ups}/{k}')
+
+
+def test_host_streamer_pin_patch_crops_full_grid_interpolation(rng):
+    """pin + patch: the streamed LR patch must be a crop of the FULL-grid
+    pre-upsampled field (not an interpolation of the patch) — device-tier
+    and reference semantics (dl4ds/dataloader.py:100-112)."""
+    data = rng.standard_normal((12, 32, 32, 1)).astype('float32')
+    streamer = HostStreamer(data, 'pin', scale=4, batch_size=3,
+                            patch_size=8, seed=7)
+    idx = np.array([1, 4, 8], np.int64)
+    rng_replay = np.random.default_rng(7)
+    hr, lr, *_ = streamer._host_batch(idx)
+    ys = rng_replay.integers(0, 32 - 8, size=3)
+    xs = rng_replay.integers(0, 32 - 8, size=3)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            lr[i], streamer.lr_pre[idx[i], ys[i]:ys[i] + 8, xs[i]:xs[i] + 8])
+        np.testing.assert_array_equal(
+            hr[i], data[idx[i], ys[i]:ys[i] + 8, xs[i]:xs[i] + 8])
+
+
+def test_host_streamer_pin_patch_explicit_pairs(rng):
+    """pin + patch + explicit LR pairs streams (used to raise mid-epoch)."""
+    from dl4ds_tpu.interpolation import resize2d
+    import jax.numpy as jnp
+    hr = rng.standard_normal((20, 32, 32, 1)).astype('float32')
+    lr = np.asarray(resize2d(jnp.asarray(hr), (8, 8), 'inter_area'))
+    streamer = HostStreamer(hr, 'pin', scale=4, batch_size=4, patch_size=8,
+                            array_lr=lr, seed=0)
+    batches = list(streamer.epochs(n_epochs=1, steps=2))
+    assert len(batches) == 2
+    for b in batches:
+        assert b['hr'].shape == (4, 8, 8, 1)
+        assert b['lr'].shape == (4, 8, 8, 1)
+
+
+def test_host_streamer_spatiotemporal_statics(rng):
+    data = rng.standard_normal((20, 16, 16, 1)).astype('float32')
+    statics = [rng.standard_normal((16, 16)).astype('float32')]
+    streamer = HostStreamer(data, 'spc', scale=4, batch_size=2,
+                            time_window=3, static_vars=statics, seed=0)
+    b = _streamer_batch(streamer, np.array([0, 4], np.int64))
+    assert b['hr'].shape == (2, 3, 16, 16, 1)
+    assert b['lr'].shape == (2, 3, 4, 4, 1)   # statics stay aux-only for tw
+    assert b['aux'].shape == (2, 16, 16, 1)
+
+
+def test_trainer_streaming_with_statics_predictors_season(rng):
+    """data_in_hbm=False now supports the full feature matrix."""
+    import dl4ds_tpu as dds
+    data = rng.standard_normal((40, 16, 16, 1)).astype('float32')
+    statics = [rng.standard_normal((16, 16)).astype('float32')]
+    preds = [rng.standard_normal((40, 4, 4, 1)).astype('float32')]
+    sid = np.tile([0, 1, 2, 3], 10)
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:24],
+        data_val=data[24:32], data_test=data[32:], static_vars=statics,
+        predictors_train=[preds[0][:24]], predictors_val=[preds[0][24:32]],
+        predictors_test=[preds[0][32:]], scale=4, patch_size=8, batch_size=2,
+        epochs=1, steps_per_epoch=2, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, save=False, verbose=False,
+        data_in_hbm=False,
+        season_ids=(sid[:24], sid[24:32], sid[32:]))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
