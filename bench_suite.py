@@ -17,6 +17,38 @@ import time
 
 import numpy as np
 
+# Peak bf16 matmul throughput per chip (the MXU roofline), by device kind.
+_PEAK_BF16_FLOPS = {
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12, 'TPU v5e': 197e12,
+    'TPU v5': 459e12, 'TPU v5p': 459e12,
+    'TPU v6 lite': 918e12, 'TPU v6e': 918e12,
+}
+
+
+def _roofline(jitted, args, dt_per_step, steps_per_call):
+    """ms/step, FLOPs/step and MFU (vs the chip's bf16 peak) from XLA's own
+    cost analysis of the compiled program."""
+    import jax
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get('flops', 0.0)) / steps_per_call
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        flops_per_step = None
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_BF16_FLOPS.items() if kind.startswith(k)),
+                None)
+    mfu = (flops_per_step / dt_per_step / peak
+           if flops_per_step and peak else None)
+    return {
+        'ms_per_step': round(dt_per_step * 1e3, 3),
+        'flops_per_step': flops_per_step,
+        'mfu_pct': round(100 * mfu, 2) if mfu is not None else None,
+        'device_kind': kind,
+    }
+
 
 def measure_supervised(name, steps=20, **kwargs):
     import jax
@@ -47,8 +79,12 @@ def measure_supervised(name, steps=20, **kwargs):
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     pps = steps * tr.global_batch_size / dt
-    print(f'{name}: {pps:,.0f} patches/s  ({dt / steps * 1000:.2f} ms/step)')
-    return pps
+    stats = _roofline(tr._train_many, (state, idx[:steps], key), dt / steps,
+                      steps)
+    mfu = stats['mfu_pct']
+    print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
+          + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))
+    return {'patches_per_sec': round(pps, 2), **stats}
 
 
 def measure_cgan(name, steps=20):
@@ -91,8 +127,12 @@ def measure_cgan(name, steps=20):
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     pps = steps * tr.global_batch_size / dt
-    print(f'{name}: {pps:,.0f} patches/s  ({dt / steps * 1000:.2f} ms/step)')
-    return pps
+    stats = _roofline(tr._train_many, (gen_state, disc_state, idx[:steps],
+                                       key), dt / steps, steps)
+    mfu = stats['mfu_pct']
+    print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
+          + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))
+    return {'patches_per_sec': round(pps, 2), **stats}
 
 
 def main():
@@ -114,14 +154,14 @@ def main():
         n_blocks=4)
     results['recresnet_spc_4x_tw4'] = measure_supervised(
         'recresnet_spc time_window=4    ', backbone='resnet',
-        upsampling='spc', time_window=4, n_blocks=2, batch_size=16)
+        upsampling='spc', time_window=4, n_blocks=2)
     results['cgan_resnet_spc_4x'] = measure_cgan(
         'CGAN resnet_spc G+D            ')
 
     with open('BENCH_SUITE.json', 'w') as fh:
-        json.dump({k: round(v, 2) for k, v in results.items()}, fh, indent=2)
-    print('\nwrote BENCH_SUITE.json (patches/sec/chip, bf16, batch 128 '
-          '[16 for spatio-temporal], 64px HR patches)')
+        json.dump(results, fh, indent=2)
+    print('\nwrote BENCH_SUITE.json (patches/sec/chip + ms/step + MFU, bf16, '
+          'batch 128, 64px HR patches)')
 
 
 if __name__ == '__main__':

@@ -126,14 +126,45 @@ def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
     return batch['lr'], batch['aux'], n_samples
 
 
+def _pad_spatial_to_multiple(x, aux, multiple):
+    """Edge-pad the input's spatial dims up to the next `multiple` so grids
+    of many sizes share one compiled bucket shape. Returns (x, aux, out_hw):
+    crop the model output back to `out_hw` (times the model's upsampling
+    factor) afterwards."""
+    h, w = x.shape[-3], x.shape[-2]
+    out_h, out_w = h, w
+    ph, pw = (-h) % multiple, (-w) % multiple
+    if ph or pw:
+        pad = [(0, 0)] * x.ndim
+        pad[-3], pad[-2] = (0, ph), (0, pw)
+        x = jnp.pad(x, pad, mode='edge')
+        if aux is not None:
+            # aux lives on the HR grid: pad by the upsampling factor
+            fa_h = aux.shape[-3] // h
+            fa_w = aux.shape[-2] // w
+            pada = [(0, 0)] * aux.ndim
+            pada[-3], pada[-2] = (0, ph * fa_h), (0, pw * fa_w)
+            aux = jnp.pad(aux, pada, mode='edge')
+    return x, aux, (out_h, out_w)
+
+
 def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             predictors=None, time_window=None, time_metadata=None,
             interpolation='inter_area', batch_size=64, scaler=None,
             save_path=None, save_fname='y_hat.npy', return_lr=False,
-            device='TPU', mesh=None):
+            device='TPU', mesh=None, pad_to_multiple=None):
     """Super-resolve/downscale `array` with a trained model
-    (reference: dl4ds/inference.py:109-255). With `mesh`, the sample batch
-    is sharded over the mesh's 'data' axis (multi-chip inference)."""
+    (reference: dl4ds/inference.py:109-255). With `mesh`, samples are
+    processed in global batches of `batch_size * mesh.size` sharded over the
+    mesh's 'data' axis (multi-chip inference).
+
+    Compile-cache note: JAX compiles one executable per input shape; the
+    executable is cached, so repeated calls on the same grid size are fast,
+    but every NEW grid size pays a compile. For workloads mixing many grid
+    sizes, set `pad_to_multiple` (e.g. 32): inputs are edge-padded up to the
+    next multiple (fully-convolutional models only — not with
+    `localcon_layer`) and the output is cropped back, so all sizes in the
+    same bucket share one compiled program."""
     timing = Timing()
 
     model, variables = _resolve_model(trainer)
@@ -148,24 +179,31 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         time_window, interpolation, time_metadata)
     batch_lr = x
 
-    apply = jax.jit(
-        lambda v, xb, ab: model.module.apply(v, xb, ab, training=False))
+    out_hw = None
+    if pad_to_multiple is not None:
+        x, aux, out_hw = _pad_spatial_to_multiple(x, aux, pad_to_multiple)
+
+    apply = _cached_jit_apply(model)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P('data'))
         n = x.shape[0]
-        pad_to = -(-n // mesh.size) * mesh.size
-        if pad_to != n:
-            reps = pad_to - n
-            x = jnp.concatenate([x, x[:reps]], axis=0)
-            if aux is not None:
-                aux = jnp.concatenate([aux, aux[:reps]], axis=0)
-        x = jax.device_put(x, sharding)
-        if aux is not None:
-            aux = jax.device_put(aux, sharding)
-        out = np.asarray(apply(variables, x, aux))[:n]
+        gbs = min(batch_size * mesh.size, -(-n // mesh.size) * mesh.size)
+
+        def apply_sharded(v, xb, ab):
+            xb = jax.device_put(xb, sharding)
+            if ab is not None:
+                ab = jax.device_put(ab, sharding)
+            return apply(v, xb, ab)
+
+        out = _batched_apply(apply_sharded, variables, x, aux, gbs)
     else:
         out = _batched_apply(apply, variables, x, aux, batch_size)
+
+    if out_hw is not None:
+        f_h = out.shape[-3] // x.shape[-3]
+        f_w = out.shape[-2] // x.shape[-2]
+        out = out[..., :out_hw[0] * f_h, :out_hw[1] * f_w, :]
 
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
@@ -178,6 +216,22 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     if return_lr:
         return out, np.asarray(batch_lr)
     return out
+
+
+def _cached_jit_apply(model):
+    """The jitted inference forward, memoized ON the model wrapper — repeat
+    `predict` calls reuse the same jit object, so XLA's executable cache hits
+    across calls (and `pad_to_multiple` buckets make distinct grid sizes hit
+    the same cached shape)."""
+    fn = getattr(model, '_cached_jit_apply', None)
+    if fn is None:
+        fn = jax.jit(lambda v, xb, ab: model.module.apply(v, xb, ab,
+                                                          training=False))
+        try:
+            model._cached_jit_apply = fn
+        except Exception:  # noqa: BLE001 — frozen wrappers: skip memoization
+            pass
+    return fn
 
 
 def _batched_apply(apply, variables, x, aux, batch_size, *extra):

@@ -69,6 +69,30 @@ def test_predict_arbitrary_grid_size(trained):
     assert y.shape == (2, 32, 32, 1)
 
 
+def test_predict_padded_buckets_share_one_compile(trained):
+    """pad_to_multiple buckets nearby grid sizes into ONE compiled shape:
+    20px, 28px and 32px HR grids (5/7/8 px LR) all pad to the 8px LR bucket,
+    and the jitted apply is memoized on the model so the cache persists
+    ACROSS predict calls."""
+    tr, _ = trained
+    rng = np.random.default_rng(3)
+    if hasattr(tr.model, '_cached_jit_apply'):
+        del tr.model._cached_jit_apply   # fresh cache for counting
+    for size in (20, 28, 32):
+        big = rng.standard_normal((2, size, size, 1)).astype('float32')
+        y = dds.predict(tr, big, scale=4, array_in_hr=True,
+                        pad_to_multiple=8)
+        assert y.shape == (2, size, size, 1), size
+    # three grid sizes, one bucket shape, one jit -> exactly one compile
+    assert tr.model._cached_jit_apply._cache_size() == 1
+    # without bucketing, every size pays its own compile
+    del tr.model._cached_jit_apply
+    for size in (20, 28, 32):
+        big = rng.standard_normal((2, size, size, 1)).astype('float32')
+        dds.predict(tr, big, scale=4, array_in_hr=True)
+    assert tr.model._cached_jit_apply._cache_size() == 3
+
+
 def test_compute_rmse_and_correlation(rng):
     y = rng.standard_normal((10, 8, 8, 1)).astype('float32')
     noise = 0.1 * rng.standard_normal(y.shape).astype('float32')
