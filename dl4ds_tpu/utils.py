@@ -244,28 +244,59 @@ def dynamic_crop(array, size, y, x, spatial_axis):
 # Training-history plotting (reference: dl4ds/utils.py:409-672)
 # -----------------------------------------------------------------------------
 
-def plot_history(history, path=None, side=5, graphs_per_row=4,
+def plot_history(history, style='-', side=5, graphs_per_row=4,
+                 customization_callback=None, path=None, single_graphs=False,
+                 max_epochs='max', monitor=None, monitor_mode='max',
                  log_scale_metrics=False, title=None):
-    """Plot per-metric learning curves from a dict of lists (e.g.
-    {'loss': [...], 'val_loss': [...]}) and optionally save a PNG."""
+    """Plot training histories as a per-metric grid
+    (reference: dl4ds/utils.py:409-672, adapted from plot_keras_history).
+
+    Parameters mirror the reference: `history` is a dict of lists (e.g.
+    {'loss': [...], 'val_loss': [...]}) or a list of such dicts (multiple
+    runs overlaid); `monitor`/`monitor_mode` mark the best epoch of that
+    metric; `max_epochs` ('max' | 'min' | int) windows the x-axis across
+    runs; `single_graphs` saves one PNG per metric next to `path`;
+    `customization_callback(axis)` post-styles every axis.
+    """
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
-    metrics = [k for k in history if not k.startswith('val_')]
-    n = max(len(metrics), 1)
-    w = min(n, graphs_per_row)
-    h = math.ceil(n / graphs_per_row)
-    fig, axes = plt.subplots(h, w, figsize=(side * w, side * h), dpi=150,
-                             constrained_layout=True, squeeze=False)
-    flat_axes = axes.ravel()
-    for metric, axis in zip(metrics, flat_axes):
-        vals = np.asarray(history[metric], dtype=float)
-        axis.plot(vals, '-', label=f'Train last: {vals[-1]:0.4f}')
-        val_key = f'val_{metric}'
-        if val_key in history:
-            vvals = np.asarray(history[val_key], dtype=float)
-            axis.plot(vvals, '-', label=f'Val last: {vvals[-1]:0.4f}')
+    if monitor_mode not in ('min', 'max'):
+        raise ValueError(f'monitor_mode {monitor_mode!r} is not supported')
+    if max_epochs not in ('min', 'max') and not isinstance(max_epochs, int):
+        raise ValueError(f'max_epochs {max_epochs!r} is not supported')
+    histories = history if isinstance(history, list) else [history]
+    lengths = [len(next(iter(h.values()))) for h in histories if h]
+    if isinstance(max_epochs, int):
+        n_epochs = max_epochs
+    elif max_epochs == 'min':
+        n_epochs = min(lengths) if lengths else 0
+    else:
+        n_epochs = max(lengths) if lengths else 0
+
+    metrics = []
+    for h in histories:
+        for k in h:
+            if not k.startswith('val_') and k not in metrics:
+                metrics.append(k)
+
+    def _draw_metric(axis, metric):
+        for i, h in enumerate(histories):
+            run = f' run {i + 1}' if len(histories) > 1 else ''
+            for prefix, key in (('Train', metric), ('Val', f'val_{metric}')):
+                if key not in h:
+                    continue
+                vals = np.asarray(h[key], dtype=float)[:n_epochs]
+                axis.plot(vals, style,
+                          label=f'{prefix}{run} last: {vals[-1]:0.4f}')
+                if monitor is not None and key == monitor and len(vals):
+                    best = (np.argmax(vals) if monitor_mode == 'max'
+                            else np.argmin(vals))
+                    axis.scatter([best], [vals[best]], marker='*', s=90,
+                                 zorder=5,
+                                 label=f'Best {key}: {vals[best]:0.4f} '
+                                       f'(epoch {best + 1})')
         axis.set_xlabel('Epochs')
         axis.set_ylabel(metric.capitalize())
         if log_scale_metrics:
@@ -273,13 +304,39 @@ def plot_history(history, path=None, side=5, graphs_per_row=4,
         axis.set_title(metric.capitalize())
         axis.grid(True)
         axis.legend()
+        if customization_callback is not None:
+            customization_callback(axis)
+
+    if path is not None:
+        dirname = os.path.dirname(path)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+    if single_graphs:
+        figs, all_axes = [], []
+        for metric in metrics:
+            fig, axis = plt.subplots(figsize=(side, side), dpi=150,
+                                     constrained_layout=True)
+            _draw_metric(axis, metric)
+            if path is not None:
+                root, ext = os.path.splitext(path)
+                fig.savefig(f'{root}_{metric}{ext or ".png"}')
+            figs.append(fig)
+            all_axes.append(axis)
+        return figs, all_axes
+
+    n = max(len(metrics), 1)
+    w = min(n, graphs_per_row)
+    h = math.ceil(n / graphs_per_row)
+    fig, axes = plt.subplots(h, w, figsize=(side * w, side * h), dpi=150,
+                             constrained_layout=True, squeeze=False)
+    flat_axes = axes.ravel()
+    for metric, axis in zip(metrics, flat_axes):
+        _draw_metric(axis, metric)
     for axis in flat_axes[len(metrics):]:
         axis.axis('off')
     if title is not None:
         fig.suptitle(title, fontsize=20)
     if path is not None:
-        dirname = os.path.dirname(path)
-        if dirname:
-            os.makedirs(dirname, exist_ok=True)
         fig.savefig(path)
     return fig, axes

@@ -90,3 +90,29 @@ def test_pair_debug_mode(rng, tmp_path, monkeypatch):
     dds.create_pair_hr_lr(hr, None, 'spc', scale=4, patch_size=8, debug=True)
     import os
     assert os.path.exists('dl4ds_pair_debug.png')
+
+
+def test_plot_history_grid_and_extras(tmp_path):
+    """plot_history parity features (ref utils.py:409-672): grid PNG,
+    multi-run overlay, monitor-best marker, single_graphs, max_epochs."""
+    import os
+    from dl4ds_tpu.utils import plot_history
+    import matplotlib.pyplot as plt
+
+    h1 = {'loss': [3.0, 2.0, 1.0, 0.9], 'val_loss': [3.1, 2.5, 1.2, 1.3],
+          'mae': [1.0, 0.8, 0.6, 0.5]}
+    h2 = {'loss': [2.8, 1.9, 1.1], 'val_loss': [2.9, 2.2, 1.4]}
+    p = str(tmp_path / 'curves.png')
+    fig, axes = plot_history([h1, h2], path=p, monitor='val_loss',
+                             monitor_mode='min', max_epochs='min')
+    assert os.path.exists(p)
+    plt.close(fig)
+    figs, _ = plot_history(h1, path=str(tmp_path / 'single.png'),
+                           single_graphs=True)
+    assert os.path.exists(str(tmp_path / 'single_loss.png'))
+    assert os.path.exists(str(tmp_path / 'single_mae.png'))
+    for f in figs:
+        plt.close(f)
+    import pytest
+    with pytest.raises(ValueError):
+        plot_history(h1, monitor_mode='bogus')
