@@ -169,10 +169,17 @@ def accuracy_bench(quick=False):
     n, size, epochs = (128, 32, 6) if quick else (512, 96, 100)
     rng = np.random.default_rng(0)
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing='ij')
+    # Topography with structure ABOVE the LR Nyquist (pi/scale ~ 0.785
+    # rad/px at 4x): interpolation cannot reconstruct the high-frequency
+    # band from the coarsened field, but the network sees the HR topography
+    # as a static input and can.
     topo = (np.sin(0.21 * yy) * np.cos(0.17 * xx)
-            + 0.5 * np.sin(0.53 * yy + 1.3) * np.cos(0.47 * xx))
+            + 0.5 * np.sin(0.53 * yy + 1.3) * np.cos(0.47 * xx)
+            + 0.8 * np.sin(1.3 * yy) * np.cos(1.1 * xx)
+            + 0.6 * np.sin(0.9 * xx + 0.5 * yy))
     frames = [(np.sin(0.07 * yy + 0.05 * k) * np.cos(0.09 * xx - 0.04 * k)
-               + 0.3 * topo + 0.05 * rng.standard_normal((size, size)))
+               + 0.4 * (1.0 + 0.5 * np.sin(0.1 * k)) * topo
+               + 0.02 * rng.standard_normal((size, size)))
               for k in range(n)]
     data = np.stack(frames)[..., None].astype('float32')
     topo = topo.astype('float32')
