@@ -70,7 +70,8 @@ class CGANTrainer(Trainer):
                  save_path=None, save_logs=False, save_loss_history=True,
                  generator_params=None, discriminator_params=None,
                  verbose=True, seed=42, mesh=None, devices=None,
-                 gpu_memory_growth=None, resume_from_checkpoint=None):
+                 gpu_memory_growth=None, resume_from_checkpoint=None,
+                 data_in_hbm=True):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -97,6 +98,10 @@ class CGANTrainer(Trainer):
         self.generator_params = generator_params or {}
         self.discriminator_params = discriminator_params or {}
         self.seed = seed
+        # data_in_hbm=False streams the training split from host RAM through
+        # the native gather/crop kernels (datasets larger than HBM), same as
+        # SupervisedTrainer's streaming tier
+        self.data_in_hbm = data_in_hbm
         # resume G/D params + optimizer states from a periodic checkpoint
         # saved by checkpoints_frequency (path to .../checkpoints/<name>)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -146,9 +151,8 @@ class CGANTrainer(Trainer):
         gen, disc, lossf = self.generator, self.discriminator, self.lossf
         synth = self.ds_train
 
-        def train_step(gen_state, disc_state, indices, key):
-            skey, gkey, dkey = jax.random.split(key, 3)
-            batch = synth._make_batch(indices, skey)
+        def train_step_batch(gen_state, disc_state, batch, key):
+            gkey, dkey = jax.random.split(key)
             lr, hr, aux = batch['lr'], batch['hr'], batch['aux']
 
             def g_loss_fn(g_params):
@@ -180,6 +184,11 @@ class CGANTrainer(Trainer):
             disc_state = disc_state.apply_gradients(grads=d_grads)
             return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
 
+        def train_step(gen_state, disc_state, indices, key):
+            skey, bkey = jax.random.split(key)
+            batch = synth._make_batch(indices, skey)
+            return train_step_batch(gen_state, disc_state, batch, bkey)
+
         def train_many(gen_state, disc_state, idx_mat, key):
             """One XLA program per epoch chunk: lax.scan over the fused
             G+D step (single host dispatch, no per-step latency)."""
@@ -196,6 +205,8 @@ class CGANTrainer(Trainer):
             return gen_state, disc_state, losses
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step_batch = jax.jit(train_step_batch,
+                                         donate_argnums=(0, 1))
         self._train_many = jax.jit(train_many, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
@@ -203,12 +214,24 @@ class CGANTrainer(Trainer):
         """Adversarial training loop (reference: cgan.py:264-444)."""
         self.timing = Timing(self.verbose)
 
-        self.ds_train = BatchSynthesizer(
-            self.data_train, self.data_train_lr, upsampling=self.upsampling,
-            scale=self.scale, batch_size=self.global_batch_size,
-            patch_size=self.patch_size, time_window=self.time_window,
-            static_vars=self.static_vars, predictors=self.predictors_train,
-            interpolation=self.interpolation)
+        if self.data_in_hbm:
+            self.ds_train = BatchSynthesizer(
+                self.data_train, self.data_train_lr,
+                upsampling=self.upsampling, scale=self.scale,
+                batch_size=self.global_batch_size,
+                patch_size=self.patch_size, time_window=self.time_window,
+                static_vars=self.static_vars,
+                predictors=self.predictors_train,
+                interpolation=self.interpolation)
+        else:
+            from ..dataloader import HostStreamer
+            self.ds_train = HostStreamer(
+                self.data_train, upsampling=self.upsampling,
+                scale=self.scale, batch_size=self.global_batch_size,
+                patch_size=self.patch_size, time_window=self.time_window,
+                interpolation=self.interpolation, seed=self.seed,
+                array_lr=self.data_train_lr, static_vars=self.static_vars,
+                predictors=self.predictors_train)
         self.setup_model()
 
         lrs = self.learning_rates
@@ -244,15 +267,25 @@ class CGANTrainer(Trainer):
             if self.verbose and self.running_on_first_worker:
                 print(f'\nEpoch {epoch + 1}/{self.epochs}')
             key, ekey, skey = jax.random.split(key, 3)
-            idx_epoch = jax.device_put(
-                jnp.asarray(np.asarray(self.ds_train.epoch_indices(
-                    ekey, steps=steps)), jnp.int32), idx_mat_sharding)
-            gen_state, disc_state, losses = self._train_many(
-                gen_state, disc_state, idx_epoch, skey)
+            if self.data_in_hbm:
+                idx_epoch = jax.device_put(
+                    jnp.asarray(np.asarray(self.ds_train.epoch_indices(
+                        ekey, steps=steps)), jnp.int32), idx_mat_sharding)
+                gen_state, disc_state, losses = self._train_many(
+                    gen_state, disc_state, idx_epoch, skey)
+                last = jax.device_get(losses[-1])
+            else:
+                for batch in self.ds_train.epochs(n_epochs=1, steps=steps):
+                    key, bkey = jax.random.split(key)
+                    batch = {k: (jax.device_put(v, self.batch_sharding)
+                                 if v is not None else None)
+                             for k, v in batch.items()}
+                    gen_state, disc_state, last = self._train_step_batch(
+                        gen_state, disc_state, batch, bkey)
+                last = [float(v) for v in jax.device_get(last)]
             # last step's losses, matching the reference's per-epoch record
             # (cgan.py:365-368 records the final step of the epoch)
-            g_total, g_gan, g_px, d_loss = [float(v) for v in
-                                            jax.device_get(losses[-1])]
+            g_total, g_gan, g_px, d_loss = [float(v) for v in last]
             self.gentotal.append(g_total)
             self.gengan.append(g_gan)
             self.gen_pxloss.append(g_px)

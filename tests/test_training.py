@@ -428,6 +428,22 @@ def test_cgan_pin_mode(data):
     assert np.isfinite(tr.test_loss)
 
 
+def test_cgan_streaming_tier(rng):
+    """CGAN with data_in_hbm=False (HostStreamer + per-batch jitted step)."""
+    data = rng.standard_normal((40, 16, 16, 1)).astype('float32')
+    statics = [rng.standard_normal((16, 16)).astype('float32')]
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:32],
+        data_test=data[32:], static_vars=statics, scale=4, patch_size=8,
+        batch_size=2, epochs=1, steps_per_epoch=2, save=False, verbose=False,
+        data_in_hbm=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+    assert len(tr.gentotal) == 1
+
+
 def test_cgan_explicit_pairs(rng):
     hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
     from dl4ds_tpu.interpolation import resize2d
