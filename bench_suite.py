@@ -157,6 +157,11 @@ def main():
         upsampling='spc', time_window=4, n_blocks=2)
     results['cgan_resnet_spc_4x'] = measure_cgan(
         'CGAN resnet_spc G+D            ')
+    # not a BASELINE config: the same flagship workload at production width
+    # (18.5M params) — the MFU column here is the meaningful roofline check
+    results['resnet_spc_width64'] = measure_supervised(
+        'resnet_spc production width 64 ', backbone='resnet',
+        upsampling='spc', n_blocks=6, n_filters=64, attention=True)
 
     with open('BENCH_SUITE.json', 'w') as fh:
         json.dump(results, fh, indent=2)
