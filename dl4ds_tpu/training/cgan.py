@@ -71,7 +71,7 @@ class CGANTrainer(Trainer):
                  generator_params=None, discriminator_params=None,
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, resume_from_checkpoint=None,
-                 data_in_hbm=True):
+                 data_in_hbm=True, terminate_on_nan=True):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -102,6 +102,8 @@ class CGANTrainer(Trainer):
         # the native gather/crop kernels (datasets larger than HBM), same as
         # SupervisedTrainer's streaming tier
         self.data_in_hbm = data_in_hbm
+        # stop when G or D loss diverges to NaN/inf (failure detection)
+        self.terminate_on_nan = terminate_on_nan
         # resume G/D params + optimizer states from a periodic checkpoint
         # saved by checkpoints_frequency (path to .../checkpoints/<name>)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -290,6 +292,14 @@ class CGANTrainer(Trainer):
             self.gengan.append(g_gan)
             self.gen_pxloss.append(g_px)
             self.disc.append(d_loss)
+            if self.terminate_on_nan and not (np.isfinite(g_total)
+                                              and np.isfinite(d_loss)):
+                import warnings
+                warnings.warn(
+                    f'Non-finite G/D loss at epoch {epoch + 1} '
+                    f'(gen={g_total}, disc={d_loss}); terminating training',
+                    RuntimeWarning)
+                break
             if self.save_logs:
                 self.log_scalars(epoch, gen_total_loss=g_total,
                                  gen_gan_loss=g_gan, gen_px_loss=g_px,

@@ -56,7 +56,8 @@ class SupervisedTrainer(Trainer):
                  gpu_memory_growth=None, save_logs=False, profile=False,
                  data_in_hbm=True, steps_per_execution=None,
                  checkpoints_frequency=0, resume_from_checkpoint=None,
-                 season_ids=None, time_metadata=None, **architecture_params):
+                 season_ids=None, time_metadata=None, terminate_on_nan=True,
+                 **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -110,6 +111,10 @@ class SupervisedTrainer(Trainer):
         # checkpoints the CGAN, SURVEY.md §5)
         self.checkpoints_frequency = checkpoints_frequency
         self.resume_from_checkpoint = resume_from_checkpoint
+        # failure detection (SURVEY §5 — beyond the reference): stop the run
+        # when the loss diverges to NaN/inf instead of burning the remaining
+        # epochs (keras TerminateOnNaN analogue, on by default)
+        self.terminate_on_nan = terminate_on_nan
         # per-sample season indices 0..3, one array per split
         # ((train, val, test) tuple); one-hot channels appended on device —
         # replaces the reference's per-sample xarray time lookups
@@ -370,6 +375,14 @@ class SupervisedTrainer(Trainer):
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
+            if self.terminate_on_nan and not (np.isfinite(train_loss)
+                                              and np.isfinite(val_loss)):
+                import warnings
+                warnings.warn(
+                    f'Non-finite loss at epoch {epoch + 1} '
+                    f'(loss={train_loss}, val_loss={val_loss}); terminating '
+                    f'training', RuntimeWarning)
+                break
             if self.profile and epoch == self.trained_epochs:
                 self.stop_profiler()
             if self.save_logs:

@@ -416,6 +416,24 @@ def test_season_ids_from_time_windows():
     assert ids_w[0] == 0 and ids_w[2] == 1
 
 
+def test_terminate_on_nan(data):
+    """A diverged (NaN) loss must stop training with a warning instead of
+    burning the remaining epochs."""
+    import warnings
+    bad = data.copy()
+    bad[:, 0, 0, 0] = np.nan   # every sample poisoned -> first epoch NaNs
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', data_train=bad[:24],
+        data_val=bad[24:32], data_test=bad[32:], scale=4, batch_size=2,
+        epochs=5, steps_per_epoch=2, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, save=False, verbose=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        tr.run()
+    assert any('Non-finite loss' in str(w.message) for w in caught)
+    assert len(tr.fithist['loss']) < 5
+
+
 def test_cgan_pin_mode(data):
     tr = dds.CGANTrainer(
         backbone='convnet', upsampling='pin', data_train=data[:28],
