@@ -31,8 +31,9 @@ __all__ = ['ConvBlock', 'ResidualBlock', 'DenseBlock', 'TransitionBlock',
            'ConvNextBlock', 'DropPath', 'LocalizedConvBlock',
            'RecurrentConvBlock', 'SubpixelConvolutionBlock',
            'ResizeConvolutionBlock', 'DeconvolutionBlock',
-           'ChannelAttention2D', 'EncoderBlock', 'pad_concat',
-           'get_activation', 'Dropout']
+           'ChannelAttention2D', 'EncoderBlock', 'PadConcat', 'pad_concat',
+           'get_activation', 'Dropout', 'get_dropout_layer', 'MCDropout',
+           'MCGaussianDropout', 'MCSpatialDropout2D', 'MCSpatialDropout3D']
 
 Dtype = Any
 
@@ -105,6 +106,33 @@ class Dropout(nn.Module):
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(rng, keep, x.shape)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def get_dropout_layer(dropout_rate=0.2, dropout_variant=None, dim=2):
+    """Reference-vocabulary factory (ref blocks.py:679-706): resolve a
+    dropout variant name to a `Dropout` module (identity when rate=0 — the
+    module itself short-circuits)."""
+    return Dropout(dropout_rate, dropout_variant, dim=dim)
+
+
+def MCDropout(rate, **kwargs):
+    """Monte-Carlo dropout — active at inference (ref blocks.py:659-663)."""
+    return Dropout(rate, variant='mcdrop', **kwargs)
+
+
+def MCGaussianDropout(rate, **kwargs):
+    """MC multiplicative gaussian noise (ref blocks.py:665-668)."""
+    return Dropout(rate, variant='mcgaussiandrop', **kwargs)
+
+
+def MCSpatialDropout2D(rate, **kwargs):
+    """MC channel dropout over (H, W) (ref blocks.py:670-672)."""
+    return Dropout(rate, variant='mcspatialdrop', dim=2, **kwargs)
+
+
+def MCSpatialDropout3D(rate, **kwargs):
+    """MC channel dropout over (T, H, W) (ref blocks.py:674-676)."""
+    return Dropout(rate, variant='mcspatialdrop', dim=3, **kwargs)
 
 
 class _Norm(nn.Module):
@@ -576,6 +604,15 @@ class EncoderBlock(nn.Module):
                       attention=self.attention, dtype=self.dtype)(x, training)
         down = nn.max_pool(y, (2, 2), strides=(2, 2))
         return down, y
+
+
+class PadConcat(nn.Module):
+    """Module form of `pad_concat` (reference class name,
+    dl4ds/models/blocks.py:621-656)."""
+
+    @nn.compact
+    def __call__(self, t1, t2):
+        return pad_concat(t1, t2)
 
 
 def pad_concat(t1, t2):

@@ -56,6 +56,45 @@ def discriminator_loss(disc_real_output, disc_generated_output):
     return real_loss + gen_loss
 
 
+def train_step(gen_state, disc_state, batch, key, generator, discriminator,
+               gen_pxloss_function, lambda_scaling_factor=100):
+    """One fused G+D update on a (lr, hr[, aux]) batch — the pure, jittable
+    counterpart of the reference's eager two-GradientTape `train_step`
+    (cgan.py:575-639; the Horovod allreduce becomes XLA's all-reduce when the
+    batch is sharded over a mesh). Returns (gen_state, disc_state,
+    (g_total, g_gan, g_px, d_loss))."""
+    gkey, dkey = jax.random.split(key)
+    lr, hr, aux = batch['lr'], batch['hr'], batch['aux']
+
+    def g_loss_fn(g_params):
+        fake = generator.module.apply({'params': g_params}, lr, aux,
+                                      training=True, rngs={'dropout': gkey})
+        d_fake = discriminator.module.apply(
+            {'params': disc_state.params}, lr, fake, training=True,
+            rngs={'dropout': dkey})
+        total, gan_l, px_l = generator_loss(
+            d_fake, fake, hr, gen_pxloss_function, lambda_scaling_factor)
+        return total, (gan_l, px_l, fake)
+
+    (g_total, (g_gan, g_px, fake)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(gen_state.params)
+
+    def d_loss_fn(d_params):
+        d_real = discriminator.module.apply({'params': d_params}, lr, hr,
+                                            training=True,
+                                            rngs={'dropout': dkey})
+        d_fake = discriminator.module.apply(
+            {'params': d_params}, lr, jax.lax.stop_gradient(fake),
+            training=True, rngs={'dropout': dkey})
+        return discriminator_loss(d_real, d_fake)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
+
+    gen_state = gen_state.apply_gradients(grads=g_grads)
+    disc_state = disc_state.apply_gradients(grads=d_grads)
+    return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
+
+
 class CGANTrainer(Trainer):
     """Adversarial trainer: generator from the model zoo + two-branch
     conditional discriminator."""
@@ -154,39 +193,10 @@ class CGANTrainer(Trainer):
         synth = self.ds_train
 
         def train_step_batch(gen_state, disc_state, batch, key):
-            gkey, dkey = jax.random.split(key)
-            lr, hr, aux = batch['lr'], batch['hr'], batch['aux']
+            return train_step(gen_state, disc_state, batch, key, gen, disc,
+                              lossf)
 
-            def g_loss_fn(g_params):
-                fake = gen.module.apply({'params': g_params}, lr, aux,
-                                        training=True,
-                                        rngs={'dropout': gkey})
-                d_fake = disc.module.apply({'params': disc_state.params}, lr,
-                                           fake, training=True,
-                                           rngs={'dropout': dkey})
-                total, gan_l, px_l = generator_loss(d_fake, fake, hr, lossf)
-                return total, (gan_l, px_l, fake)
-
-            (g_total, (g_gan, g_px, fake)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(gen_state.params)
-
-            def d_loss_fn(d_params):
-                d_real = disc.module.apply({'params': d_params}, lr, hr,
-                                           training=True,
-                                           rngs={'dropout': dkey})
-                d_fake = disc.module.apply({'params': d_params}, lr,
-                                           jax.lax.stop_gradient(fake),
-                                           training=True,
-                                           rngs={'dropout': dkey})
-                return discriminator_loss(d_real, d_fake)
-
-            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
-
-            gen_state = gen_state.apply_gradients(grads=g_grads)
-            disc_state = disc_state.apply_gradients(grads=d_grads)
-            return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
-
-        def train_step(gen_state, disc_state, indices, key):
+        def train_step_indices(gen_state, disc_state, indices, key):
             skey, bkey = jax.random.split(key)
             batch = synth._make_batch(indices, skey)
             return train_step_batch(gen_state, disc_state, batch, bkey)
@@ -199,14 +209,15 @@ class CGANTrainer(Trainer):
             def body(carry, xs):
                 gs, ds = carry
                 indices, k = xs
-                gs, ds, losses = train_step(gs, ds, indices, k)
+                gs, ds, losses = train_step_indices(gs, ds, indices, k)
                 return (gs, ds), jnp.stack(losses)
 
             (gen_state, disc_state), losses = jax.lax.scan(
                 body, (gen_state, disc_state), (idx_mat, keys))
             return gen_state, disc_state, losses
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step_indices,
+                                   donate_argnums=(0, 1))
         self._train_step_batch = jax.jit(train_step_batch,
                                          donate_argnums=(0, 1))
         self._train_many = jax.jit(train_many, donate_argnums=(0, 1))

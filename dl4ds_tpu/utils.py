@@ -25,7 +25,7 @@ __all__ = ['spatial_to_spatiotemporal_samples',
            'checkarg_backbone', 'checkarg_dropout_variant', 'checkarg_loss',
            'checkarg_interpolation', 'list_devices', 'set_gpu_memory_growth',
            'set_visible_gpus', 'Timing', 'crop_array',
-           'dynamic_crop', 'plot_history']
+           'dynamic_crop', 'plot_history', 'rank']
 
 
 # -----------------------------------------------------------------------------
@@ -51,6 +51,11 @@ def spatiotemporal_to_spatial_samples(array, time_window):
             '[n_samples, time_window, lat, lon, vars]')
     out = array[:, 0]
     return np.concatenate([out, array[-1, 1:]], axis=0)
+
+
+def rank(x):
+    """Number of dimensions of an array (reference: dl4ds/utils.py:202)."""
+    return len(x.shape)
 
 
 def checkarray_ndim(array, ndim=3, add_axis_position=-1):

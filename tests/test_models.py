@@ -331,3 +331,24 @@ def test_unet_odd_grid():
     variables = model.init(KEY, batch_size=1)
     y = model.apply(variables, jnp.zeros((1, 25, 37, 1)))
     assert y.shape == (1, 25, 37, 1)
+
+
+def test_reference_vocabulary_aliases():
+    """Reference public names resolve here (API-discoverability parity):
+    MC dropout variants, get_dropout_layer, PadConcat, rank, train_step."""
+    from dl4ds_tpu.models.blocks import (
+        MCDropout, MCGaussianDropout, MCSpatialDropout2D, MCSpatialDropout3D,
+        get_dropout_layer, PadConcat)
+    from dl4ds_tpu.training.cgan import train_step
+    from dl4ds_tpu.utils import rank
+
+    assert rank(np.zeros((2, 3, 4, 5))) == 4
+    assert MCDropout(0.2).variant == 'mcdrop'
+    assert MCGaussianDropout(0.2).variant == 'mcgaussiandrop'
+    assert MCSpatialDropout2D(0.2).dim == 2
+    assert MCSpatialDropout3D(0.2).dim == 3
+    assert get_dropout_layer(0.2, 'spatial', dim=3).dim == 3
+    pc = PadConcat()
+    out = pc.apply({}, jnp.ones((1, 5, 5, 2)), jnp.ones((1, 8, 8, 3)))
+    assert out.shape == (1, 8, 8, 5)
+    assert callable(train_step)
