@@ -26,15 +26,17 @@ _PEAK_BF16_FLOPS = {
 }
 
 
-def _roofline(jitted, args, dt_per_step, steps_per_call):
+def _roofline(jitted_step, step_args, dt_per_step):
     """ms/step, FLOPs/step and MFU (vs the chip's bf16 peak) from XLA's own
-    cost analysis of the compiled program."""
+    cost analysis. IMPORTANT: cost the SINGLE-step program, never the
+    lax.scan-of-steps program — whether cost_analysis multiplies a loop body
+    by its trip count is backend-dependent (TPU does, CPU does not)."""
     import jax
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = jitted_step.lower(*step_args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost.get('flops', 0.0)) / steps_per_call
+        flops_per_step = float(cost.get('flops', 0.0))
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         flops_per_step = None
     kind = jax.devices()[0].device_kind
@@ -79,8 +81,7 @@ def measure_supervised(name, steps=20, **kwargs):
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     pps = steps * tr.global_batch_size / dt
-    stats = _roofline(tr._train_many, (state, idx[:steps], key), dt / steps,
-                      steps)
+    stats = _roofline(tr._train_step, (state, idx[0], key), dt / steps)
     mfu = stats['mfu_pct']
     print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
           + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))
@@ -127,8 +128,8 @@ def measure_cgan(name, steps=20):
     losses.block_until_ready()
     dt = time.perf_counter() - t0
     pps = steps * tr.global_batch_size / dt
-    stats = _roofline(tr._train_many, (gen_state, disc_state, idx[:steps],
-                                       key), dt / steps, steps)
+    stats = _roofline(tr._train_step, (gen_state, disc_state, idx[0], key),
+                      dt / steps)
     mfu = stats['mfu_pct']
     print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
           + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))

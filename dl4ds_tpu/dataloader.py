@@ -357,11 +357,18 @@ class DataGenerator:
                  static_vars=None, predictors=None,
                  interpolation='inter_area', repeat=None, seed=None,
                  time_metadata=None):
-        # season conditioning: explicit `time_metadata` (datetime-like [N])
-        # or, when `array` is an xr.DataArray with a time coord, derived from
-        # it (the reference's API promise, dl4ds/dataloader.py:327-343)
-        if time_metadata is None:
+        # season conditioning: explicit `time_metadata` (datetime-like [N]),
+        # or the string 'auto' to read `array`'s xr time coordinate (the
+        # reference's API promise, dl4ds/dataloader.py:327-343). Opt-in only:
+        # season channels widen the model input by 4.
+        if isinstance(time_metadata, str):
+            if time_metadata != 'auto':
+                raise ValueError(f'unknown time_metadata={time_metadata!r}; '
+                                 f"pass datetimes or 'auto'")
             time_metadata = _time_coord(array)
+            if time_metadata is None:
+                raise ValueError("time_metadata='auto' requires `array` to "
+                                 "be an xr.DataArray with a time coordinate")
         self.time_metadata = (np.asarray(_values(time_metadata))
                               if time_metadata is not None else None)
         self.array = _values(array)

@@ -77,12 +77,20 @@ def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
                      time_metadata=None):
     """Whole-dataset (lr, aux) device batch for inference — shared by
     `predict` and `predict_mc`. With `time_metadata` (datetime-like [N], or
-    derived from an xr.DataArray time coord), per-sample one-hot season
-    channels are appended exactly as during training (reference:
-    dl4ds/inference.py:218 -> dataloader.py:327-343)."""
+    the string 'auto' to read the xr.DataArray time coord), per-sample
+    one-hot season channels are appended exactly as during training
+    (reference: dl4ds/inference.py:218 -> dataloader.py:327-343). Only do
+    this for season-conditioned models — it widens the input by 4 channels.
+    """
     from .dataloader import _time_coord, season_ids_from_time
-    if time_metadata is None:
+    if isinstance(time_metadata, str):
+        if time_metadata != 'auto':
+            raise ValueError(f'unknown time_metadata={time_metadata!r}; '
+                             f"pass datetimes or 'auto'")
         time_metadata = _time_coord(array)
+        if time_metadata is None:
+            raise ValueError("time_metadata='auto' requires `array` to be "
+                             "an xr.DataArray with a time coordinate")
     array = np.asarray(_maybe_values(array), 'float32')
     if static_vars is not None:
         static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
@@ -162,9 +170,13 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     executable is cached, so repeated calls on the same grid size are fast,
     but every NEW grid size pays a compile. For workloads mixing many grid
     sizes, set `pad_to_multiple` (e.g. 32): inputs are edge-padded up to the
-    next multiple (fully-convolutional models only — not with
-    `localcon_layer`) and the output is cropped back, so all sizes in the
-    same bucket share one compiled program."""
+    next multiple and the output is cropped back, so all sizes in the same
+    bucket share one compiled program. Caveats: fully-convolutional models
+    only (not `localcon_layer`); values within a receptive field of the
+    padded (right/bottom) border differ slightly from an unpadded run; and
+    the DEFAULT output head has GLOBAL channel attention, whose pooled gate
+    sees the padded pixels — build with `output_attention=False` if you need
+    interior-exact bucketed inference (or use `parallel.predict_tiled`)."""
     timing = Timing()
 
     model, variables = _resolve_model(trainer)
@@ -196,7 +208,8 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
                 ab = jax.device_put(ab, sharding)
             return apply(v, xb, ab)
 
-        out = _batched_apply(apply_sharded, variables, x, aux, gbs)
+        out = _batched_apply(apply_sharded, variables, x, aux, gbs,
+                             pad_multiple=mesh.size)
     else:
         out = _batched_apply(apply, variables, x, aux, batch_size)
 
@@ -234,12 +247,15 @@ def _cached_jit_apply(model):
     return fn
 
 
-def _batched_apply(apply, variables, x, aux, batch_size, *extra):
+def _batched_apply(apply, variables, x, aux, batch_size, *extra,
+                   pad_multiple=1):
     """Run `apply` over fixed-size batches, padding the ragged tail by
     repeating its last sample (trimmed after) so every dispatch has the same
-    shape — ONE XLA compile regardless of n_samples % batch_size."""
+    shape — ONE XLA compile regardless of n_samples % batch_size. The batch
+    shape is kept a multiple of `pad_multiple` (mesh.size for sharded
+    inference, so every dispatch divides evenly over the 'data' axis)."""
     n = x.shape[0]
-    bs = min(batch_size, n)
+    bs = min(batch_size, -(-n // pad_multiple) * pad_multiple)
     outs = []
     for i in range(0, n, bs):
         xb = x[i:i + bs]

@@ -272,6 +272,11 @@ class CGANTrainer(Trainer):
         n = self.ds_train.n
         steps = (self.steps_per_epoch if self.steps_per_epoch is not None
                  else int(n / self.global_batch_size))
+        if steps < 1:
+            raise ValueError(
+                f'data_train yields no full global batch (n={n}, '
+                f'global_batch_size={self.global_batch_size}); reduce '
+                f'batch_size, use fewer devices, or set steps_per_epoch')
         key = jax.random.PRNGKey(self.seed)
 
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -123,23 +123,31 @@ class SupervisedTrainer(Trainer):
                                        or len(season_ids) != 3):
             raise ValueError('`season_ids` must be a (train, val, test) '
                              'tuple of int arrays')
-        # season_ids may instead be derived from per-split time metadata
-        # (datetime-like arrays, or the splits' own xr time coords) — the
-        # reference's xarray-time season path (dl4ds/dataloader.py:508-542)
-        if season_ids is None:
+        # season_ids may instead be derived from per-split time metadata:
+        # a (train, val, test) tuple of datetime-like arrays, or the string
+        # 'auto' to read each split's xr time coordinate — the reference's
+        # xarray-time season path (dl4ds/dataloader.py:508-542). Opt-in
+        # only: season channels widen the model input by 4.
+        if season_ids is None and time_metadata is not None:
             from ..dataloader import _time_coord, season_ids_from_time
-            if time_metadata is None:
-                tm = tuple(_time_coord(a) for a in (data_train, data_val,
-                                                    data_test))
-                time_metadata = tm if all(t is not None for t in tm) else None
+            if isinstance(time_metadata, str):
+                if time_metadata != 'auto':
+                    raise ValueError(
+                        f'unknown time_metadata={time_metadata!r}; pass a '
+                        f"(train, val, test) tuple of datetimes or 'auto'")
+                time_metadata = tuple(
+                    _time_coord(a) for a in (data_train, data_val, data_test))
+                if any(t is None for t in time_metadata):
+                    raise ValueError(
+                        "time_metadata='auto' requires all three splits to "
+                        "be xr.DataArrays with time coordinates")
             elif (not isinstance(time_metadata, (tuple, list))
                     or len(time_metadata) != 3):
                 raise ValueError('`time_metadata` must be a (train, val, '
-                                 'test) tuple of datetime-like arrays')
-            if time_metadata is not None:
-                season_ids = tuple(
-                    season_ids_from_time(t, time_window)
-                    for t in time_metadata)
+                                 "test) tuple of datetime-like arrays or "
+                                 "'auto'")
+            season_ids = tuple(
+                season_ids_from_time(t, time_window) for t in time_metadata)
         self.season_ids = season_ids
         self.model = None
         self.variables = None
@@ -319,6 +327,12 @@ class SupervisedTrainer(Trainer):
         n_batches = self.ds_train.n // self.global_batch_size
         steps = (self.steps_per_epoch if self.steps_per_epoch is not None
                  else n_batches)
+        if steps < 1:
+            raise ValueError(
+                f'data_train yields no full global batch '
+                f'(n={self.ds_train.n}, global_batch_size='
+                f'{self.global_batch_size}); reduce batch_size, use fewer '
+                f'devices, or set steps_per_epoch')
         val_batches = self.ds_val.n // self.global_batch_size
         val_steps = (self.validation_steps if self.validation_steps is not None
                      else max(val_batches, 1))
@@ -338,6 +352,13 @@ class SupervisedTrainer(Trainer):
         # would trigger a second full XLA compile. `epoch_indices` wraps the
         # permutation, so the extra steps just resample the epoch.
         steps_exec = -(-steps // spe) * spe
+        if steps_exec != steps:
+            import warnings
+            warnings.warn(
+                f'steps_per_execution={spe} does not divide '
+                f'steps_per_epoch={steps}; each epoch runs {steps_exec} '
+                f'optimizer steps (padded up to whole chunks to avoid a '
+                f'second XLA compile)', RuntimeWarning)
 
         for epoch in range(self.trained_epochs, self.epochs):
             key, ekey = jax.random.split(key)

@@ -267,6 +267,12 @@ def plot_history(history, style='-', side=5, graphs_per_row=4,
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
+    # back-compat: earlier releases took `path` as the 2nd positional arg;
+    # a path-looking string passed as `style` is treated as the path
+    if isinstance(style, str) and ('/' in style or style.endswith('.png')):
+        if path is None:
+            path = style
+        style = '-'
     if monitor_mode not in ('min', 'max'):
         raise ValueError(f'monitor_mode {monitor_mode!r} is not supported')
     if max_epochs not in ('min', 'max') and not isinstance(max_epochs, int):

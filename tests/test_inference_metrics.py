@@ -93,6 +93,29 @@ def test_predict_padded_buckets_share_one_compile(trained):
     assert tr.model._cached_jit_apply._cache_size() == 3
 
 
+def test_predict_padded_bucket_interior_exact_without_global_attn():
+    """With output_attention=False the bucketed result matches the unpadded
+    run away from the padded border (the docstring's exactness contract)."""
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((16, 80, 80, 1)).astype('float32')
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:10],
+        data_val=data[10:13], data_test=data[13:], scale=4, batch_size=2,
+        epochs=1, steps_per_epoch=1, validation_steps=1, test_steps=1,
+        n_filters=4, n_blocks=1, output_attention=False, save=False,
+        verbose=False)
+    tr.run()
+    x = data[:2]                 # 80px HR -> 20px LR, bucketed up to 24
+    y_pad = dds.predict(tr, x, scale=4, array_in_hr=True, pad_to_multiple=8)
+    y_ref = dds.predict(tr, x, scale=4, array_in_hr=True)
+    assert y_pad.shape == y_ref.shape == (2, 80, 80, 1)
+    # interior = beyond the receptive field of the padded border: the conv
+    # stack's RF is ~9 LR px + 4 padded px -> keep the first 7 LR px
+    # (= 28 HR px) from the top/left, far from the padded right/bottom
+    np.testing.assert_allclose(y_pad[:, :28, :28], y_ref[:, :28, :28],
+                               atol=1e-5)
+
+
 def test_compute_rmse_and_correlation(rng):
     y = rng.standard_normal((10, 8, 8, 1)).astype('float32')
     noise = 0.1 * rng.standard_normal(y.shape).astype('float32')
@@ -157,6 +180,19 @@ def test_predict_sharded_over_mesh(trained):
     y_mesh = dds.predict(tr, data[32:], scale=4, array_in_hr=True,
                          mesh=make_mesh())
     np.testing.assert_allclose(y_mesh, y_single, atol=1e-5)
+
+
+def test_predict_mesh_nondivisible_samples(trained):
+    """Sample counts not divisible by mesh.size (and below one global
+    batch) must pad, not crash, in the sharded path."""
+    from dl4ds_tpu.training.base import make_mesh
+    tr, data = trained
+    mesh = make_mesh()
+    for n in (3, 10):   # both < batch_size*mesh and % mesh.size != 0
+        y_mesh = dds.predict(tr, data[:n], scale=4, array_in_hr=True,
+                             mesh=mesh, batch_size=64)
+        y_ref = dds.predict(tr, data[:n], scale=4, array_in_hr=True)
+        np.testing.assert_allclose(y_mesh, y_ref, atol=1e-5)
 
 
 def test_predict_mc_uncertainty(rng):

@@ -386,21 +386,30 @@ def test_datagen_season_from_time_metadata(data):
 
 
 def test_season_derived_from_xarray_time_coord(data):
-    """Trainer + predict derive seasons from an xr time coord end-to-end."""
+    """time_metadata='auto' (explicit opt-in) derives seasons from xr time
+    coords end-to-end; plain xr inputs without the flag stay season-free."""
     import pandas as pd
     xr = pytest.importorskip('xarray')
     times = pd.date_range('2000-01-15', periods=40, freq='91D')
     xda = xr.DataArray(data, dims=('time', 'y', 'x', 'c'),
                        coords={'time': times})
+    plain = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', data_train=xda[:24],
+        data_val=xda[24:32], data_test=xda[32:], scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=1, validation_steps=1,
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+    assert plain.season_ids is None   # no silent +4 channels
     tr = dds.SupervisedTrainer(
         backbone='convnet', upsampling='pin', data_train=xda[:24],
         data_val=xda[24:32], data_test=xda[32:], scale=4,
         batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
-        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False)
+        test_steps=1, n_filters=4, n_blocks=1, save=False, verbose=False,
+        time_metadata='auto')
     assert tr.season_ids is not None
     tr.run()
     assert np.isfinite(tr.test_loss)
-    y = dds.predict(tr, xda[32:], scale=4, array_in_hr=True)
+    y = dds.predict(tr, xda[32:], scale=4, array_in_hr=True,
+                    time_metadata='auto')
     assert y.shape == (8, 16, 16, 1)
 
 
