@@ -519,31 +519,17 @@ class BatchSynthesizer:
             self.lr = put(jnp.asarray(array_lr)) if lr_given else None
             self.lr_pre = None
 
-        # predictors: concat list -> [n, y, x, P]; for postups resize to the
-        # LR grid once; for pin resize to LR then back to HR once.
-        self.n_pred = 0
-        self.pred = None
-        if predictors is not None:
-            pred = np.concatenate([_values(p) for p in predictors], axis=-1) \
-                if isinstance(predictors, (list, tuple)) else \
-                np.asarray(_values(predictors), 'float32')
-            self.n_pred = pred.shape[-1]
-            pred = jnp.asarray(pred, jnp.float32)
-            if pred.shape[1] != self.lr_y or pred.shape[2] != self.lr_x:
-                pred = resize2d(pred, (self.lr_y, self.lr_x), interpolation)
-            if upsampling == 'pin':
-                pred = resize2d(pred, (self.hr_y, self.hr_x), interpolation)
-            self.pred = put(pred)
-
-        # statics: stack [y, x, S]; precompute HR and LR versions once.
-        self.n_static = 0
+        # predictors (concat -> LR grid, then HR for 'pin') + statics
+        # ([y, x, S]) via the tier-shared prep; resizes run on device here.
+        pred, self.n_pred, statics, self.n_static = _prep_aux_inputs(
+            upsampling, (self.lr_y, self.lr_x), (self.hr_y, self.hr_x),
+            lambda a, hw: np.asarray(
+                resize2d(jnp.asarray(a, jnp.float32), hw, interpolation)),
+            predictors, static_vars)
+        self.pred = put(jnp.asarray(pred)) if pred is not None else None
         self.static_hr = None
         self.static_lr = None
-        if static_vars is not None:
-            statics = np.stack(
-                [np.squeeze(np.asarray(_values(s), 'float32'))
-                 for s in static_vars], axis=-1)
-            self.n_static = statics.shape[-1]
+        if statics is not None:
             s_hr = jnp.asarray(statics)
             self.static_hr = put(s_hr)
             if self.is_postups:
@@ -716,6 +702,32 @@ class BatchSynthesizer:
         return perm[:steps * self.batch_size].reshape(steps, self.batch_size)
 
 
+def _prep_aux_inputs(upsampling, lr_hw, hr_hw, resize, predictors=None,
+                     static_vars=None):
+    """Shared per-dataset channel prep for BOTH data tiers (device
+    `BatchSynthesizer` and host `HostStreamer`): concat predictors and move
+    them to the LR grid (then to HR for 'pin'), stack static vars to
+    [y, x, S]. `resize(arr, hw)` supplies the tier's resize implementation.
+    Returns (pred, n_pred, statics, n_static) as numpy arrays/None."""
+    pred, n_pred = None, 0
+    if predictors is not None:
+        pred = np.concatenate([_values(p) for p in predictors], axis=-1) \
+            if isinstance(predictors, (list, tuple)) else \
+            np.asarray(_values(predictors), 'float32')
+        n_pred = pred.shape[-1]
+        if (pred.shape[1], pred.shape[2]) != tuple(lr_hw):
+            pred = resize(pred, lr_hw)
+        if upsampling == 'pin':
+            pred = resize(pred, hr_hw)
+        pred = np.ascontiguousarray(pred, 'float32')
+    statics, n_static = None, 0
+    if static_vars is not None:
+        statics = np.stack([np.squeeze(np.asarray(_values(s), 'float32'))
+                            for s in static_vars], axis=-1)
+        n_static = statics.shape[-1]
+    return pred, n_pred, statics, n_static
+
+
 def _resize_chunked(arr, hw, interpolation, chunk=64):
     """Full-dataset resize computed in device-sized chunks, result on host
     (one-time preprocessing for the streaming tier)."""
@@ -786,28 +798,11 @@ class HostStreamer:
             self.lr_pre = _resize_chunked(base, (self.hr_y, self.hr_x),
                                           interpolation)
 
-        self.pred = None
-        self.n_pred = 0
-        if predictors is not None:
-            pred = np.concatenate([_values(p) for p in predictors], axis=-1) \
-                if isinstance(predictors, (list, tuple)) else \
-                np.asarray(_values(predictors), 'float32')
-            self.n_pred = pred.shape[-1]
-            if pred.shape[1] != self.lr_y or pred.shape[2] != self.lr_x:
-                pred = _resize_chunked(pred, (self.lr_y, self.lr_x),
-                                       interpolation)
-            if upsampling == 'pin':
-                pred = _resize_chunked(pred, (self.hr_y, self.hr_x),
-                                       interpolation)
-            self.pred = np.ascontiguousarray(pred, 'float32')
-
-        self.static_hr = None
-        self.n_static = 0
-        if static_vars is not None:
-            self.static_hr = np.stack(
-                [np.squeeze(np.asarray(_values(s), 'float32'))
-                 for s in static_vars], axis=-1)        # [y, x, S]
-            self.n_static = self.static_hr.shape[-1]
+        self.pred, self.n_pred, self.static_hr, self.n_static = \
+            _prep_aux_inputs(
+                upsampling, (self.lr_y, self.lr_x), (self.hr_y, self.hr_x),
+                lambda a, hw: _resize_chunked(a, hw, interpolation),
+                predictors, static_vars)
 
         self.season_ids = (np.asarray(season_ids, np.int32)
                            if season_ids is not None else None)
