@@ -36,7 +36,10 @@ def _roofline(jitted_step, step_args, dt_per_step):
         cost = jitted_step.lower(*step_args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost.get('flops', 0.0))
+        flops_per_step = cost.get('flops')
+        # None (key absent) means "unknown", same as the exception path —
+        # never record a fake 0.0 measurement
+        flops_per_step = float(flops_per_step) if flops_per_step else None
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         flops_per_step = None
     kind = jax.devices()[0].device_kind

@@ -738,6 +738,11 @@ def _resize_chunked(arr, hw, interpolation, chunk=64):
     return np.ascontiguousarray(np.concatenate(outs, axis=0))
 
 
+# sentinel: full-grid statics (identical across a batch) are shipped to the
+# device once and broadcast there, not materialized B times on host
+_FULL_GRID_STATICS = object()
+
+
 class HostStreamer:
     """Host->device batch pipeline for datasets larger than device memory.
 
@@ -807,6 +812,7 @@ class HostStreamer:
         self.season_ids = (np.asarray(season_ids, np.int32)
                            if season_ids is not None else None)
         self.has_aux = self.n_static > 0 or self.season_ids is not None
+        self._static_hr_dev = None  # device copy for full-grid batches
 
     def _host_batch(self, idx):
         from . import native
@@ -848,9 +854,11 @@ class HostStreamer:
                 lr = native.gather_windows(src_lr, idx, time_window=tw)
             if self.pred is not None:
                 pred = native.gather_windows(self.pred, idx, time_window=tw)
-            static_hr = (np.broadcast_to(
-                self.static_hr, (b,) + self.static_hr.shape)
-                if self.static_hr is not None else None)
+            # full-grid statics are identical across the batch: ship the
+            # grid ONCE (sentinel -> device-side broadcast in _to_device)
+            # instead of materializing/transferring B copies over PCIe
+            static_hr = (_FULL_GRID_STATICS if self.static_hr is not None
+                         else None)
         sid = (self.season_ids[idx] if self.season_ids is not None else None)
         return hr, lr, pred, static_hr, sid
 
@@ -877,7 +885,14 @@ class HostStreamer:
             parts_lr.append(jax.device_put(jnp.asarray(pred_np)))
         aux_parts = []
         if static_np is not None:
-            static_hr = jax.device_put(jnp.asarray(static_np))
+            if static_np is _FULL_GRID_STATICS:
+                if self._static_hr_dev is None:
+                    self._static_hr_dev = jax.device_put(
+                        jnp.asarray(self.static_hr))
+                static_hr = jnp.broadcast_to(
+                    self._static_hr_dev, (b,) + self._static_hr_dev.shape)
+            else:
+                static_hr = jax.device_put(jnp.asarray(static_np))
             aux_parts.append(static_hr)
             if tw is None:
                 static_lr = (resize2d(static_hr, (h_lr, w_lr),

@@ -305,14 +305,34 @@ def _predict_once_with_rng(model, variables, array, scale, rng_key,
                            array_in_hr=True, static_vars=None,
                            predictors=None, time_window=None,
                            time_metadata=None, interpolation='inter_area',
-                           batch_size=64, scaler=None, **_):
+                           batch_size=64, scaler=None, pad_to_multiple=None,
+                           device='TPU', **unknown):
     """One stochastic forward pass (dropout rng supplied)."""
+    if unknown:
+        raise TypeError(
+            f'predict_mc got unsupported predict option(s): '
+            f'{sorted(unknown)} (save_path/mesh/return_lr are predict-only)')
     x, aux, n_samples = _assemble_inputs(
         model, array, scale, array_in_hr, static_vars, predictors,
         time_window, interpolation, time_metadata)
-    apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
-        v, xb, ab, training=False, rngs={'dropout': k}))
+    out_hw = None
+    if pad_to_multiple is not None:
+        x, aux, out_hw = _pad_spatial_to_multiple(x, aux, pad_to_multiple)
+    # memoized like _cached_jit_apply so the n_members loop (and repeated
+    # predict_mc calls) compiles each input shape exactly once
+    apply = getattr(model, '_cached_jit_apply_rng', None)
+    if apply is None:
+        apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
+            v, xb, ab, training=False, rngs={'dropout': k}))
+        try:
+            model._cached_jit_apply_rng = apply
+        except Exception:  # noqa: BLE001 — frozen wrappers: skip memoization
+            pass
     out = _batched_apply(apply, variables, x, aux, batch_size, rng_key)
+    if out_hw is not None:
+        f_h = out.shape[-3] // x.shape[-3]
+        f_w = out.shape[-2] // x.shape[-2]
+        out = out[..., :out_hw[0] * f_h, :out_hw[1] * f_w, :]
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
     if scaler is not None:

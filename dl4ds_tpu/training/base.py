@@ -166,6 +166,11 @@ class Trainer(ABC):
                 n_channels += len(predictors_train)
             if static_vars is not None:
                 n_aux_channels += len(static_vars)
+            if season_ids is not None:
+                # season one-hot rides the HR aux branch only for
+                # spatio-temporal samples (BatchSynthesizer._make_batch
+                # appends it to aux, not to the 5-D LR input)
+                n_aux_channels += 4
         else:
             if static_vars is not None:
                 n_channels += len(static_vars)

@@ -128,6 +128,10 @@ class SupervisedTrainer(Trainer):
         # 'auto' to read each split's xr time coordinate — the reference's
         # xarray-time season path (dl4ds/dataloader.py:508-542). Opt-in
         # only: season channels widen the model input by 4.
+        if season_ids is not None and time_metadata is not None:
+            raise ValueError('pass either `season_ids` or `time_metadata`, '
+                             'not both (time_metadata would be silently '
+                             'shadowed by the explicit season_ids)')
         if season_ids is None and time_metadata is not None:
             from ..dataloader import _time_coord, season_ids_from_time
             if isinstance(time_metadata, str):

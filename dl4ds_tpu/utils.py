@@ -269,7 +269,10 @@ def plot_history(history, style='-', side=5, graphs_per_row=4,
 
     # back-compat: earlier releases took `path` as the 2nd positional arg;
     # a path-looking string passed as `style` is treated as the path
-    if isinstance(style, str) and ('/' in style or style.endswith('.png')):
+    _img_exts = ('.png', '.jpg', '.jpeg', '.pdf', '.svg', '.tif', '.tiff',
+                 '.eps')
+    if isinstance(style, str) and ('/' in style or os.sep in style
+                                   or style.lower().endswith(_img_exts)):
         if path is None:
             path = style
         style = '-'

@@ -209,3 +209,13 @@ def test_predict_mc_uncertainty(rng):
                                array_in_hr=True)
     assert mean.shape == (4, 16, 16, 1)
     assert float(np.mean(std)) > 0  # stochastic members differ
+    # pad_to_multiple is honored, not silently swallowed (regression): a
+    # 14x14 grid padded to the 16-bucket still returns 14x14 output
+    odd = rng.standard_normal((3, 14, 14, 1)).astype('float32')
+    mean_p, std_p = dds.predict_mc(tr, odd, scale=4, n_members=2,
+                                   array_in_hr=True, pad_to_multiple=16)
+    assert mean_p.shape == (3, 14, 14, 1) and std_p.shape == (3, 14, 14, 1)
+    # unknown predict options raise instead of being dropped by **kwargs
+    with pytest.raises(TypeError, match='unsupported predict option'):
+        dds.predict_mc(tr, data[16:], scale=4, n_members=2,
+                       array_in_hr=True, bogus_option=1)

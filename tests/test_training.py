@@ -372,6 +372,39 @@ def test_season_train_and_predict_with_time_metadata(data):
         dds.predict(tr, data[32:], scale=4, array_in_hr=True)
 
 
+def test_spatiotemporal_season_channels(data):
+    """Season one-hot rides the HR aux branch for spatio-temporal models
+    (regression: `channel_counts` omitted the +4 in the spatio-temporal
+    branch while BatchSynthesizer appended it to aux, so the first train
+    step died with a flax param-shape mismatch)."""
+    season_ids = np.tile([0, 1, 2, 3], 10)
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        time_window=3, batch_size=2, epochs=1, steps_per_epoch=2,
+        validation_steps=1, test_steps=1, n_filters=4, n_blocks=1,
+        save=False, verbose=False,
+        season_ids=(season_ids[:24], season_ids[24:32], season_ids[32:40]))
+    n_ch, n_aux = tr.channel_counts(None, None, tr.season_ids)
+    assert (n_ch, n_aux) == (1, 4)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_season_ids_and_time_metadata_conflict(data):
+    """Passing both season sources is ambiguous -> explicit error (not a
+    silent shadowing of time_metadata)."""
+    import pandas as pd
+    season_ids = np.tile([0, 1, 2, 3], 10)
+    times = pd.date_range('2000-01-15', periods=40, freq='32D').values
+    with pytest.raises(ValueError, match='not both'):
+        dds.SupervisedTrainer(
+            backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+            batch_size=2, n_filters=4, n_blocks=1, save=False, verbose=False,
+            season_ids=(season_ids[:24], season_ids[24:32],
+                        season_ids[32:40]),
+            time_metadata=(times[:24], times[24:32], times[32:]))
+
+
 def test_datagen_season_from_time_metadata(data):
     """Host-tier DataGenerator builds season channels from time metadata."""
     import pandas as pd

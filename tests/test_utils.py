@@ -116,3 +116,19 @@ def test_plot_history_grid_and_extras(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         plot_history(h1, monitor_mode='bogus')
+
+
+def test_plot_history_positional_path_back_compat(tmp_path, monkeypatch):
+    """Old positional signature plot_history(history, path) must keep working
+    for any image extension, not just '.png' (regression: 'curve.jpeg' was
+    consumed as a matplotlib style string and raised)."""
+    import os
+    import matplotlib.pyplot as plt
+    from dl4ds_tpu.utils import plot_history
+
+    monkeypatch.chdir(tmp_path)
+    h = {'loss': [2.0, 1.0], 'val_loss': [2.2, 1.5]}
+    for fname in ('curve.jpeg', 'curve.jpg', 'curve.pdf'):
+        fig, _ = plot_history(h, fname)  # positional, no '/' in the path
+        assert os.path.exists(str(tmp_path / fname))
+        plt.close(fig)
