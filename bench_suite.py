@@ -13,9 +13,10 @@ benchmark config the baseline defines:
 """
 
 import json
-import time
 
 import numpy as np
+
+from bench import force, slope_time
 
 # Peak bf16 matmul throughput per chip (the MXU roofline), by device kind.
 _PEAK_BF16_FLOPS = {
@@ -27,30 +28,49 @@ _PEAK_BF16_FLOPS = {
 
 
 def _roofline(jitted_step, step_args, dt_per_step):
-    """ms/step, FLOPs/step and MFU (vs the chip's bf16 peak) from XLA's own
-    cost analysis. IMPORTANT: cost the SINGLE-step program, never the
-    lax.scan-of-steps program — whether cost_analysis multiplies a loop body
-    by its trip count is backend-dependent (TPU does, CPU does not)."""
+    """ms/step + two utilization views of the SINGLE-step program:
+
+    - model_flops / mfu_pct: MATHEMATICAL matmul+conv FLOPs counted from the
+      jaxpr (dl4ds_tpu.ops.flops) over the chip's bf16 peak — the scaling-
+      literature MFU definition.
+    - hw_flops / hw_util_pct: XLA's post-compile cost model, which on TPU
+      includes MXU lanes wasted padding narrow channel counts to the native
+      tiling — i.e. how busy the hardware is, padding included. For narrow
+      CNNs hw_flops >> model_flops; the gap IS the padding waste.
+
+    IMPORTANT: cost the SINGLE-step program, never the lax.scan-of-steps
+    program — whether cost_analysis multiplies a loop body by its trip
+    count is backend-dependent."""
     import jax
+    from dl4ds_tpu.ops.flops import count_flops
+    try:
+        model_flops = count_flops(jitted_step, *step_args) or None
+    except Exception:  # noqa: BLE001 — counting is best-effort
+        model_flops = None
     try:
         cost = jitted_step.lower(*step_args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = cost.get('flops')
+        hw_flops = cost.get('flops')
         # None (key absent) means "unknown", same as the exception path —
         # never record a fake 0.0 measurement
-        flops_per_step = float(flops_per_step) if flops_per_step else None
+        hw_flops = float(hw_flops) if hw_flops else None
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        flops_per_step = None
+        hw_flops = None
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_BF16_FLOPS.items() if kind.startswith(k)),
                 None)
-    mfu = (flops_per_step / dt_per_step / peak
-           if flops_per_step and peak else None)
+
+    def _util(flops):
+        return (round(100 * flops / dt_per_step / peak, 2)
+                if flops and peak else None)
+
     return {
         'ms_per_step': round(dt_per_step * 1e3, 3),
-        'flops_per_step': flops_per_step,
-        'mfu_pct': round(100 * mfu, 2) if mfu is not None else None,
+        'model_flops_per_step': model_flops,
+        'mfu_pct': _util(model_flops),
+        'hw_flops_per_step': hw_flops,
+        'hw_util_pct': _util(hw_flops),
         'device_kind': kind,
     }
 
@@ -77,17 +97,17 @@ def measure_supervised(name, steps=20, **kwargs):
     key = jax.random.PRNGKey(0)
     idx = jnp.asarray(np.asarray(
         tr.ds_train.epoch_indices(key, steps=2 * steps)), jnp.int32)
-    state, losses = tr._train_many(state, idx[:steps], key)
-    losses.block_until_ready()
-    t0 = time.perf_counter()
-    state, losses = tr._train_many(state, idx[steps:], key)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+    state, losses = tr._train_many(state, idx[:steps], key)  # compile+warm
+    force(losses)
+    dt, state = slope_time(
+        lambda s: tr._train_many(s, idx[steps:], key), state)
     pps = steps * tr.global_batch_size / dt
     stats = _roofline(tr._train_step, (state, idx[0], key), dt / steps)
-    mfu = stats['mfu_pct']
-    print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
-          + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))
+    mfu, hw = stats['mfu_pct'], stats['hw_util_pct']
+    extras = ''.join([f', {mfu:.1f}% MFU' if mfu is not None else '',
+                      f', {hw:.1f}% hw' if hw is not None else ''])
+    print(f'{name}: {pps:,.0f} patches/s  '
+          f'({stats["ms_per_step"]:.2f} ms/step{extras})')
     return {'patches_per_sec': round(pps, 2), **stats}
 
 
@@ -123,19 +143,23 @@ def measure_cgan(name, steps=20):
     idx = jnp.asarray(np.asarray(
         tr.ds_train.epoch_indices(key, steps=2 * steps)), jnp.int32)
     gen_state, disc_state, losses = tr._train_many(
-        gen_state, disc_state, idx[:steps], key)
-    losses.block_until_ready()
-    t0 = time.perf_counter()
-    gen_state, disc_state, losses = tr._train_many(
-        gen_state, disc_state, idx[steps:], key)
-    losses.block_until_ready()
-    dt = time.perf_counter() - t0
+        gen_state, disc_state, idx[:steps], key)  # compile + warm
+    force(losses)
+
+    def chunk(states):
+        g, d = states
+        g, d, losses = tr._train_many(g, d, idx[steps:], key)
+        return (g, d), losses
+
+    dt, (gen_state, disc_state) = slope_time(chunk, (gen_state, disc_state))
     pps = steps * tr.global_batch_size / dt
     stats = _roofline(tr._train_step, (gen_state, disc_state, idx[0], key),
                       dt / steps)
-    mfu = stats['mfu_pct']
-    print(f'{name}: {pps:,.0f} patches/s  ({stats["ms_per_step"]:.2f} ms/step'
-          + (f', {mfu:.1f}% MFU)' if mfu is not None else ')'))
+    mfu, hw = stats['mfu_pct'], stats['hw_util_pct']
+    extras = ''.join([f', {mfu:.1f}% MFU' if mfu is not None else '',
+                      f', {hw:.1f}% hw' if hw is not None else ''])
+    print(f'{name}: {pps:,.0f} patches/s  '
+          f'({stats["ms_per_step"]:.2f} ms/step{extras})')
     return {'patches_per_sec': round(pps, 2), **stats}
 
 
