@@ -461,14 +461,30 @@ class ConvLSTM2D(nn.Module):
     def __call__(self, x):
         b, t, h, w, _ = x.shape
         f = self.filters
+        # Input conv over the whole window at once, with [B, T] flattened to
+        # one batch axis: XLA:TPU lowers rank-5 convs far slower than the
+        # identical rank-4 program (see nets.py head note; measured ~25x).
         zx = nn.Conv(4 * f, self.kernel_size, padding='SAME',
-                     dtype=self.dtype, name='input_conv')(x)  # [B,T,H,W,4F]
-        zx = jnp.moveaxis(zx, 1, 0)                           # [T,B,H,W,4F]
-        init = (jnp.zeros((b, h, w, f), x.dtype),
-                jnp.zeros((b, h, w, f), x.dtype))
+                     dtype=self.dtype, name='input_conv')(
+                         x.reshape(b * t, h, w, x.shape[-1]))
+        zx = zx.reshape(b, t, h, w, 4 * f)                    # [B,T,H,W,4F]
         unroll = self.unroll
         if unroll is None:
             unroll = t if t <= self._UNROLL_MAX_T else 1
+        init = (jnp.zeros((b, h, w, f), x.dtype),
+                jnp.zeros((b, h, w, f), x.dtype))
+        if unroll >= t:
+            # Full unroll as a plain loop: slice zx[:, i] in place instead of
+            # transposing to [T,B,...] and scanning — avoids the moveaxis
+            # transposes and per-step output stacking XLA emits for scan.
+            cell = _ConvLSTMCell(self.filters, self.kernel_size, self.dtype,
+                                 name='cell')
+            carry, ys = init, []
+            for i in range(t):
+                carry, y = cell(carry, zx[:, i])
+                ys.append(y)
+            return jnp.stack(ys, axis=1)                      # [B,T,H,W,F]
+        zx = jnp.moveaxis(zx, 1, 0)                           # [T,B,H,W,4F]
         scan = nn.scan(_ConvLSTMCell, variable_broadcast='params',
                        split_rngs={'params': False}, in_axes=0, out_axes=0,
                        unroll=unroll)

@@ -429,6 +429,12 @@ class RecNetPostupsampling(nn.Module):
                          dtype=self.dtype)(x, training)
         n_filters_ups = x.shape[-1] if self.backbone == 'densenet' \
             else self.n_filters
+        # The whole head is per-timestep ("TimeDistributed" in the
+        # reference); run it with [B, T] flattened to one batch axis —
+        # XLA:TPU lowers rank-5 convs/pixel-shuffles ~25x slower than the
+        # identical rank-4 program (measured: spc head 1.54 ms vs 0.06 ms).
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b * t, *x.shape[2:])
         if self.upsampling == 'spc':
             x = SubpixelConvolutionBlock(self.scale, n_filters_ups,
                                          dtype=self.dtype)(x)
@@ -446,7 +452,7 @@ class RecNetPostupsampling(nn.Module):
                           dropout_rate=0.0, normalization=None,
                           attention=self.attention, dtype=self.dtype)(aux,
                                                                       training)
-            s = jnp.repeat(s[:, None], self.time_window, axis=1)
+            s = jnp.repeat(s, t, axis=0)   # broadcast over time ([b*t] major)
             x = jnp.concatenate([x, s], axis=-1)
         if self.localcon_layer:
             lws = LocalizedConvBlock(filters=2, use_bias=True,
@@ -458,10 +464,11 @@ class RecNetPostupsampling(nn.Module):
                       dropout_rate=self.dropout_rate,
                       normalization=self.normalization, attention=True,
                       dtype=self.dtype)(x, training)
-        return ConvBlock(self.n_channels_out,
-                         activation=self.output_activation, dropout_rate=0.0,
-                         normalization=self.normalization, attention=False,
-                         dtype=self.dtype)(x, training)
+        x = ConvBlock(self.n_channels_out,
+                      activation=self.output_activation, dropout_rate=0.0,
+                      normalization=self.normalization, attention=False,
+                      dtype=self.dtype)(x, training)
+        return x.reshape(b, t, *x.shape[1:])
 
 
 class RecNetPIN(nn.Module):
@@ -487,12 +494,16 @@ class RecNetPIN(nn.Module):
                          self.activation, self.normalization,
                          self.dropout_rate, self.dropout_variant,
                          dtype=self.dtype)(x, training)
+        # Per-timestep head on a flattened [B*T] batch axis (see
+        # RecNetPostupsampling: rank-5 convs are ~25x slower on XLA:TPU).
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b * t, *x.shape[2:])
         if aux is not None:
             s = ConvBlock(self.n_filters, activation=self.activation,
                           dropout_rate=0.0, normalization=None,
                           attention=self.attention, dtype=self.dtype)(aux,
                                                                       training)
-            s = jnp.repeat(s[:, None], self.time_window, axis=1)
+            s = jnp.repeat(s, t, axis=0)   # broadcast over time ([b*t] major)
             x = jnp.concatenate([x, s], axis=-1)
         if self.localcon_layer:
             lws = LocalizedConvBlock(filters=2, use_bias=True,
@@ -504,10 +515,11 @@ class RecNetPIN(nn.Module):
                       dropout_rate=self.dropout_rate,
                       normalization=self.normalization, attention=True,
                       dtype=self.dtype)(x, training)
-        return ConvBlock(self.n_channels_out,
-                         activation=self.output_activation, dropout_rate=0.0,
-                         normalization=self.normalization, attention=False,
-                         dtype=self.dtype)(x, training)
+        x = ConvBlock(self.n_channels_out,
+                      activation=self.output_activation, dropout_rate=0.0,
+                      normalization=self.normalization, attention=False,
+                      dtype=self.dtype)(x, training)
+        return x.reshape(b, t, *x.shape[1:])
 
 
 class ResidualDiscriminator(nn.Module):

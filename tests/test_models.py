@@ -352,3 +352,41 @@ def test_reference_vocabulary_aliases():
     out = pc.apply({}, jnp.ones((1, 5, 5, 2)), jnp.ones((1, 8, 8, 3)))
     assert out.shape == (1, 8, 8, 5)
     assert callable(train_step)
+
+
+def test_convlstm_loop_vs_scan_parity():
+    """The fully-unrolled plain-loop ConvLSTM path (TPU fast path, no
+    [B,T]->[T,B] transposes) must match the lax.scan path exactly, with a
+    shared checkpoint-compatible param tree."""
+    from dl4ds_tpu.models.blocks import ConvLSTM2D
+    x = jax.random.normal(KEY, (2, 4, 8, 8, 3))
+    m_loop = ConvLSTM2D(5, (3, 3), unroll=4)   # >= T: plain loop
+    m_scan = ConvLSTM2D(5, (3, 3), unroll=1)   # scan
+    v = m_loop.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m_scan.init(jax.random.PRNGKey(1), x))
+    y_loop = m_loop.apply(v, x)
+    y_scan = m_scan.apply(v, x)
+    assert y_loop.shape == (2, 4, 8, 8, 5)
+    np.testing.assert_allclose(np.asarray(y_loop), np.asarray(y_scan),
+                               atol=1e-6)
+
+
+def test_recnet_merged_head_batch_time_layout():
+    """The recnet heads run per-timestep ops on a flattened [B*T] batch axis
+    (rank-5 convs are ~25x slower on XLA:TPU); the flattening must keep
+    sample-major order: permuting the batch permutes the output identically,
+    and the aux branch must broadcast one HR field per *sample* over its
+    window."""
+    from dl4ds_tpu.models.nets import RecNetPostupsampling
+    m = RecNetPostupsampling(backbone='resnet', upsampling='spc', scale=4,
+                             time_window=3, n_filters=4, n_blocks=1)
+    x = jax.random.normal(KEY, (4, 3, 8, 8, 1))
+    aux = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 2))
+    v = m.init(jax.random.PRNGKey(2), x, aux)
+    y = m.apply(v, x, aux)
+    assert y.shape == (4, 3, 32, 32, 1)
+    perm = jnp.array([3, 1, 0, 2])
+    y_perm = m.apply(v, x[perm], aux[perm])
+    np.testing.assert_allclose(np.asarray(y_perm), np.asarray(y[perm]),
+                               atol=1e-6)
