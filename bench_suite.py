@@ -163,33 +163,51 @@ def measure_cgan(name, steps=20):
     return {'patches_per_sec': round(pps, 2), **stats}
 
 
-def main():
+def main(only=None):
+    """Measure all configs, or with `--only key1,key2` just those, merging
+    the re-measured entries into the existing BENCH_SUITE.json."""
     rng = np.random.default_rng(1)
     statics = [rng.standard_normal((128, 128)).astype('float32')]
     preds = [rng.standard_normal((256, 128, 128, 1)).astype('float32')]
 
-    results = {}
-    results['convnet_pin_4x'] = measure_supervised(
-        'convnet_pin 4x (tutorial)      ', backbone='convnet',
-        upsampling='pin', n_blocks=6)
-    results['resnet_spc_attn_aux_4x'] = measure_supervised(
-        'resnet_spc +attn +pred +static ', backbone='resnet',
-        upsampling='spc', n_blocks=6, attention=True, static_vars=statics,
-        predictors_train=preds, predictors_val=[preds[0][:64]],
-        predictors_test=[preds[0][:64]])
-    results['unet_pin_4x'] = measure_supervised(
-        'unet_pin (encoder/decoder)     ', backbone='unet', upsampling='pin',
-        n_blocks=4)
-    results['recresnet_spc_4x_tw4'] = measure_supervised(
-        'recresnet_spc time_window=4    ', backbone='resnet',
-        upsampling='spc', time_window=4, n_blocks=2)
-    results['cgan_resnet_spc_4x'] = measure_cgan(
-        'CGAN resnet_spc G+D            ')
-    # not a BASELINE config: the same flagship workload at production width
-    # (18.5M params) — the MFU column here is the meaningful roofline check
-    results['resnet_spc_width64'] = measure_supervised(
-        'resnet_spc production width 64 ', backbone='resnet',
-        upsampling='spc', n_blocks=6, n_filters=64, attention=True)
+    configs = {
+        'convnet_pin_4x': lambda: measure_supervised(
+            'convnet_pin 4x (tutorial)      ', backbone='convnet',
+            upsampling='pin', n_blocks=6),
+        'resnet_spc_attn_aux_4x': lambda: measure_supervised(
+            'resnet_spc +attn +pred +static ', backbone='resnet',
+            upsampling='spc', n_blocks=6, attention=True, static_vars=statics,
+            predictors_train=preds, predictors_val=[preds[0][:64]],
+            predictors_test=[preds[0][:64]]),
+        'unet_pin_4x': lambda: measure_supervised(
+            'unet_pin (encoder/decoder)     ', backbone='unet',
+            upsampling='pin', n_blocks=4),
+        'recresnet_spc_4x_tw4': lambda: measure_supervised(
+            'recresnet_spc time_window=4    ', backbone='resnet',
+            upsampling='spc', time_window=4, n_blocks=2),
+        'cgan_resnet_spc_4x': lambda: measure_cgan(
+            'CGAN resnet_spc G+D            '),
+        # not a BASELINE config: the same flagship workload at production
+        # width (18.5M params) — the MFU column here is the meaningful
+        # roofline check
+        'resnet_spc_width64': lambda: measure_supervised(
+            'resnet_spc production width 64 ', backbone='resnet',
+            upsampling='spc', n_blocks=6, n_filters=64, attention=True),
+    }
+    if only:
+        unknown = set(only) - set(configs)
+        if unknown:
+            raise SystemExit(f'unknown configs: {sorted(unknown)}; '
+                             f'choose from {sorted(configs)}')
+        try:
+            with open('BENCH_SUITE.json') as fh:
+                results = json.load(fh)
+        except (OSError, ValueError):
+            results = {}
+        for key in only:
+            results[key] = configs[key]()
+    else:
+        results = {key: run() for key, run in configs.items()}
 
     with open('BENCH_SUITE.json', 'w') as fh:
         json.dump(results, fh, indent=2)
@@ -198,4 +216,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    _only = None
+    if len(sys.argv) > 2 and sys.argv[1] == '--only':
+        _only = [k for k in sys.argv[2].split(',') if k]
+    main(_only)

@@ -546,10 +546,19 @@ class ResidualDiscriminator(nn.Module):
     def __call__(self, x, x_ref, training: bool = False):
         f = self.n_filters
         # branch 1: LR input
+        bt = None
         if self.is_spatiotemporal:
             x1 = b = RecurrentConvBlock(f, activation=self.activation,
                                         normalization='ln', dropout_rate=0.0,
                                         dtype=self.dtype)(x, training)
+            # Everything after the recurrent stem is per-timestep: run it
+            # with [B, T] flattened to one batch axis (rank-5 convs are ~25x
+            # slower on XLA:TPU, see RecNetPostupsampling) and undo the
+            # flattening at the global pool, where mean over the merged rows
+            # equals the reference's GlobalAveragePooling3D over (T, H, W).
+            bt = (x1.shape[0], x1.shape[1])
+            x1 = b = x1.reshape(bt[0] * bt[1], *x1.shape[2:])
+            x_ref = x_ref.reshape(bt[0] * bt[1], *x_ref.shape[2:])
         else:
             x1 = b = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x)
         for i in range(self.n_res_blocks):
@@ -580,9 +589,12 @@ class ResidualDiscriminator(nn.Module):
         x = ResidualBlock(x.shape[-1], normalization=self.normalization,
                           attention=self.attention, dtype=self.dtype)(x,
                                                                       training)
-        # global average pool over all non-batch, non-channel dims
+        # global average pool over all non-batch, non-channel dims; for the
+        # flattened spatio-temporal case also pool the window back to [B, C]
         axes = tuple(range(1, x.ndim - 1))
         x = jnp.mean(x, axis=axes)
+        if bt is not None:
+            x = x.reshape(*bt, x.shape[-1]).mean(axis=1)
         x = Dropout(0.4)(x, training)
         x = nn.Dense(32, dtype=self.dtype)(x)
         x = jax.nn.sigmoid(x)
