@@ -438,6 +438,36 @@ class _ConvLSTMCell(nn.Module):
         return (h_new, c_new), h_new
 
 
+class _ConvParamShim(nn.Module):
+    """Creates conv kernel (+ optional bias) params at an nn.Conv-compatible
+    path and with nn.Conv's initializers, so the fused-Pallas whole-layer
+    path shares checkpoints interchangeably with the step-wise XLA path
+    (input_conv/{kernel,bias} and cell/recurrent_conv/kernel)."""
+    shape: Tuple[int, int, int, int]                      # [kh, kw, Cin, Co]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            self.shape)
+        if not self.use_bias:
+            return kernel, None
+        return kernel, self.param('bias', nn.initializers.zeros,
+                                  (self.shape[-1],))
+
+
+class _CellShim(nn.Module):
+    """Nests the recurrent-conv param under the 'cell' scope, matching the
+    scan/loop path's `_ConvLSTMCell(name='cell')` tree."""
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        k, _ = _ConvParamShim(self.shape, use_bias=False,
+                              name='recurrent_conv')()
+        return k
+
+
 class ConvLSTM2D(nn.Module):
     """ConvLSTM over [B, T, H, W, C] returning sequences (reference backbone
     layer: dl4ds/models/blocks.py:350-355 uses keras ConvLSTM2D).
@@ -445,28 +475,47 @@ class ConvLSTM2D(nn.Module):
     TPU-first structure: the input convolution is hoisted out of the
     recurrence and applied to the whole window at once (one big MXU conv over
     B*T samples); only the recurrent conv + gates run inside the recurrence.
-    For short windows (the dl4ds regime) the recurrence is UNROLLED so XLA
-    fuses the per-step gate algebra across timesteps instead of paying
-    lax.scan loop/dynamic-update-slice overhead per step; long windows fall
-    back to `nn.scan` (one compiled step reused across time). `unroll=None`
-    picks automatically (full unroll for T <= _UNROLL_MAX_T)."""
+    On TPU the recurrence itself runs as ONE fused Pallas kernel per batch
+    tile (ops/pallas_convlstm: h/c stay in VMEM for the whole window,
+    im2col+MXU recurrent conv, BPTT backward fused the same way) — XLA's
+    step-wise lowering pays ~6 kernel launches of fixed overhead per
+    timestep at dl4ds state sizes. Set DL4DS_NO_PALLAS_CONVLSTM=1 to force
+    the XLA path. Off-TPU (and as the fallback for shapes that don't fit
+    VMEM): short windows are UNROLLED as a plain loop, long windows use
+    `nn.scan`; `unroll=None` picks automatically (full unroll for
+    T <= _UNROLL_MAX_T)."""
     filters: int
     kernel_size: Tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.float32
     unroll: Optional[int] = None
+    use_pallas: Optional[bool] = None
 
     _UNROLL_MAX_T = 16
 
     @nn.compact
     def __call__(self, x):
-        b, t, h, w, _ = x.shape
+        b, t, h, w, cin = x.shape
         f = self.filters
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            import os
+            use_pallas = (jax.default_backend() == 'tpu'
+                          and not os.environ.get('DL4DS_NO_PALLAS_CONVLSTM'))
+        if use_pallas:
+            from ..ops.pallas_convlstm import fused_convlstm
+            kh, kw = self.kernel_size
+            wx, bxb = _ConvParamShim((kh, kw, cin, 4 * f), use_bias=True,
+                                     name='input_conv')()
+            wh = _CellShim((kh, kw, f, 4 * f), name='cell')()
+            return fused_convlstm(x, wx.astype(self.dtype),
+                                  bxb.astype(self.dtype),
+                                  wh.astype(self.dtype))
         # Input conv over the whole window at once, with [B, T] flattened to
         # one batch axis: XLA:TPU lowers rank-5 convs far slower than the
         # identical rank-4 program (see nets.py head note; measured ~25x).
         zx = nn.Conv(4 * f, self.kernel_size, padding='SAME',
                      dtype=self.dtype, name='input_conv')(
-                         x.reshape(b * t, h, w, x.shape[-1]))
+                         x.reshape(b * t, h, w, cin))
         zx = zx.reshape(b, t, h, w, 4 * f)                    # [B,T,H,W,4F]
         unroll = self.unroll
         if unroll is None:

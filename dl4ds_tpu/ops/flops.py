@@ -60,6 +60,14 @@ def jaxpr_flops(jaxpr):
         elif prim == 'cond':
             total += max((jaxpr_flops(b.jaxpr)
                           for b in eqn.params['branches']), default=0.0)
+        elif prim == 'pallas_call':
+            # opaque kernel: use the analytic cost the author attached
+            # (e.g. ops/pallas_convlstm attaches the LOGICAL conv FLOPs —
+            # walking the kernel jaxpr would miscount: its time loop hides
+            # the trip count and its band matmuls carry structural zeros)
+            ce = eqn.params.get('cost_estimate')
+            flops = getattr(ce, 'flops', None) if ce is not None else None
+            total += float(flops) if flops else 0.0
         else:
             # generic recursion: pjit, closed_call, custom_jvp/vjp, remat...
             for v in eqn.params.values():

@@ -1,0 +1,501 @@
+"""Fully-fused Pallas TPU kernel for ConvLSTM layers.
+
+Motivation (docs/ROOFLINE.md "rank-5 conv cliff" section): after flattening
+all per-timestep work onto [B*T], the remaining cost of the spatio-temporal
+configs is the recurrence itself — XLA emits ~6 small kernels per timestep
+(recurrent conv, gate splits, two tanh/hard-sigmoid chains, state updates),
+each with fixed launch/fusion-boundary overhead and an HBM round-trip for
+h/c. At dl4ds state sizes ([128, 16, 16, 8]) that overhead dominates:
+~45 us/step against a ~5 us roofline.
+
+Design. One program per batch tile runs the WHOLE layer — input convolution,
+recurrence, gates — keeping h and c in VMEM for the entire window. Three
+ideas make this fast on the TPU's (8, 128) tiling:
+
+1. LANE PACKING. Narrow channel counts (F=8) would waste 16x of every VMEM
+   tile if kept in the minor dim, so a row of any state is the lane vector
+   [W*F] (x-major, channel-minor) — a PURE RESHAPE of the NHWC array, so
+   nothing on the XLA side ever transposes (transposes with a tiny minor
+   dim hit the same lowering cliff the convs do; measured ~0.4 ms/layer
+   when gate-packing was attempted outside the kernel).
+2. BANDED MATMULS. The SAME convolutions (input and recurrent) become kh
+   matmuls over rows — z[y] += src_pad[y+dy] @ BW[dy], where the
+   [W*Cin, 4*W*F] band matrix BW[dy] carries the kw taps and the
+   x-boundary zeros (the separable-matmul trick interpolation.py uses for
+   resizing) — so the MXU contracts a full 128-wide K dim instead of K=8.
+   The band matrices are built from the conv params by a tiny einsum whose
+   cost measures as noise.
+3. GATE-MAJOR CONV OUTPUT. The band matrices' column order is chosen
+   (gate, x, channel), so each gate of the pre-activation z is a contiguous
+   128-aligned lane slice — no shuffles, no strided extracts. Because the
+   input conv is folded into the kernel, no input tensor ever needs that
+   gate-major order materialized in HBM.
+
+The backward pass is the mirrored BPTT kernel: gates are recomputed from the
+saved states (h from the forward's ys output, c from its cs output), the
+band-matrix gradients accumulate on-chip in f32, and the per-tap kernel
+gradients are folded out of the bands afterwards in XLA.
+
+Gate semantics match models/blocks.py:_ConvLSTMCell exactly (Keras
+ConvLSTM2D defaults; reference layer: dl4ds/models/blocks.py:350-355):
+    z = conv_same(x_t, wx) + bx + conv_same(h_{t-1}, wh)   # wh has no bias
+    i, f, g-input, o split order; hard_sigmoid(x) = clip(0.2x + 0.5, 0, 1)
+    c_t = f * c_{t-1} + i * tanh(z_c)
+    h_t = o * tanh(c_t)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['fused_convlstm', 'convlstm_reference']
+
+# Per-program VMEM working-set budget (blocks + band matrices + scratch +
+# single-step temporaries), with headroom for Mosaic's double buffering.
+_VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+
+
+def _hard_sigmoid(x):
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+def _d_hard_sigmoid(x):
+    # compare-free formulation (Mosaic rejects several i1-vector layouts):
+    # g(1-g) is zero exactly on the clipped regions and >= ~eps inside, so
+    # saturating it to 1 recovers the 0/0.2 step without boolean vectors
+    g = _hard_sigmoid(x).astype(jnp.float32)
+    t = g * (1.0 - g)
+    return (0.2 * jnp.minimum(t * 1e30, 1.0)).astype(x.dtype)
+
+
+def convlstm_reference(x, wx, bx, wh):
+    """Plain-XLA whole layer (also the numerical reference for tests).
+
+    x: [B, T, H, W, Cin]; wx: [kh, kw, Cin, 4F] input-conv kernel;
+    bx: [4F] input-conv bias; wh: [kh, kw, F, 4F] recurrent kernel.
+    Returns (ys, cs): [B, T, H, W, F].
+    """
+    b, t, h, w, cin = x.shape
+    f = wh.shape[2]
+    dnx = jax.lax.conv_dimension_numbers((b, h, w, cin), wx.shape,
+                                         ('NHWC', 'HWIO', 'NHWC'))
+    dnh = jax.lax.conv_dimension_numbers((b, h, w, f), wh.shape,
+                                         ('NHWC', 'HWIO', 'NHWC'))
+    xm = x.reshape(b * t, h, w, cin)
+    zx = jax.lax.conv_general_dilated(
+        xm, wx.astype(x.dtype), (1, 1), 'SAME',
+        dimension_numbers=dnx) + bx.astype(x.dtype)
+    zx = zx.reshape(b, t, h, w, 4 * f)
+    hh = jnp.zeros((b, h, w, f), x.dtype)
+    cc = jnp.zeros((b, h, w, f), x.dtype)
+    ys, cs = [], []
+    for i in range(t):
+        z = zx[:, i] + jax.lax.conv_general_dilated(
+            hh, wh.astype(hh.dtype), (1, 1), 'SAME', dimension_numbers=dnh)
+        zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+        cc = (_hard_sigmoid(zf) * cc
+              + _hard_sigmoid(zi) * jnp.tanh(zc)).astype(x.dtype)
+        hh = (_hard_sigmoid(zo) * jnp.tanh(cc)).astype(x.dtype)
+        ys.append(hh)
+        cs.append(cc)
+    return jnp.stack(ys, axis=1), jnp.stack(cs, axis=1)
+
+
+# --------------------------------------------------------------------------
+# Band-matrix construction (runs in XLA, outside the kernel; measured cost
+# is noise — the arrays are a few hundred KB)
+# --------------------------------------------------------------------------
+
+def _x_selector(kw, w):
+    """S[dx, xi, xo] = 1 where input column xi feeds output column xo
+    through tap dx of a SAME conv (xi = xo + dx - (kw-1)//2)."""
+    pw = (kw - 1) // 2
+    xo = jnp.arange(w)
+    xi = xo[None, :] + jnp.arange(kw)[:, None] - pw        # [kw, w]
+    sel = (xi[:, None, :] == jnp.arange(w)[None, :, None])  # [kw, xi, xo]
+    return sel.astype(jnp.float32)
+
+
+def _band(wk, w):
+    """Conv kernel [kh, kw, Cin, 4F] -> band matrices BW [kh, W*Cin, 4*W*F]
+    with rows (xi, cin) and cols (gate, xo, f): z_rows = sum_dy
+    src_pad[y+dy] @ BW[dy] is the SAME conv with gate-major output lanes."""
+    kh, kw, cin, f4 = wk.shape
+    f = f4 // 4
+    wk6 = wk.reshape(kh, kw, cin, 4, f).astype(jnp.float32)  # d x c g e
+    s = _x_selector(kw, w)                                   # x i o
+    big = jnp.einsum('xio,dxcge->dicgoe', s, wk6)
+    return big.reshape(kh, w * cin, 4 * w * f)
+
+
+def _unband(dbw, kh, kw, cin, f, w):
+    """Fold the band-matrix gradient [kh, W*Cin, 4*W*F] back to the per-tap
+    conv-kernel gradient [kh, kw, Cin, 4F]."""
+    dbig = dbw.reshape(kh, w, cin, 4, w, f)                  # d i c g o e
+    s = _x_selector(kw, w)                                   # x i o
+    dwk6 = jnp.einsum('xio,dicgoe->dxcge', s, dbig)
+    return dwk6.reshape(kh, kw, cin, 4 * f)
+
+
+def _band_bias(bx, w):
+    """bias [4F] -> packed gate-major lane bias [4*W*F]."""
+    f4 = bx.shape[0]
+    f = f4 // 4
+    return jnp.broadcast_to(bx.reshape(4, 1, f),
+                            (4, w, f)).reshape(4 * w * f)
+
+
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+
+def _band_conv(src_ref, bw_ref, kh, h):
+    """z[y] = sum_dy src[y+dy] @ BW[dy]; src_ref is the H-padded packed
+    input [Bt, H+kh-1, W*C], bw_ref is [kh, W*C, N]. Operands stay in the
+    model dtype (bf16 hits the MXU's fast path), accumulation is f32.
+    Returns [Bt*H, N] f32."""
+    bt = src_ref.shape[0]
+    acc = None
+    for dy in range(kh):
+        sl = src_ref[:, dy:dy + h, :]
+        part = jnp.dot(sl.reshape(bt * h, -1), bw_ref[dy],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
+                ys_ref, cs_ref, zs_ref, xp_ref, hp_ref):
+    bt, _, h, _ = x_ref.shape
+    wf = ys_ref.shape[-1]
+    ph = (kh - 1) // 2
+    dt = x_ref.dtype
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    hp_ref[:] = jnp.zeros_like(hp_ref)
+
+    def step(i, cc):
+        xp_ref[:, ph:ph + h, :] = x_ref[:, pl.ds(i, 1)][:, 0]
+        # gate algebra in the model dtype — matches the XLA recurrence
+        # (which also runs bf16 for bf16 models) and doubles VPU throughput
+        z = (_band_conv(xp_ref, bwx_ref, kh, h)
+             + _band_conv(hp_ref, bwh_ref, kh, h)).astype(dt) \
+            .reshape(bt, h, 4 * wf) + bb_ref[0]
+        zs_ref[:, pl.ds(i, 1)] = z[:, None]
+        zi = z[..., :wf]
+        zf = z[..., wf:2 * wf]
+        zc = z[..., 2 * wf:3 * wf]
+        zo = z[..., 3 * wf:]
+        cc = _hard_sigmoid(zf) * cc + _hard_sigmoid(zi) * jnp.tanh(zc)
+        hh = _hard_sigmoid(zo) * jnp.tanh(cc)
+        hp_ref[:, ph:ph + h, :] = hh
+        ys_ref[:, pl.ds(i, 1)] = hh[:, None]
+        cs_ref[:, pl.ds(i, 1)] = cc[:, None]
+        return cc
+
+    jax.lax.fori_loop(0, t_steps, step, jnp.zeros((bt, h, wf), dt))
+
+
+def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
+                cs_ref, dys_ref, bwxT_ref, bwhT_ref,
+                dx_ref, dbwx_ref, dbwh_ref, dbb_ref, xp_ref, hp_ref,
+                dzp_ref):
+    """Mirrored BPTT: recompute the gates from the saved pre-activations,
+    emit dx and this program's partial band-matrix/bias gradients."""
+    bt, _, h, _ = x_ref.shape
+    wf = ys_ref.shape[-1]
+    wf4 = 4 * wf
+    ph = (kh - 1) // 2
+    dt = x_ref.dtype
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    hp_ref[:] = jnp.zeros_like(hp_ref)
+    dzp_ref[:] = jnp.zeros_like(dzp_ref)
+    dbwx_ref[0] = jnp.zeros_like(dbwx_ref[0])
+    dbwh_ref[0] = jnp.zeros_like(dbwh_ref[0])
+    dbb_ref[0] = jnp.zeros_like(dbb_ref[0])
+    zero_state = jnp.zeros((bt, h, wf), dt)
+
+    def step(j, carry):
+        dh_next, dc_next = carry
+        i = t_steps - 1 - j
+        i_prev = jnp.maximum(i - 1, 0)
+        first = (i == 0)
+        h_prev = jnp.where(first, zero_state,
+                           ys_ref[:, pl.ds(i_prev, 1)][:, 0])
+        c_prev = jnp.where(first, zero_state,
+                           cs_ref[:, pl.ds(i_prev, 1)][:, 0])
+        xp_ref[:, ph:ph + h, :] = x_ref[:, pl.ds(i, 1)][:, 0]
+        hp_ref[:, ph:ph + h, :] = h_prev
+        z = zs_ref[:, pl.ds(i, 1)][:, 0]
+        zi = z[..., :wf]
+        zf = z[..., wf:2 * wf]
+        zc = z[..., 2 * wf:3 * wf]
+        zo = z[..., 3 * wf:]
+        gi = _hard_sigmoid(zi)
+        gf = _hard_sigmoid(zf)
+        gg = jnp.tanh(zc)
+        go = _hard_sigmoid(zo)
+        cc = cs_ref[:, pl.ds(i, 1)][:, 0]
+        tc = jnp.tanh(cc)
+        one = jnp.asarray(1.0, dt)
+        dh = dys_ref[:, pl.ds(i, 1)][:, 0] + dh_next
+        do = dh * tc
+        dc = dh * go * (one - tc * tc) + dc_next
+        dzi = dc * gg * _d_hard_sigmoid(zi)
+        dzf = dc * c_prev * _d_hard_sigmoid(zf)
+        dzc = dc * gi * (one - gg * gg)
+        dzo = do * _d_hard_sigmoid(zo)
+        dz = jnp.concatenate([dzi, dzf, dzc, dzo], axis=-1)  # [Bt,H,4WF]
+        dz_flat = dz.reshape(bt * h, wf4)
+        dbb_ref[0] = dbb_ref[0] + jnp.sum(dz_flat.astype(jnp.float32),
+                                          axis=0, keepdims=True)
+        # band-matrix grads: dBW[dy] += src_pad[:, dy:dy+H]^T @ dz
+        for dy in range(kh):
+            slx = xp_ref[:, dy:dy + h, :]
+            dbwx_ref[0, dy] = dbwx_ref[0, dy] + jax.lax.dot_general(
+                slx.reshape(bt * h, -1), dz_flat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            slh = hp_ref[:, dy:dy + h, :]
+            dbwh_ref[0, dy] = dbwh_ref[0, dy] + jax.lax.dot_general(
+                slh.reshape(bt * h, -1), dz_flat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # upstream grads: correlate dz with the transposed bands
+        dzp_ref[:, ph:ph + h, :] = dz
+        acc_h = None
+        acc_x = None
+        for dy in range(kh):
+            off = kh - 1 - dy
+            sl = dzp_ref[:, off:off + h, :].reshape(bt * h, wf4)
+            ph_part = jnp.dot(sl, bwhT_ref[dy],
+                              preferred_element_type=jnp.float32)
+            px_part = jnp.dot(sl, bwxT_ref[dy],
+                              preferred_element_type=jnp.float32)
+            acc_h = ph_part if acc_h is None else acc_h + ph_part
+            acc_x = px_part if acc_x is None else acc_x + px_part
+        dx_ref[:, pl.ds(i, 1)] = acc_x.astype(dt).reshape(
+            bt, h, -1)[:, None]
+        return acc_h.astype(dt).reshape(bt, h, wf), dc * gf
+
+    jax.lax.fori_loop(0, t_steps, step, (zero_state, zero_state))
+
+
+# --------------------------------------------------------------------------
+# VMEM sizing / dispatch
+# --------------------------------------------------------------------------
+
+def _lane_pad(c):
+    """VMEM tiles always occupy full 128-wide lanes in the minor dim."""
+    return -(-c // 128) * 128
+
+
+def _budget(bt, t, h, w, cin, f, kh, itemsize):
+    """Backward-program VMEM bytes (the larger of the two programs)."""
+    wc = _lane_pad(w * cin)
+    wf = _lane_pad(w * f)
+    wf4 = _lane_pad(4 * w * f)
+    hp = h + kh - 1
+    blocks = bt * t * h * (2 * wc + 3 * wf + 2 * wf4) * itemsize
+    bands = kh * (w * cin + w * f) * (4 * w * f) * 4 * 3
+    scratch = bt * hp * (wc + wf + wf4) * itemsize
+    stack = bt * h * (6 * wf4 + 6 * wf) * 4
+    return blocks + bands + scratch + stack
+
+
+def _pick_batch_tile(b, t, h, w, cin, f, kh, itemsize):
+    """Largest divisor-of-b batch tile (capped at 32 to keep Mosaic's
+    load/compute pipelining across the grid) whose working set fits the
+    budget, or None if even a single sample does not fit."""
+    if _budget(1, t, h, w, cin, f, kh, itemsize) > _VMEM_LIMIT_BYTES:
+        return None
+    bt = min(b, 32)
+    while bt > 1 and (_budget(bt, t, h, w, cin, f, kh, itemsize)
+                      > _VMEM_LIMIT_BYTES or b % bt != 0):
+        bt -= 1
+    return bt
+
+
+def _cost(b, t, h, w, wc, wf, kh, bwd):
+    """Analytic LOGICAL cost of the fused layer (what an MFU numerator
+    wants): SAME-conv FLOPs of the input + recurrent convs over the window
+    (wc/w = Cin, wf/w = F), x2 for the backward (weight-grad + input-grad
+    per conv). The band matmuls' structural zeros and the VMEM scratch
+    traffic are implementation detail, deliberately not counted."""
+    kw = kh
+    conv = 2 * b * t * h * w * kh * kw * (wc // w + wf // w) * 4 * (wf // w)
+    io = b * t * h * (wc + 2 * wf + 4 * wf) * 4
+    return pl.CostEstimate(flops=(2 if bwd else 1) * conv,
+                           transcendentals=2 * b * t * h * wf,
+                           bytes_accessed=(2 if bwd else 1) * io)
+
+
+def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt):
+    b, t, h, wc = xp.shape
+    kh = bwx.shape[0]
+    wf = bwx.shape[-1] // 4
+    kern = functools.partial(_fwd_kernel, t, kh)
+    band_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                       memory_space=pltpu.VMEM)
+    ys, cs, zs = pl.pallas_call(
+        kern,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, t, h, wc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            band_spec(bwx), band_spec(bwh), band_spec(bb),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, t, h, 4 * wf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype),
+                   jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype),
+                   jax.ShapeDtypeStruct((b, t, h, 4 * wf), xp.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
+            pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
+        ],
+        cost_estimate=_cost(b, t, h, wf // f, wc, wf, kh, bwd=False),
+        interpret=interpret,
+    )(xp, bwx, bwh, bb)
+    return ys, cs, zs
+
+
+def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt):
+    b, t, h, wc = xp.shape
+    kh = bwx.shape[0]
+    wf = bwx.shape[-1] // 4
+    wf4 = 4 * wf
+    nprog = b // bt
+    bwxT = jnp.swapaxes(bwx, 1, 2)
+    bwhT = jnp.swapaxes(bwh, 1, 2)
+    kern = functools.partial(_bwd_kernel, t, kh)
+    band_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                       memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    dx, dbwx_p, dbwh_p, dbb_p = pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((bt, t, h, wc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, t, h, 4 * wf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec,
+            band_spec(bwxT), band_spec(bwhT),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, t, h, wc), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + bwx.shape, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + bwh.shape, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wf4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            jax.ShapeDtypeStruct((nprog,) + bwx.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nprog,) + bwh.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nprog, 1, wf4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
+            pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
+            pltpu.VMEM((bt, h + kh - 1, wf4), xp.dtype),
+        ],
+        cost_estimate=_cost(b, t, h, wf // f, wc, wf, kh, bwd=True),
+        interpret=interpret,
+    )(xp, zs, ys, cs, dys, bwxT, bwhT)
+    return (dx, jnp.sum(dbwx_p, axis=0), jnp.sum(dbwh_p, axis=0),
+            jnp.sum(dbb_p, axis=0)[0])
+
+
+# --------------------------------------------------------------------------
+# Differentiable entry point
+# --------------------------------------------------------------------------
+
+def _prep(x, wx, bx, wh):
+    b, t, h, w, cin = x.shape
+    xp = x.reshape(b, t, h, w * cin)                 # pure reshape
+    bwx = _band(wx, w).astype(x.dtype)
+    bwh = _band(wh, w).astype(x.dtype)
+    bb = _band_bias(bx, w).astype(x.dtype).reshape(1, -1)
+    return xp, bwx, bwh, bb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused(x, wx, bx, wh, interpret, bt):
+    b, t, h, w, cin = x.shape
+    f = wh.shape[2]
+    xp, bwx, bwh, bb = _prep(x, wx, bx, wh)
+    ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt)
+    return ys.reshape(b, t, h, w, f)                 # pure reshape
+
+
+def _fused_fwd(x, wx, bx, wh, interpret, bt):
+    b, t, h, w, cin = x.shape
+    f = wh.shape[2]
+    xp, bwx, bwh, bb = _prep(x, wx, bx, wh)
+    ysp, csp, zsp = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt)
+    meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
+            jax.ShapeDtypeStruct(bx.shape, bx.dtype),
+            jax.ShapeDtypeStruct(wh.shape, wh.dtype))
+    return ysp.reshape(b, t, h, w, f), (xp, bwx, bwh, zsp, ysp, csp, meta)
+
+
+def _fused_bwd(interpret, bt, res, dys):
+    xp, bwx, bwh, zsp, ysp, csp, meta = res
+    wx_sd, bx_sd, wh_sd = meta
+    b, t, h, wc = xp.shape
+    kh, kw, cin, _ = wx_sd.shape
+    f = wh_sd.shape[2]
+    w = wc // cin
+    dysp = dys.reshape(b, t, h, w * f)               # pure reshape
+    dx, dbwx, dbwh, dbb = _backward_pallas(xp, bwx, bwh, zsp, ysp, csp,
+                                           dysp, f, interpret, bt)
+    dwx = _unband(dbwx, kh, kw, cin, f, w).reshape(wx_sd.shape)
+    dwh = _unband(dbwh, kh, kw, f, f, w).reshape(wh_sd.shape)
+    dbxp = dbb.reshape(4, w, f).sum(axis=1).reshape(4 * f)
+    return (dx.reshape(b, t, h, w, cin), dwx.astype(wx_sd.dtype),
+            dbxp.astype(bx_sd.dtype), dwh.astype(wh_sd.dtype))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_convlstm(x, wx, bx, wh, interpret=None):
+    """Fully-fused ConvLSTM layer: input conv + recurrence + gates in one
+    VMEM-resident kernel per batch tile (differentiable; the BPTT backward
+    is a single fused kernel too).
+
+    x: [B, T, H, W, Cin]; wx: [kh, kw, Cin, 4F] input-conv kernel;
+    bx: [4F] input-conv bias; wh: [kh, kw, F, 4F] recurrent kernel (no
+    bias — Keras ConvLSTM2D layout, gate order i, f, c, o).
+    Returns ys: [B, T, H, W, F].
+
+    Falls back to the XLA path for even kernels (asymmetric SAME padding
+    the band matrices don't model), when W*F is not lane-aligned (gate
+    slices must sit on 128-lane boundaries), or when the working set — in
+    particular the [W*C, 4*W*F] band matrices — cannot fit VMEM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, t, h, w, cin = x.shape
+    kh, kw, _, f4 = wx.shape
+    f = f4 // 4
+    bt = _pick_batch_tile(b, t, h, w, cin, f, kh, x.dtype.itemsize)
+    if kh % 2 == 0 or kw % 2 == 0 or bt is None \
+            or (not interpret and (w * f) % 128 != 0):
+        ys, _ = convlstm_reference(x, wx, bx, wh)
+        return ys
+    return _fused(x, wx, bx, wh, interpret, bt)

@@ -111,3 +111,58 @@ def test_fused_ssim_multichannel_fallback(rng):
     b = rng.random((2, 16, 16, 3)).astype('float32')
     got = np.asarray(fused_ssim_per_image(a, b, 1.0, interpret=True))
     np.testing.assert_allclose(got, np.asarray(ssim(a, b, 1.0)), atol=1e-6)
+
+
+def test_fused_convlstm_matches_reference(rng):
+    from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm, \
+        convlstm_reference
+    for (b, t, h, w, cin, f, k) in [(4, 3, 8, 8, 2, 5, 3),
+                                    (2, 2, 9, 11, 3, 3, 5)]:
+        x = jnp.asarray(
+            rng.standard_normal((b, t, h, w, cin)).astype('float32'))
+        wx = jnp.asarray(
+            0.3 * rng.standard_normal((k, k, cin, 4 * f)).astype('float32'))
+        bx = jnp.asarray(0.1 * rng.standard_normal(4 * f).astype('float32'))
+        wh = jnp.asarray(
+            0.3 * rng.standard_normal((k, k, f, 4 * f)).astype('float32'))
+        ys = fused_convlstm(x, wx, bx, wh, interpret=True)
+        ys_ref, _ = convlstm_reference(x, wx, bx, wh)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                                   atol=1e-5)
+
+
+def test_fused_convlstm_gradients(rng):
+    """BPTT backward kernel vs autodiff through the XLA layer: all four
+    gradients (input, input-conv kernel + bias, recurrent kernel)."""
+    from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm, \
+        convlstm_reference
+    x = jnp.asarray(rng.standard_normal((3, 3, 8, 8, 2)).astype('float32'))
+    wx = jnp.asarray(0.3 * rng.standard_normal((3, 3, 2, 16))
+                     .astype('float32'))
+    bx = jnp.asarray(0.1 * rng.standard_normal(16).astype('float32'))
+    wh = jnp.asarray(0.3 * rng.standard_normal((3, 3, 4, 16))
+                     .astype('float32'))
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        fused_convlstm(*a, interpret=True))), argnums=(0, 1, 2, 3))(
+            x, wx, bx, wh)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        convlstm_reference(*a)[0])), argnums=(0, 1, 2, 3))(x, wx, bx, wh)
+    for a, b, tol in zip(g1, g2, (1e-5, 1e-4, 1e-4, 1e-4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+
+def test_convlstm2d_pallas_path_checkpoint_compatible(rng):
+    """use_pallas=True/False share the exact param tree and numerics."""
+    from dl4ds_tpu.models.blocks import ConvLSTM2D
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 3)).astype('float32'))
+    m_x = ConvLSTM2D(5, (3, 3), use_pallas=False)
+    m_p = ConvLSTM2D(5, (3, 3), use_pallas=True)
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(m_p.init(jax.random.PRNGKey(1),
+                                                     x)))
+    assert jax.tree.map(lambda a: a.shape, v) \
+        == jax.tree.map(lambda a: a.shape, m_p.init(jax.random.PRNGKey(1),
+                                                    x))
+    np.testing.assert_allclose(np.asarray(m_p.apply(v, x)),
+                               np.asarray(m_x.apply(v, x)), atol=1e-5)
