@@ -166,3 +166,39 @@ def test_convlstm2d_pallas_path_checkpoint_compatible(rng):
                                                     x))
     np.testing.assert_allclose(np.asarray(m_p.apply(v, x)),
                                np.asarray(m_x.apply(v, x)), atol=1e-5)
+
+
+def test_recnet_model_pallas_vs_xla_paths(rng):
+    """Whole-model integration: a spatio-temporal model with the fused
+    ConvLSTM (interpret mode) matches the XLA path in forward AND in
+    gradients w.r.t. every parameter, sharing one param tree."""
+    import os
+    from dl4ds_tpu.models.nets import RecNetPostupsampling
+    x = jnp.asarray(rng.standard_normal((2, 3, 8, 16, 1)).astype('float32'))
+    m = RecNetPostupsampling(backbone='resnet', upsampling='spc', scale=4,
+                             time_window=3, n_filters=8, n_blocks=1)
+    os.environ['DL4DS_NO_PALLAS_CONVLSTM'] = '1'
+    try:
+        v = m.init(jax.random.PRNGKey(0), x)
+        y_xla = m.apply(v, x)
+        g_xla = jax.grad(lambda v: jnp.sum(jnp.sin(m.apply(v, x))))(v)
+    finally:
+        del os.environ['DL4DS_NO_PALLAS_CONVLSTM']
+    # CPU backend: force the fused path (runs the kernels in interpret
+    # mode) by monkeypatching the ConvLSTM2D default
+    m_p = RecNetPostupsampling(backbone='resnet', upsampling='spc', scale=4,
+                               time_window=3, n_filters=8, n_blocks=1)
+    from dl4ds_tpu.models import blocks as blocks_mod
+    orig = blocks_mod.ConvLSTM2D.use_pallas
+    try:
+        blocks_mod.ConvLSTM2D.use_pallas = True
+        y_pal = m_p.apply(v, x)
+        g_pal = jax.grad(lambda v: jnp.sum(jnp.sin(m_p.apply(v, x))))(v)
+    finally:
+        blocks_mod.ConvLSTM2D.use_pallas = orig
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               atol=2e-5)
+    diffs = jax.tree.map(lambda a, bz: float(jnp.max(jnp.abs(a - bz))),
+                         g_xla, g_pal)
+    for path, d in jax.tree_util.tree_leaves_with_path(diffs):
+        assert d < 2e-4, f'{path}: {d}'
