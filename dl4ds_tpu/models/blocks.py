@@ -507,7 +507,9 @@ class ConvLSTM2D(nn.Module):
             wx, bxb = _ConvParamShim((kh, kw, cin, 4 * f), use_bias=True,
                                      name='input_conv')()
             wh = _CellShim((kh, kw, f, 4 * f), name='cell')()
-            return fused_convlstm(x, wx.astype(self.dtype),
+            # cast inputs like nn.Conv(dtype=...) would on the XLA path
+            return fused_convlstm(x.astype(self.dtype),
+                                  wx.astype(self.dtype),
                                   bxb.astype(self.dtype),
                                   wh.astype(self.dtype))
         # Input conv over the whole window at once, with [B, T] flattened to
