@@ -813,6 +813,7 @@ class HostStreamer:
                            if season_ids is not None else None)
         self.has_aux = self.n_static > 0 or self.season_ids is not None
         self._static_hr_dev = None  # device copy for full-grid batches
+        self._static_lr_dev = None  # its LR resize, computed once
 
     def _host_batch(self, idx):
         from . import native
@@ -885,7 +886,8 @@ class HostStreamer:
             parts_lr.append(jax.device_put(jnp.asarray(pred_np)))
         aux_parts = []
         if static_np is not None:
-            if static_np is _FULL_GRID_STATICS:
+            full_grid = static_np is _FULL_GRID_STATICS
+            if full_grid:
                 if self._static_hr_dev is None:
                     self._static_hr_dev = jax.device_put(
                         jnp.asarray(self.static_hr))
@@ -895,9 +897,21 @@ class HostStreamer:
                 static_hr = jax.device_put(jnp.asarray(static_np))
             aux_parts.append(static_hr)
             if tw is None:
-                static_lr = (resize2d(static_hr, (h_lr, w_lr),
-                                      self.interpolation)
-                             if self.is_postups else static_hr)
+                if not self.is_postups:
+                    static_lr = static_hr
+                elif full_grid:
+                    # resize the (batch-invariant) grid once, not B copies
+                    # of it per batch
+                    if self._static_lr_dev is None:
+                        self._static_lr_dev = resize2d(
+                            self._static_hr_dev[None], (h_lr, w_lr),
+                            self.interpolation)[0]
+                    static_lr = jnp.broadcast_to(
+                        self._static_lr_dev,
+                        (b,) + self._static_lr_dev.shape)
+                else:
+                    static_lr = resize2d(static_hr, (h_lr, w_lr),
+                                         self.interpolation)
                 parts_lr.append(static_lr)
         if sid_np is not None:
             onehot = jax.nn.one_hot(jnp.asarray(sid_np), 4, dtype=hr.dtype)

@@ -213,10 +213,7 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     else:
         out = _batched_apply(apply, variables, x, aux, batch_size)
 
-    if out_hw is not None:
-        f_h = out.shape[-3] // x.shape[-3]
-        f_w = out.shape[-2] // x.shape[-2]
-        out = out[..., :out_hw[0] * f_h, :out_hw[1] * f_w, :]
+    out = _crop_padded(out, x, out_hw)
 
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
@@ -231,20 +228,36 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     return out
 
 
-def _cached_jit_apply(model):
-    """The jitted inference forward, memoized ON the model wrapper — repeat
-    `predict` calls reuse the same jit object, so XLA's executable cache hits
-    across calls (and `pad_to_multiple` buckets make distinct grid sizes hit
-    the same cached shape)."""
-    fn = getattr(model, '_cached_jit_apply', None)
+def _memoized_jit(model, attr, make_fn):
+    """A jitted forward memoized ON the model wrapper under `attr` — repeat
+    calls reuse the same jit object, so XLA's executable cache hits across
+    calls (and `pad_to_multiple` buckets make distinct grid sizes hit the
+    same cached shape). Frozen wrappers skip memoization gracefully."""
+    fn = getattr(model, attr, None)
     if fn is None:
-        fn = jax.jit(lambda v, xb, ab: model.module.apply(v, xb, ab,
-                                                          training=False))
+        fn = jax.jit(make_fn())
         try:
-            model._cached_jit_apply = fn
+            setattr(model, attr, fn)
         except Exception:  # noqa: BLE001 — frozen wrappers: skip memoization
             pass
     return fn
+
+
+def _crop_padded(out, x, out_hw):
+    """Undo `_pad_spatial_to_multiple`: crop the output back to the
+    unpadded grid, scaled by the model's output/input spatial ratio."""
+    if out_hw is None:
+        return out
+    f_h = out.shape[-3] // x.shape[-3]
+    f_w = out.shape[-2] // x.shape[-2]
+    return out[..., :out_hw[0] * f_h, :out_hw[1] * f_w, :]
+
+
+def _cached_jit_apply(model):
+    return _memoized_jit(
+        model, '_cached_jit_apply',
+        lambda: lambda v, xb, ab: model.module.apply(v, xb, ab,
+                                                     training=False))
 
 
 def _batched_apply(apply, variables, x, aux, batch_size, *extra,
@@ -318,21 +331,14 @@ def _predict_once_with_rng(model, variables, array, scale, rng_key,
     out_hw = None
     if pad_to_multiple is not None:
         x, aux, out_hw = _pad_spatial_to_multiple(x, aux, pad_to_multiple)
-    # memoized like _cached_jit_apply so the n_members loop (and repeated
-    # predict_mc calls) compiles each input shape exactly once
-    apply = getattr(model, '_cached_jit_apply_rng', None)
-    if apply is None:
-        apply = jax.jit(lambda v, xb, ab, k: model.module.apply(
+    # memoized so the n_members loop (and repeated predict_mc calls)
+    # compiles each input shape exactly once
+    apply = _memoized_jit(
+        model, '_cached_jit_apply_rng',
+        lambda: lambda v, xb, ab, k: model.module.apply(
             v, xb, ab, training=False, rngs={'dropout': k}))
-        try:
-            model._cached_jit_apply_rng = apply
-        except Exception:  # noqa: BLE001 — frozen wrappers: skip memoization
-            pass
     out = _batched_apply(apply, variables, x, aux, batch_size, rng_key)
-    if out_hw is not None:
-        f_h = out.shape[-3] // x.shape[-3]
-        f_w = out.shape[-2] // x.shape[-2]
-        out = out[..., :out_hw[0] * f_h, :out_hw[1] * f_w, :]
+    out = _crop_padded(out, x, out_hw)
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
     if scaler is not None:

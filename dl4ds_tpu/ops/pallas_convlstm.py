@@ -168,7 +168,7 @@ def _band_conv(src_ref, bw_ref, kh, h):
 
 
 def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
-                ys_ref, cs_ref, zs_ref, xp_ref, hp_ref):
+                ys_ref, cs_ref=None, zs_ref=None, xp_ref=None, hp_ref=None):
     bt, _, h, _ = x_ref.shape
     wf = ys_ref.shape[-1]
     ph = (kh - 1) // 2
@@ -183,7 +183,8 @@ def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
         z = (_band_conv(xp_ref, bwx_ref, kh, h)
              + _band_conv(hp_ref, bwh_ref, kh, h)).astype(dt) \
             .reshape(bt, h, 4 * wf) + bb_ref[0]
-        zs_ref[:, pl.ds(i, 1)] = z[:, None]
+        if zs_ref is not None:
+            zs_ref[:, pl.ds(i, 1)] = z[:, None]
         zi = z[..., :wf]
         zf = z[..., wf:2 * wf]
         zc = z[..., 2 * wf:3 * wf]
@@ -192,7 +193,8 @@ def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
         hh = _hard_sigmoid(zo) * jnp.tanh(cc)
         hp_ref[:, ph:ph + h, :] = hh
         ys_ref[:, pl.ds(i, 1)] = hh[:, None]
-        cs_ref[:, pl.ds(i, 1)] = cc[:, None]
+        if cs_ref is not None:
+            cs_ref[:, pl.ds(i, 1)] = cc[:, None]
         return cc
 
     jax.lax.fori_loop(0, t_steps, step, jnp.zeros((bt, h, wf), dt))
@@ -332,14 +334,34 @@ def _cost(b, t, h, w, wc, wf, kh, bwd):
                            bytes_accessed=(2 if bwd else 1) * io)
 
 
-def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt):
+def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
+                    save_residuals=True):
+    """Run the forward kernel. With save_residuals=False (inference /
+    no-grad) only ys is emitted — cs/zs exist purely as backward residuals
+    and would be ~6x extra HBM write traffic per layer."""
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
-    kern = functools.partial(_fwd_kernel, t, kh)
+    state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    state_shape = jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype)
+    if save_residuals:
+        kern = functools.partial(_fwd_kernel, t, kh)
+        out_specs = (state_spec, state_spec,
+                     pl.BlockSpec((bt, t, h, 4 * wf), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (state_shape, state_shape,
+                     jax.ShapeDtypeStruct((b, t, h, 4 * wf), xp.dtype))
+    else:
+        def kern(x_ref, bwx_ref, bwh_ref, bb_ref, ys_ref, xp_ref, hp_ref):
+            _fwd_kernel(t, kh, x_ref, bwx_ref, bwh_ref, bb_ref, ys_ref,
+                        cs_ref=None, zs_ref=None, xp_ref=xp_ref,
+                        hp_ref=hp_ref)
+        out_specs = state_spec
+        out_shape = state_shape
     band_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                        memory_space=pltpu.VMEM)
-    ys, cs, zs = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=[
@@ -347,17 +369,8 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt):
                          memory_space=pltpu.VMEM),
             band_spec(bwx), band_spec(bwh), band_spec(bb),
         ],
-        out_specs=(
-            pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, t, h, 4 * wf), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype),
-                   jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype),
-                   jax.ShapeDtypeStruct((b, t, h, 4 * wf), xp.dtype)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
             pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
@@ -365,7 +378,9 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt):
         cost_estimate=_cost(b, t, h, wf // f, wc, wf, kh, bwd=False),
         interpret=interpret,
     )(xp, bwx, bwh, bb)
-    return ys, cs, zs
+    if save_residuals:
+        return out
+    return out, None, None
 
 
 def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt):
@@ -438,7 +453,8 @@ def _fused(x, wx, bx, wh, interpret, bt):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh)
-    ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt)
+    ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
+                               save_residuals=False)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
 

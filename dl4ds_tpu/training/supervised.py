@@ -356,7 +356,15 @@ class SupervisedTrainer(Trainer):
         # would trigger a second full XLA compile. `epoch_indices` wraps the
         # permutation, so the extra steps just resample the epoch.
         steps_exec = -(-steps // spe) * spe
-        if steps_exec != steps:
+        if not self.data_in_hbm:
+            if self.steps_per_execution:
+                import warnings
+                warnings.warn(
+                    'steps_per_execution only applies to the in-HBM tier '
+                    '(data_in_hbm=True); the streaming tier dispatches one '
+                    'jitted step per host batch and will ignore it',
+                    RuntimeWarning)
+        elif steps_exec != steps:
             import warnings
             warnings.warn(
                 f'steps_per_execution={spe} does not divide '
@@ -407,6 +415,7 @@ class SupervisedTrainer(Trainer):
                     f'Non-finite loss at epoch {epoch + 1} '
                     f'(loss={train_loss}, val_loss={val_loss}); terminating '
                     f'training', RuntimeWarning)
+                self.stop_profiler()   # idempotent; finalize any open trace
                 break
             if self.profile and epoch == self.trained_epochs:
                 self.stop_profiler()
@@ -435,6 +444,7 @@ class SupervisedTrainer(Trainer):
                     stop = True
             if stop:
                 break
+        self.stop_profiler()   # safety net for any loop exit (idempotent)
 
         self.fithist = history
         self.state = state
