@@ -45,6 +45,7 @@ ConvLSTM2D defaults; reference layer: dl4ds/models/blocks.py:350-355):
 """
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -109,43 +110,56 @@ def convlstm_reference(x, wx, bx, wh):
 # is noise — the arrays are a few hundred KB)
 # --------------------------------------------------------------------------
 
-def _x_selector(kw, w):
+def _x_selector(kw, w, w_valid=None):
     """S[dx, xi, xo] = 1 where input column xi feeds output column xo
-    through tap dx of a SAME conv (xi = xo + dx - (kw-1)//2)."""
+    through tap dx of a SAME conv (xi = xo + dx - (kw-1)//2). With
+    w_valid < w (lane-alignment padding), entries whose xi or xo lie in
+    the padded tail are zeroed — this alone keeps the padded tail of the
+    recurrent state (and of every BPTT gradient) EXACTLY zero: tail gate
+    pre-activations are 0, so c,h start and stay 0 there, and zero band
+    rows/cols mean nothing flows between tail and interior, which also
+    reproduces the true SAME zero boundary at x = w_valid - 1."""
     pw = (kw - 1) // 2
     xo = jnp.arange(w)
     xi = xo[None, :] + jnp.arange(kw)[:, None] - pw        # [kw, w]
     sel = (xi[:, None, :] == jnp.arange(w)[None, :, None])  # [kw, xi, xo]
-    return sel.astype(jnp.float32)
+    sel = sel.astype(jnp.float32)
+    if w_valid is not None and w_valid < w:
+        valid = (jnp.arange(w) < w_valid).astype(jnp.float32)
+        sel = sel * valid[None, :, None] * valid[None, None, :]
+    return sel
 
 
-def _band(wk, w):
+def _band(wk, w, w_valid=None):
     """Conv kernel [kh, kw, Cin, 4F] -> band matrices BW [kh, W*Cin, 4*W*F]
     with rows (xi, cin) and cols (gate, xo, f): z_rows = sum_dy
     src_pad[y+dy] @ BW[dy] is the SAME conv with gate-major output lanes."""
     kh, kw, cin, f4 = wk.shape
     f = f4 // 4
     wk6 = wk.reshape(kh, kw, cin, 4, f).astype(jnp.float32)  # d x c g e
-    s = _x_selector(kw, w)                                   # x i o
+    s = _x_selector(kw, w, w_valid)                          # x i o
     big = jnp.einsum('xio,dxcge->dicgoe', s, wk6)
     return big.reshape(kh, w * cin, 4 * w * f)
 
 
-def _unband(dbw, kh, kw, cin, f, w):
+def _unband(dbw, kh, kw, cin, f, w, w_valid=None):
     """Fold the band-matrix gradient [kh, W*Cin, 4*W*F] back to the per-tap
     conv-kernel gradient [kh, kw, Cin, 4F]."""
     dbig = dbw.reshape(kh, w, cin, 4, w, f)                  # d i c g o e
-    s = _x_selector(kw, w)                                   # x i o
+    s = _x_selector(kw, w, w_valid)                          # x i o
     dwk6 = jnp.einsum('xio,dicgoe->dxcge', s, dbig)
     return dwk6.reshape(kh, kw, cin, 4 * f)
 
 
-def _band_bias(bx, w):
-    """bias [4F] -> packed gate-major lane bias [4*W*F]."""
+def _band_bias(bx, w, w_valid=None):
+    """bias [4F] -> packed gate-major lane bias [4*W*F] (zero on the
+    lane-alignment tail so padded gate pre-activations stay exactly 0)."""
     f4 = bx.shape[0]
     f = f4 // 4
-    return jnp.broadcast_to(bx.reshape(4, 1, f),
-                            (4, w, f)).reshape(4 * w * f)
+    bb = jnp.broadcast_to(bx.reshape(4, 1, f), (4, w, f))
+    if w_valid is not None and w_valid < w:
+        bb = bb * (jnp.arange(w) < w_valid).astype(bb.dtype)[None, :, None]
+    return bb.reshape(4 * w * f)
 
 
 # --------------------------------------------------------------------------
@@ -439,29 +453,29 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt):
 # Differentiable entry point
 # --------------------------------------------------------------------------
 
-def _prep(x, wx, bx, wh):
+def _prep(x, wx, bx, wh, w_valid):
     b, t, h, w, cin = x.shape
     xp = x.reshape(b, t, h, w * cin)                 # pure reshape
-    bwx = _band(wx, w).astype(x.dtype)
-    bwh = _band(wh, w).astype(x.dtype)
-    bb = _band_bias(bx, w).astype(x.dtype).reshape(1, -1)
+    bwx = _band(wx, w, w_valid).astype(x.dtype)
+    bwh = _band(wh, w, w_valid).astype(x.dtype)
+    bb = _band_bias(bx, w, w_valid).astype(x.dtype).reshape(1, -1)
     return xp, bwx, bwh, bb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused(x, wx, bx, wh, interpret, bt):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(x, wx, bx, wh, interpret, bt, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
-    xp, bwx, bwh, bb = _prep(x, wx, bx, wh)
+    xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
     ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
                                save_residuals=False)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
 
-def _fused_fwd(x, wx, bx, wh, interpret, bt):
+def _fused_fwd(x, wx, bx, wh, interpret, bt, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
-    xp, bwx, bwh, bb = _prep(x, wx, bx, wh)
+    xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
     ysp, csp, zsp = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt)
     meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
             jax.ShapeDtypeStruct(bx.shape, bx.dtype),
@@ -469,7 +483,7 @@ def _fused_fwd(x, wx, bx, wh, interpret, bt):
     return ysp.reshape(b, t, h, w, f), (xp, bwx, bwh, zsp, ysp, csp, meta)
 
 
-def _fused_bwd(interpret, bt, res, dys):
+def _fused_bwd(interpret, bt, w_valid, res, dys):
     xp, bwx, bwh, zsp, ysp, csp, meta = res
     wx_sd, bx_sd, wh_sd = meta
     b, t, h, wc = xp.shape
@@ -479,9 +493,12 @@ def _fused_bwd(interpret, bt, res, dys):
     dysp = dys.reshape(b, t, h, w * f)               # pure reshape
     dx, dbwx, dbwh, dbb = _backward_pallas(xp, bwx, bwh, zsp, ysp, csp,
                                            dysp, f, interpret, bt)
-    dwx = _unband(dbwx, kh, kw, cin, f, w).reshape(wx_sd.shape)
-    dwh = _unband(dbwh, kh, kw, f, f, w).reshape(wh_sd.shape)
-    dbxp = dbb.reshape(4, w, f).sum(axis=1).reshape(4 * f)
+    dwx = _unband(dbwx, kh, kw, cin, f, w, w_valid).reshape(wx_sd.shape)
+    dwh = _unband(dbwh, kh, kw, f, f, w, w_valid).reshape(wh_sd.shape)
+    dbxp = dbb.reshape(4, w, f)
+    if w_valid is not None and w_valid < w:
+        dbxp = dbxp[:, :w_valid]
+    dbxp = dbxp.sum(axis=1).reshape(4 * f)
     return (dx.reshape(b, t, h, w, cin), dwx.astype(wx_sd.dtype),
             dbxp.astype(bx_sd.dtype), dwh.astype(wh_sd.dtype))
 
@@ -509,9 +526,20 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     b, t, h, w, cin = x.shape
     kh, kw, _, f4 = wx.shape
     f = f4 // 4
-    bt = _pick_batch_tile(b, t, h, w, cin, f, kh, x.dtype.itemsize)
-    if kh % 2 == 0 or kw % 2 == 0 or bt is None \
-            or (not interpret and (w * f) % 128 != 0):
+    # Gate slices must sit on 128-lane boundaries: pad W up to the smallest
+    # width whose W*F is a multiple of 128, with band rows/cols beyond the
+    # true width zeroed so the tail stays exactly zero (see _x_selector).
+    w_pad, w_valid = w, None
+    if (w * f) % 128 != 0:
+        step = 128 // math.gcd(f, 128)
+        w_pad = -(-w // step) * step
+        w_valid = w
+    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, x.dtype.itemsize)
+    if kh % 2 == 0 or kw % 2 == 0 or bt is None or w_pad > 2 * w:
         ys, _ = convlstm_reference(x, wx, bx, wh)
         return ys
-    return _fused(x, wx, bx, wh, interpret, bt)
+    if w_valid is None:
+        return _fused(x, wx, bx, wh, interpret, bt, None)
+    xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))
+    ys = _fused(xpad, wx, bx, wh, interpret, bt, w_valid)
+    return ys[..., :w, :]
