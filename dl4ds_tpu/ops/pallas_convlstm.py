@@ -334,21 +334,24 @@ def _pick_batch_tile(b, t, h, w, cin, f, kh, itemsize):
     return bt
 
 
-def _cost(b, t, h, w, wc, wf, kh, bwd):
+def _cost(b, t, h, w_pad, w_logical, wc, wf, kh, bwd, residuals=True):
     """Analytic LOGICAL cost of the fused layer (what an MFU numerator
     wants): SAME-conv FLOPs of the input + recurrent convs over the window
-    (wc/w = Cin, wf/w = F), x2 for the backward (weight-grad + input-grad
-    per conv). The band matmuls' structural zeros and the VMEM scratch
-    traffic are implementation detail, deliberately not counted."""
+    at the TRUE width (wc/w_pad = Cin, wf/w_pad = F; lane-alignment padding
+    is implementation detail), x2 for the backward (weight-grad +
+    input-grad per conv). The band matmuls' structural zeros and the VMEM
+    scratch traffic are likewise deliberately not counted."""
     kw = kh
-    conv = 2 * b * t * h * w * kh * kw * (wc // w + wf // w) * 4 * (wf // w)
-    io = b * t * h * (wc + 2 * wf + 4 * wf) * 4
+    cin = wc // w_pad
+    f = wf // w_pad
+    conv = 2 * b * t * h * w_logical * kh * kw * (cin + f) * 4 * f
+    io = b * t * h * (wc + (2 * wf + 4 * wf if residuals else wf)) * 4
     return pl.CostEstimate(flops=(2 if bwd else 1) * conv,
-                           transcendentals=2 * b * t * h * wf,
+                           transcendentals=2 * b * t * h * w_logical * f,
                            bytes_accessed=(2 if bwd else 1) * io)
 
 
-def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
+def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt, w_logical,
                     save_residuals=True):
     """Run the forward kernel. With save_residuals=False (inference /
     no-grad) only ys is emitted — cs/zs exist purely as backward residuals
@@ -389,7 +392,8 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
             pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
             pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
         ],
-        cost_estimate=_cost(b, t, h, wf // f, wc, wf, kh, bwd=False),
+        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh,
+                            bwd=False, residuals=save_residuals),
         interpret=interpret,
     )(xp, bwx, bwh, bb)
     if save_residuals:
@@ -397,7 +401,8 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
     return out, None, None
 
 
-def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt):
+def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt,
+                     w_logical):
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
@@ -442,7 +447,8 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt):
             pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
             pltpu.VMEM((bt, h + kh - 1, wf4), xp.dtype),
         ],
-        cost_estimate=_cost(b, t, h, wf // f, wc, wf, kh, bwd=True),
+        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh,
+                            bwd=True),
         interpret=interpret,
     )(xp, zs, ys, cs, dys, bwxT, bwhT)
     return (dx, jnp.sum(dbwx_p, axis=0), jnp.sum(dbwh_p, axis=0),
@@ -468,7 +474,7 @@ def _fused(x, wx, bx, wh, interpret, bt, w_valid):
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
     ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
-                               save_residuals=False)
+                               w_valid or w, save_residuals=False)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
 
@@ -476,7 +482,8 @@ def _fused_fwd(x, wx, bx, wh, interpret, bt, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
-    ysp, csp, zsp = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt)
+    ysp, csp, zsp = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
+                                    w_valid or w)
     meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
             jax.ShapeDtypeStruct(bx.shape, bx.dtype),
             jax.ShapeDtypeStruct(wh.shape, wh.dtype))
@@ -492,7 +499,8 @@ def _fused_bwd(interpret, bt, w_valid, res, dys):
     w = wc // cin
     dysp = dys.reshape(b, t, h, w * f)               # pure reshape
     dx, dbwx, dbwh, dbb = _backward_pallas(xp, bwx, bwh, zsp, ysp, csp,
-                                           dysp, f, interpret, bt)
+                                           dysp, f, interpret, bt,
+                                           w_valid or w)
     dwx = _unband(dbwx, kh, kw, cin, f, w, w_valid).reshape(wx_sd.shape)
     dwh = _unband(dbwh, kh, kw, f, f, w, w_valid).reshape(wh_sd.shape)
     dbxp = dbb.reshape(4, w, f)
@@ -529,8 +537,11 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     # Gate slices must sit on 128-lane boundaries: pad W up to the smallest
     # width whose W*F is a multiple of 128, with band rows/cols beyond the
     # true width zeroed so the tail stays exactly zero (see _x_selector).
+    # The interpreter has no lane constraint, so interpret mode runs the
+    # kernel at the true width (keeps unit tests on the real code path;
+    # the padded path has its own dedicated test).
     w_pad, w_valid = w, None
-    if (w * f) % 128 != 0:
+    if not interpret and (w * f) % 128 != 0:
         step = 128 // math.gcd(f, 128)
         w_pad = -(-w // step) * step
         w_valid = w

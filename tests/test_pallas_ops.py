@@ -205,25 +205,31 @@ def test_recnet_model_pallas_vs_xla_paths(rng):
 
 
 def test_fused_convlstm_lane_padding(rng):
-    """W*F not a multiple of 128: the wrapper pads W, zeroed band rows/cols
-    keep the tail exactly zero, and forward + grads still match the
-    reference exactly."""
-    from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm, \
-        convlstm_reference
+    """The TPU lane-padding path (W padded to a 128-lane-aligned width,
+    zeroed band rows/cols keeping the tail exactly zero): drive the padded
+    internals directly — interpret mode itself never pads — and check
+    forward + all grads against the reference at the true width."""
+    from dl4ds_tpu.ops import pallas_convlstm as pc
     b, t, h, w, cin, f, k = 3, 3, 6, 9, 2, 8, 3   # w*f=72 -> padded to 128
+    w_pad = 16                                     # step = 128//gcd(8,128)
     x = jnp.asarray(rng.standard_normal((b, t, h, w, cin)).astype('float32'))
     wx = jnp.asarray(0.3 * rng.standard_normal((k, k, cin, 4 * f))
                      .astype('float32'))
     bx = jnp.asarray(0.1 * rng.standard_normal(4 * f).astype('float32'))
     wh = jnp.asarray(0.3 * rng.standard_normal((k, k, f, 4 * f))
                      .astype('float32'))
-    ys = fused_convlstm(x, wx, bx, wh, interpret=True)
-    ys_ref, _ = convlstm_reference(x, wx, bx, wh)
+    bt = pc._pick_batch_tile(b, t, h, w_pad, cin, f, k, 4)
+
+    def padded(x, wx, bx, wh):
+        xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))
+        return pc._fused(xpad, wx, bx, wh, True, bt, w)[..., :w, :]
+
+    ys = padded(x, wx, bx, wh)
+    ys_ref, _ = pc.convlstm_reference(x, wx, bx, wh)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
-    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(
-        fused_convlstm(*a, interpret=True))), argnums=(0, 1, 2, 3))(
-            x, wx, bx, wh)
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(padded(*a))),
+                  argnums=(0, 1, 2, 3))(x, wx, bx, wh)
     g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(
-        convlstm_reference(*a)[0])), argnums=(0, 1, 2, 3))(x, wx, bx, wh)
+        pc.convlstm_reference(*a)[0])), argnums=(0, 1, 2, 3))(x, wx, bx, wh)
     for a, b2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-4)
