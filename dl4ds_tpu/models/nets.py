@@ -527,9 +527,12 @@ class ResidualDiscriminator(nn.Module):
     (reference: dl4ds/models/discriminator.py:11-81): an LR-input branch and
     an HR-candidate branch downsampled to the LR grid, concatenated, pooled
     and classified. For post-upsampling models the HR branch is reduced by
-    strided convs when scale == 4 and by bilinear resize otherwise (the
-    reference's scale==5 valid-conv special case is covered by the resize
-    path here)."""
+    strided convs: scale == 4 uses two SAME stride-2 convs, scale == 5 uses
+    the reference's two VALID stride-2 convs + bottom/right crop
+    (discriminator.py:54-57) whenever that chain lands exactly on
+    ``lr_size`` (it does for e.g. LR 8 or 10, the tutorial sizes, but is
+    shape-inconsistent for e.g. LR 12 — there, and for all other scales,
+    bilinear resize is used; the reference would crash at concat)."""
     n_channels: int
     upsampling: str
     is_spatiotemporal: bool
@@ -541,6 +544,15 @@ class ResidualDiscriminator(nn.Module):
     activation: Optional[str] = 'relu'
     attention: bool = False
     dtype: Dtype = jnp.float32
+
+    def _valid_chain_fits(self, hr_shape):
+        """True iff the reference's scale-5 chain (two 3x3 VALID stride-2
+        convs, then crop 1 from bottom/right) maps this HR shape exactly
+        onto ``lr_size`` so the two branches can concatenate."""
+        def out(n):
+            return (n - 3) // 2 + 1
+        h, w = hr_shape[-3], hr_shape[-2]
+        return (out(out(h)) - 1, out(out(w)) - 1) == tuple(self.lr_size)
 
     @nn.compact
     def __call__(self, x, x_ref, training: bool = False):
@@ -580,6 +592,12 @@ class ResidualDiscriminator(nn.Module):
                             dtype=self.dtype)(c)
                 x2 = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
                              dtype=self.dtype)(c)
+            elif self.scale == 5 and self._valid_chain_fits(c.shape):
+                c = nn.Conv(f, (3, 3), strides=(2, 2), padding='VALID',
+                            dtype=self.dtype)(c)
+                x2 = nn.Conv(f, (3, 3), strides=(2, 2), padding='VALID',
+                             dtype=self.dtype)(c)
+                x2 = x2[..., :-1, :-1, :]  # Cropping2D ((0,1),(0,1))
             else:
                 x2 = resize2d(c, self.lr_size, 'bilinear').astype(c.dtype)
         else:  # pin

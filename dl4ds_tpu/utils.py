@@ -212,11 +212,14 @@ def crop_array(array, size, yx=None, position=False, exclude_borders=False,
         y, x = yx
     else:
         rng = rng or np.random
+        # legacy np.random / RandomState expose `randint`; modern
+        # np.random.Generator objects expose `integers` instead
+        randint = getattr(rng, 'randint', None) or rng.integers
         lo = 1 if exclude_borders else 0
         hi_y = ny - size - (1 if exclude_borders else 0)
         hi_x = nx - size - (1 if exclude_borders else 0)
-        y = rng.randint(lo, max(hi_y, lo + 1))
-        x = rng.randint(lo, max(hi_x, lo + 1))
+        y = randint(lo, max(hi_y, lo + 1))
+        x = randint(lo, max(hi_x, lo + 1))
     y0, y1 = int(y), int(y) + size
     x0, x1 = int(x), int(x) + size
     if y0 < 0 or x0 < 0 or y1 > ny or x1 > nx:
