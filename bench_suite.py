@@ -218,6 +218,11 @@ def main(only=None):
 if __name__ == '__main__':
     import sys
     _only = None
-    if len(sys.argv) > 2 and sys.argv[1] == '--only':
-        _only = [k for k in sys.argv[2].split(',') if k]
+    if len(sys.argv) > 1 and sys.argv[1] == '--only':
+        _only = ([k for k in sys.argv[2].split(',') if k]
+                 if len(sys.argv) > 2 else [])
+        if not _only:
+            raise SystemExit('usage: bench_suite.py --only key1[,key2,...] '
+                             '(a bare --only would silently run the FULL '
+                             'suite and overwrite BENCH_SUITE.json)')
     main(_only)

@@ -935,20 +935,46 @@ class HostStreamer:
         steps = n_batches if steps is None else steps
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+
+        def bounded_put(item):
+            """Put that aborts when the consumer is gone — a plain q.put
+            would block forever if the consumer breaks out of the loop,
+            leaking the thread and its pinned batch memory."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             for _ in range(n_epochs):
                 perm = self.rng.permutation(self.n)
                 for i in range(steps):
+                    if cancel.is_set():
+                        return
                     idx = perm[(i * self.batch_size) % self.n:]
                     idx = np.resize(idx, self.batch_size).astype(np.int64)
-                    q.put(self._host_batch(idx))
-            q.put(stop)
+                    if not bounded_put(self._host_batch(idx)):
+                        return
+            bounded_put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield self._to_device(item)
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield self._to_device(item)
+        finally:
+            # consumer done or bailed early: release the producer
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

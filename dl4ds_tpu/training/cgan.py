@@ -97,7 +97,12 @@ def train_step(gen_state, disc_state, batch, key, generator, discriminator,
 
 class CGANTrainer(Trainer):
     """Adversarial trainer: generator from the model zoo + two-branch
-    conditional discriminator."""
+    conditional discriminator.
+
+    Signature-compatibility notes: `model_list` and `gpu_memory_growth`
+    are accepted for reference API compatibility (dl4ds/training/cgan.py)
+    but are no-ops here; `device`/`devices`/`mesh` select the JAX
+    placement instead."""
 
     def __init__(self, backbone, upsampling, data_train, data_test,
                  data_train_lr=None, data_test_lr=None, predictors_train=None,
@@ -356,12 +361,24 @@ class CGANTrainer(Trainer):
                 predictors=self.predictors_test,
                 interpolation=self.interpolation)
             n_test = ds_test.n
-            idx = jnp.arange(n_test, dtype=jnp.int32)
-            batch = ds_test(idx, jax.random.PRNGKey(0))
-            y_pred = self.generator.module.apply(
-                {'params': gen_state.params}, batch['lr'], batch['aux'],
-                training=False)
-            self.test_loss = float(self.lossf(batch['hr'], y_pred))
+            # The reference materializes the WHOLE test set as one batch
+            # (cgan.py:419, batch_size=n_test) — OOM-by-design for large
+            # test splits. Evaluate in fixed-size chunks instead: constant
+            # memory, and bit-identical to the single-batch result for
+            # full-grid eval (patch_size=None synthesis is deterministic).
+            eval_bs = min(self.batch_size, n_test)
+            apply = jax.jit(lambda v, xb, ab: self.generator.module.apply(
+                v, xb, ab, training=False))
+            key0 = jax.random.PRNGKey(0)
+            loss_sum = 0.0
+            for i in range(0, n_test, eval_bs):
+                idx = jnp.arange(i, min(i + eval_bs, n_test),
+                                 dtype=jnp.int32)
+                batch = ds_test(idx, jax.random.fold_in(key0, i))
+                y_pred = apply({'params': gen_state.params}, batch['lr'],
+                               batch['aux'])
+                loss_sum += float(self.lossf(batch['hr'], y_pred)) * len(idx)
+            self.test_loss = loss_sum / n_test
             if self.verbose:
                 print(f'\n{self.loss} on the test set: {self.test_loss}')
 

@@ -38,7 +38,14 @@ class TrainState(train_state.TrainState):
 
 
 class SupervisedTrainer(Trainer):
-    """Supervised (pixel-loss) trainer over MOS or PerfectProg pairs."""
+    """Supervised (pixel-loss) trainer over MOS or PerfectProg pairs.
+
+    Signature-compatibility notes: `use_multiprocessing`, `model_list` and
+    `gpu_memory_growth` are accepted for reference API compatibility
+    (dl4ds/training/supervised.py:55-58) but are no-ops here — the data
+    pipeline is device-resident (no worker processes), models are built by
+    the `build_model` dispatcher, and memory growth is a GPU/TF concept.
+    `device`/`devices`/`mesh` select the JAX placement instead."""
 
     def __init__(self, backbone, upsampling, data_train, data_val, data_test,
                  data_train_lr=None, data_val_lr=None, data_test_lr=None,
@@ -233,7 +240,7 @@ class SupervisedTrainer(Trainer):
         synth_train, synth_val = self.ds_train, self.ds_val
         has_bn = self.variables is not None and 'batch_stats' in self.variables
 
-        def forward(params, batch_stats, batch, key, training, synth_ref):
+        def forward(params, batch_stats, batch, key, training):
             variables = {'params': params}
             if has_bn:
                 variables['batch_stats'] = batch_stats
@@ -250,7 +257,7 @@ class SupervisedTrainer(Trainer):
         def train_step_batch(state, batch, key):
             def loss_fn(params):
                 out, new_bs = forward(params, state.batch_stats, batch, key,
-                                      True, synth_train)
+                                      True)
                 return lossf(batch['hr'], out), new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(
@@ -291,7 +298,7 @@ class SupervisedTrainer(Trainer):
             skey, dkey = jax.random.split(key)
             batch = synth_consts._make_batch(indices, skey)
             out, _ = forward(state.params, state.batch_stats, batch, dkey,
-                             False, synth_consts)
+                             False)
             return lossf(batch['hr'], out)
 
         self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0)

@@ -180,3 +180,25 @@ def test_trainer_streaming_with_statics_predictors_season(rng):
         season_ids=(sid[:24], sid[24:32], sid[32:]))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_hoststreamer_early_exit_stops_producer(rng):
+    """Breaking out of epochs() must terminate the producer thread (it used
+    to stay blocked on q.put forever, leaking the thread + batch memory)."""
+    import threading
+    import time
+    data = rng.standard_normal((32, 16, 16, 1)).astype('float32')
+    before = {t.ident for t in threading.enumerate()}
+    streamer = HostStreamer(data, 'spc', scale=4, batch_size=4, prefetch=1,
+                            seed=0)
+    it = streamer.epochs(n_epochs=4)
+    next(it)          # producer running, queue full behind us
+    it.close()        # early consumer exit (GeneratorExit)
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f'producer thread leaked: {alive}'

@@ -535,3 +535,47 @@ def test_cgan_resume_from_checkpoint(data, tmp_path):
     tr2.run()
     assert np.isfinite(tr2.test_loss)
     assert int(tr2.gen_state.step) >= 2   # resumed optimizer step count
+
+
+def test_cgan_batched_test_eval_matches_single_batch(data):
+    """The chunked test-set evaluation (constant memory) must equal the
+    reference-style single-giant-batch loss for full-grid eval, where batch
+    synthesis is deterministic."""
+    import jax.numpy as jnp
+    from dl4ds_tpu.dataloader import BatchSynthesizer
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:28],
+        data_test=data[28:], scale=4, patch_size=None, batch_size=4,
+        epochs=1, steps_per_epoch=1, save=False, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()  # n_test=12 > batch_size=4 -> 3 eval chunks
+    ds = BatchSynthesizer(tr.data_test, None, upsampling='spc', scale=4,
+                          batch_size=1, patch_size=None)
+    batch = ds(jnp.arange(ds.n, dtype=jnp.int32), jax.random.PRNGKey(0))
+    y = tr.generator.module.apply({'params': tr.gen_state.params},
+                                  batch['lr'], batch['aux'], training=False)
+    single = float(tr.lossf(batch['hr'], y))
+    assert np.isclose(tr.test_loss, single, rtol=1e-5, atol=1e-6)
+
+
+def test_cgan_scale5_valid_conv_discriminator(data):
+    """scale=5 (the reference trainers' default) uses the reference's
+    valid-conv+crop discriminator branch (discriminator.py:54-57) when the
+    chain is shape-consistent (LR 8 here); weight counts match the TF
+    reference exactly (PARITY_TF.json discriminator section)."""
+    hr = np.asarray(np.kron(data[:, :8, :8, :],
+                            np.ones((1, 5, 5, 1))), 'float32')  # 40px HR
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=hr[:28],
+        data_test=hr[28:], scale=5, patch_size=40, batch_size=2, epochs=1,
+        steps_per_epoch=1, save=False, verbose=False,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+    # the valid-conv path has its own two conv layers in the param tree
+    dparams = tr.disc_state.params
+    leaves = jax.tree_util.tree_leaves_with_path(dparams)
+    shapes = [tuple(x.shape) for _, x in leaves]
+    assert (3, 3, 4, 4) in shapes

@@ -132,3 +132,16 @@ def test_plot_history_positional_path_back_compat(tmp_path, monkeypatch):
         fig, _ = plot_history(h, fname)  # positional, no '/' in the path
         assert os.path.exists(str(tmp_path / fname))
         plt.close(fig)
+
+
+def test_crop_array_with_modern_generator():
+    """crop_array must accept np.random.default_rng() Generators (they have
+    .integers, not .randint) as well as legacy RandomState/np.random."""
+    from dl4ds_tpu.utils import crop_array
+    arr = np.arange(32 * 32, dtype='float32').reshape(32, 32)
+    out, y, x = crop_array(arr, 8, rng=np.random.default_rng(0),
+                           position=True)
+    assert out.shape == (8, 8)
+    assert np.array_equal(out, arr[y:y + 8, x:x + 8])
+    out2 = crop_array(arr, 8, rng=np.random.RandomState(0))
+    assert out2.shape == (8, 8)
