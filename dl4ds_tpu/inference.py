@@ -160,7 +160,8 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             predictors=None, time_window=None, time_metadata=None,
             interpolation='inter_area', batch_size=64, scaler=None,
             save_path=None, save_fname='y_hat.npy', return_lr=False,
-            device='TPU', mesh=None, pad_to_multiple=None):
+            device='TPU', mesh=None, pad_to_multiple=None, tile=None,
+            halo=32, spatial_mesh=None):
     """Super-resolve/downscale `array` with a trained model
     (reference: dl4ds/inference.py:109-255). With `mesh`, samples are
     processed in global batches of `batch_size * mesh.size` sharded over the
@@ -176,7 +177,17 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     padded (right/bottom) border differ slightly from an unpadded run; and
     the DEFAULT output head has GLOBAL channel attention, whose pooled gate
     sees the padded pixels — build with `output_attention=False` if you need
-    interior-exact bucketed inference (or use `parallel.predict_tiled`)."""
+    interior-exact bucketed inference (or use `parallel.predict_tiled`).
+
+    Large grids: `tile=T` routes through `parallel.predict_tiled` —
+    inference in halo-overlapped TxT windows (`halo` rows/cols of context,
+    >= the network's receptive-field radius for exactness; windows are
+    sharded over `mesh` when given). `spatial_mesh=Mesh` instead shards a
+    SINGLE grid's height axis across devices with `lax.ppermute` halo
+    exchange (`parallel.predict_spatial_sharded`) — for grids whose
+    activations exceed one chip's HBM. Both are bit-exact vs untiled
+    inference for attention-free models (`attention=False,
+    output_attention=False`); spatial models only."""
     timing = Timing()
 
     model, variables = _resolve_model(trainer)
@@ -190,6 +201,28 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         model, array, scale, array_in_hr, static_vars, predictors,
         time_window, interpolation, time_metadata)
     batch_lr = x
+
+    if tile is not None or spatial_mesh is not None:
+        if x.ndim == 5:
+            raise ValueError('tiled/spatially-sharded inference supports '
+                             'spatial models only (4-D inputs)')
+        if pad_to_multiple is not None:
+            raise ValueError('`pad_to_multiple` is redundant with tiled/'
+                             'sharded inference (one window shape already '
+                             'means one compiled program)')
+        from . import parallel
+        if tile is not None:
+            out = parallel.predict_tiled(model, variables, x, aux=aux,
+                                         tile=tile, halo=halo,
+                                         batch_size=batch_size, mesh=mesh)
+        else:
+            if aux is not None:
+                raise ValueError('spatial_mesh does not support aux inputs '
+                                 'yet; use tile= for tiled inference')
+            out = parallel.predict_spatial_sharded(model, variables, x,
+                                                   spatial_mesh, halo=halo)
+        return _finalize_predict(out, batch_lr, time_window, scaler,
+                                 save_path, save_fname, return_lr, timing)
 
     out_hw = None
     if pad_to_multiple is not None:
@@ -214,7 +247,14 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         out = _batched_apply(apply, variables, x, aux, batch_size)
 
     out = _crop_padded(out, x, out_hw)
+    return _finalize_predict(out, batch_lr, time_window, scaler, save_path,
+                             save_fname, return_lr, timing)
 
+
+def _finalize_predict(out, batch_lr, time_window, scaler, save_path,
+                      save_fname, return_lr, timing):
+    """Shared predict() tail: 5D->4D collapse, inverse scaling, .npy save
+    (reference: dl4ds/inference.py:241-255)."""
     if out.ndim == 5 and time_window is not None:
         out = spatiotemporal_to_spatial_samples(out, time_window)
     if scaler is not None:

@@ -121,19 +121,20 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
     """Single-grid inference with the HEIGHT axis sharded across the mesh —
     for grids whose activations exceed one chip's HBM. Each device holds
     one horizontal band; `halo` rows are exchanged with neighbours via
-    `lax.ppermute` over ICI before the (attention-free) model runs on the
-    extended band, and the halo is cropped from the output. One collective
-    XLA program via shard_map.
+    `lax.ppermute` over ICI before the (attention-free) model runs on a
+    fixed-size window, and the window margin is cropped from the output.
+    One collective XLA program via shard_map.
 
-    Exactness: interior band boundaries are exact when `halo` >= the
-    network's receptive-field radius (see receptive_field_radius). Within
-    `halo` rows of the grid's TOP and BOTTOM edges the result can differ
-    from unsharded inference for edge bands (the exchanged halo is
-    zero-filled there, while each conv layer of an unsharded run re-pads at
-    the true border); models with global channel attention are approximate
-    everywhere (gate computed per band).
+    Exactness: windows of `H/n + 2*halo` rows are anchored flush INSIDE the
+    grid (same geometry as `predict_tiled`), so the top and bottom devices
+    see the exact zero-padding context of an unsharded run at the true
+    borders. The result is bit-comparable to unsharded inference everywhere
+    — including edge rows — when `halo` >= the network's receptive-field
+    radius (see receptive_field_radius) and the model is attention-free
+    (global channel attention pools per band -> approximate).
 
-    x: [B, H, W, C] with H divisible by mesh.size. Returns [B, H*s, W*s, C'].
+    x: [B, H, W, C] with H divisible by mesh.size and H/n >= 2*halo.
+    Returns [B, H*s, W*s, C'].
     """
     try:
         from jax import shard_map
@@ -145,20 +146,45 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
     b, h, w, c = x.shape
     if h % n != 0:
         raise ValueError(f'H={h} must be divisible by mesh size {n}')
+    bh = h // n
+    if n > 1 and bh < 2 * halo:
+        raise ValueError(
+            f'band height H/n={bh} must be >= 2*halo={2 * halo} so edge '
+            f'windows can anchor inside the grid with rows exchanged only '
+            f'between neighbouring devices')
     upsampling = model.name.split('_')[-1]
     scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
         else 1
+    if n == 1:  # degenerate mesh: no sharding, run the model directly
+        return np.asarray(jax.jit(
+            lambda v, xb: model.module.apply(v, xb, None, training=False))(
+                variables, x))
 
     def band_fn(x_band):
-        # x_band: [B, H/n, W, C] on each device
-        # send my top `halo` rows to the previous device, bottom to the next
+        # x_band: [B, H/n, W, C] on each device. Exchange 2*halo rows with
+        # both neighbours so every device can anchor its window flush
+        # inside the grid (edge devices need up to 2*halo rows from their
+        # single neighbour).
+        d = jax.lax.axis_index('data')
         up_perm = [(i, i - 1) for i in range(1, n)]     # receive from below
         down_perm = [(i, i + 1) for i in range(n - 1)]  # receive from above
-        from_below = jax.lax.ppermute(x_band[:, :halo], 'data', up_perm)
-        from_above = jax.lax.ppermute(x_band[:, -halo:], 'data', down_perm)
+        m = min(2 * halo, bh)
+        from_below = jax.lax.ppermute(x_band[:, :m], 'data', up_perm)
+        from_above = jax.lax.ppermute(x_band[:, -m:], 'data', down_perm)
+        # ext covers grid rows [d*bh - m, (d+1)*bh + m) (zeros out of range)
         ext = jnp.concatenate([from_above, x_band, from_below], axis=1)
-        y = model.module.apply(variables, ext, None, training=False)
-        return y[:, halo * scale:-halo * scale]
+        # window of bh + 2*halo rows anchored flush inside the grid:
+        # offset in ext is m at d==0 (window starts at the true top border),
+        # m - 2*halo at d==n-1 (flush at the bottom), m - halo otherwise
+        off = jnp.where(d == 0, m,
+                        jnp.where(d == n - 1, m - 2 * halo, m - halo))
+        off = jnp.clip(off, 0, ext.shape[1] - (bh + 2 * halo))
+        win = jax.lax.dynamic_slice_in_dim(ext, off, bh + 2 * halo, axis=1)
+        y = model.module.apply(variables, win, None, training=False)
+        # this device's own band sits at (d*bh - window_start) inside the
+        # window = m - off rows from its top
+        crop = (m - off) * scale
+        return jax.lax.dynamic_slice_in_dim(y, crop, bh * scale, axis=1)
 
     specs = dict(mesh=mesh, in_specs=P(None, 'data', None, None),
                  out_specs=P(None, 'data', None, None))

@@ -69,9 +69,10 @@ def test_tiled_nondivisible_grid(rng):
     np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
 
 
-def test_spatial_sharded_interior_matches(rng):
-    """H-axis sharded inference (shard_map + ppermute halo exchange) matches
-    unsharded inference away from the grid's top/bottom edges."""
+def test_spatial_sharded_matches_everywhere(rng):
+    """H-axis sharded inference (shard_map + ppermute halo exchange, windows
+    anchored flush at the true borders) matches unsharded inference
+    EVERYWHERE — including the top and bottom edge rows."""
     from dl4ds_tpu.training.base import make_mesh
     from dl4ds_tpu.parallel import predict_spatial_sharded
     model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
@@ -79,15 +80,56 @@ def test_spatial_sharded_interior_matches(rng):
                                n_filters=4, n_blocks=1, attention=False,
                                output_attention=False)
     variables = model.init(jax.random.PRNGKey(0), batch_size=1)
-    x = rng.standard_normal((1, 64, 32, 1)).astype('float32')
-    mesh = make_mesh()
-    halo = receptive_field_radius(1)  # 10 > band interior needs
+    halo = receptive_field_radius(1)                 # 10
+    x = rng.standard_normal((1, 8 * 2 * halo, 32, 1)).astype('float32')
+    mesh = make_mesh()                               # 8 devices, band = 2*halo
     y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
     y_sh = predict_spatial_sharded(model, variables, x, mesh, halo=halo)
-    assert y_sh.shape == y_full.shape == (1, 128, 64, 1)
-    # interior: everything but `halo` rows near the true top/bottom edges
-    m = halo * 2
-    np.testing.assert_allclose(y_sh[:, m:-m], y_full[:, m:-m], atol=1e-4)
+    assert y_sh.shape == y_full.shape
+    np.testing.assert_allclose(y_sh, y_full, atol=1e-5)
+
+
+def test_spatial_sharded_band_too_small_raises(rng):
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.parallel import predict_spatial_sharded
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(32, 32), n_filters=4, n_blocks=1,
+                    attention=False, output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 32, 1)).astype('float32')
+    with pytest.raises(ValueError, match='band height'):
+        predict_spatial_sharded(model, variables, x, make_mesh(), halo=10)
+
+
+def test_predict_tile_routing_matches_plain_predict(rng):
+    """predict(tile=, halo=) routes through parallel.predict_tiled and is
+    bit-comparable to plain predict() for attention-free models."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((2, 24, 24, 1)).astype('float32')
+    y_plain = dds.predict((model, variables), x, scale=2, array_in_hr=False)
+    y_tiled = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                          tile=8, halo=receptive_field_radius(1))
+    assert y_tiled.shape == y_plain.shape
+    np.testing.assert_allclose(y_tiled, y_plain, atol=1e-5)
+
+
+def test_predict_spatial_mesh_routing(rng):
+    from dl4ds_tpu.training.base import make_mesh
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    halo = receptive_field_radius(1)
+    x = rng.standard_normal((1, 8 * 2 * halo, 32, 1)).astype('float32')
+    y_plain = dds.predict((model, variables), x, scale=2, array_in_hr=False)
+    y_sh = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                       spatial_mesh=make_mesh(), halo=halo)
+    np.testing.assert_allclose(y_sh, y_plain, atol=1e-5)
 
 
 def test_tiled_with_aux_input(rng):
