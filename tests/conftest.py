@@ -16,8 +16,19 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 
+import sys
+
 import numpy as np
 import pytest
+
+# The real xarray is not installable in this image. Load the minimal
+# in-repo stand-in (tests/_stubs/xarray.py) so the DataArray coercion,
+# time_metadata='auto' and netCDF export paths actually execute; never
+# shadow a real installation.
+try:
+    import xarray  # noqa: F401
+except ImportError:
+    sys.path.append(os.path.join(os.path.dirname(__file__), '_stubs'))
 
 
 @pytest.fixture

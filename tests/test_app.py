@@ -113,3 +113,79 @@ def test_app_cgan_debug_run(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     assert os.path.exists(save_path + 'y_hat.npy')
     assert os.path.exists(save_path + 'losses.npy')
+
+
+def test_app_netcdf_export(tmp_path):
+    """The test phase exports y_hat as netCDF when xarray is importable and
+    gt_holdout_dataset carries time/lat/lon coords (reference app.py:280-287).
+    Runs against the in-repo xarray stand-in via PYTHONPATH."""
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        import xarray as xr
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((60, 16, 16, 1)).astype('float32')
+        data_train = _all[:40]
+        data_val = _all[40:50]
+        data_test = _all[50:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[50:]
+        inference_scaler = None
+        inference_predictors = None
+        _times = np.arange('2001-01', '2001-11',
+                           dtype='datetime64[M]').astype('datetime64[ns]')
+        gt_holdout_dataset = xr.DataArray(
+            _all[50:, :, :, 0], dims=('time', 'lat', 'lon'),
+            coords={'time': _times, 'lat': np.arange(16.),
+                    'lon': np.arange(16.)})
+        gt_mask = np.ones((16, 16))
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    os.makedirs(save_path, exist_ok=True)
+    cfg = tmp_path / 'params.cfg'
+    cfg.write_text(textwrap.dedent(f"""
+        --debug
+        --nometrics
+        --device=CPU
+        --data_module={data_file}
+        --backbone=convnet
+        --upsampling=pin
+        --scale=4
+        --batch_size=2
+        --n_filters=4
+        --n_blocks=1
+        --save_path={save_path}
+        --inference_array_in_hr
+        --inference_save_fname=y_hat.npy
+        --noshow_plot
+    """))
+    stubs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '_stubs')
+    try:
+        import xarray
+        need_stub = 'stub' in getattr(xarray, '__version__', '')
+    except ImportError:
+        need_stub = True
+    extra_path = ((stubs + os.pathsep if need_stub else '')
+                  + os.environ.get('PYTHONPATH', ''))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu', PYTHONPATH=extra_path)
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg}'],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-3000:]
+    nc = save_path + 'y_hat.nc'
+    assert os.path.exists(nc), res.stderr[-2000:]
+    sys.path.insert(0, stubs)
+    try:
+        import xarray as xr_check
+        da = xr_check.open_dataarray(nc)
+        assert np.asarray(da).shape == (10, 16, 16)
+        assert np.issubdtype(np.asarray(da.time.values).dtype,
+                             np.datetime64)
+    finally:
+        sys.path.remove(stubs)
