@@ -80,3 +80,33 @@ def test_two_process_distributed_smoke(tmp_path):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
     assert 'RESULT pid=0 total=24.0 first_worker=True' in outs[0]
     assert 'RESULT pid=1 total=24.0 first_worker=False' in outs[1]
+
+
+def test_dp_convergence_equivalence():
+    """Same global batch + same seed: the 8-device sharded train step must
+    produce the same loss trajectory as the single-device step (f32
+    reduction-order tolerance). Isolates the numerics of the sharded step
+    from the Goyal LR policy by holding the EFFECTIVE learning rate fixed
+    (the policy scales lr by mesh size; batch_size here is per-replica)."""
+    import jax
+    import dl4ds_tpu as dds
+    t = np.arange(40)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing='ij')
+    data = np.stack([np.sin(0.3 * yy + 0.1 * k) * np.cos(0.4 * xx - 0.05 * k)
+                     for k in t])[..., None].astype('float32')
+    common = dict(backbone='convnet', upsampling='pin', data_train=data[:24],
+                  data_val=data[24:32], data_test=data[32:], scale=4,
+                  epochs=3, loss='mae', n_filters=4, n_blocks=1, save=False,
+                  verbose=False, seed=0)
+    tr1 = dds.SupervisedTrainer(batch_size=8, learning_rate=1e-3,
+                                devices=jax.devices()[:1], **common)
+    tr1.run()
+    tr8 = dds.SupervisedTrainer(batch_size=1, learning_rate=1e-3 / 8,
+                                **common)  # default mesh: all 8 devices
+    tr8.run()
+    assert tr1.global_batch_size == tr8.global_batch_size == 8
+    l1 = np.asarray(tr1.fithist['loss'], 'float64')
+    l8 = np.asarray(tr8.fithist['loss'], 'float64')
+    assert l1.shape == l8.shape
+    np.testing.assert_allclose(l1, l8, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(tr1.test_loss, tr8.test_loss, rtol=5e-3)
