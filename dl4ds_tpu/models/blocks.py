@@ -499,7 +499,13 @@ class ConvLSTM2D(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             import os
+            # default-on only for single-device TPU: pallas_call has no
+            # SPMD partitioning rule, so under a >1-device mesh the fused
+            # kernel could silently all-gather its batch-sharded input (or
+            # fail to lower). Until exercised on a real multi-chip mesh,
+            # multi-device runs take the XLA path; use_pallas=True forces.
             use_pallas = (jax.default_backend() == 'tpu'
+                          and len(jax.devices()) == 1
                           and not os.environ.get('DL4DS_NO_PALLAS_CONVLSTM'))
         if use_pallas:
             from ..ops.pallas_convlstm import fused_convlstm
@@ -522,8 +528,13 @@ class ConvLSTM2D(nn.Module):
         unroll = self.unroll
         if unroll is None:
             unroll = t if t <= self._UNROLL_MAX_T else 1
-        init = (jnp.zeros((b, h, w, f), x.dtype),
-                jnp.zeros((b, h, w, f), x.dtype))
+        # carry in self.dtype (NOT x.dtype): for bf16 models the fused
+        # Pallas kernel runs and returns bf16 end-to-end, so the XLA path
+        # must too — an f32 carry here would make the two paths diverge in
+        # both numerics and output dtype (toggling DL4DS_NO_PALLAS_CONVLSTM
+        # or moving CPU<->TPU would change model behavior)
+        init = (jnp.zeros((b, h, w, f), self.dtype),
+                jnp.zeros((b, h, w, f), self.dtype))
         if unroll >= t:
             # Full unroll as a plain loop: slice zx[:, i] in place instead of
             # transposing to [T,B,...] and scanning — avoids the moveaxis

@@ -390,3 +390,24 @@ def test_recnet_merged_head_batch_time_layout():
     y_perm = m.apply(v, x[perm], aux[perm])
     np.testing.assert_allclose(np.asarray(y_perm), np.asarray(y[perm]),
                                atol=1e-6)
+
+
+def test_convlstm_bf16_consistent_across_paths():
+    """For bf16 models the XLA recurrence must run AND return bf16 like the
+    fused Pallas kernel does — carry init in self.dtype, not x.dtype — so
+    toggling DL4DS_NO_PALLAS_CONVLSTM / moving CPU<->TPU cannot change the
+    model's numerics or output dtype (ADVICE r2)."""
+    from dl4ds_tpu.models.blocks import ConvLSTM2D
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, 8, 8, 4)), jnp.float32)
+    layer = ConvLSTM2D(5, (3, 3), dtype=jnp.bfloat16, use_pallas=False)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(v, x)
+    assert y.dtype == jnp.bfloat16
+    # scan path (long window) agrees with the unrolled path in bf16
+    layer_scan = ConvLSTM2D(5, (3, 3), dtype=jnp.bfloat16, use_pallas=False,
+                            unroll=1)
+    y2 = layer_scan.apply(v, x)
+    assert y2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, 'float32'),
+                               np.asarray(y2, 'float32'), atol=1e-2)
