@@ -119,8 +119,15 @@ def measure(steps, warmup, use_scan=True):
         state, losses = tr._train_many(
             state, jnp.asarray(idx[:steps], jnp.int32), k1)  # compile+warm
         force(losses)
-        dt, _ = slope_time(
-            lambda s: tr._train_many(s, chunk_idx, k2), state)
+        # run-to-run variance on the tunneled chip is ~±20%: the headline
+        # is the MEDIAN of 5 independent slope measurements
+        dts = []
+        for _ in range(5):
+            dt, state = slope_time(
+                lambda s: tr._train_many(s, chunk_idx, k2), state, repeats=1)
+            dts.append(dt)
+        import numpy as _np
+        dt = float(_np.median(dts))
     else:
         # per-step dispatch — faster for XLA:CPU, used for the CPU baseline
         for i in range(warmup):

@@ -18,6 +18,30 @@ import numpy as np
 
 from bench import force, slope_time
 
+# run-to-run variance on the tunneled chip is ~±20% (docs/ROOFLINE.md);
+# a single sample is weak evidence, so every config is slope-timed
+# N_REPEATS times and the JSON stores median + IQR + min/max
+N_REPEATS = 5
+
+
+def _timed_spread(run_chunk, carry, steps, gbs):
+    """Repeat the slope measurement N_REPEATS times; return
+    (median dt_per_chunk, carry, spread dict in patches/sec space)."""
+    dts = []
+    for _ in range(N_REPEATS):
+        dt, carry = slope_time(run_chunk, carry, repeats=1)
+        dts.append(dt)
+    pps = sorted(steps * gbs / d for d in dts)
+    spread = {
+        'n_runs': N_REPEATS,
+        'pps_min': round(pps[0], 2),
+        'pps_p25': round(float(np.percentile(pps, 25)), 2),
+        'pps_median': round(float(np.median(pps)), 2),
+        'pps_p75': round(float(np.percentile(pps, 75)), 2),
+        'pps_max': round(pps[-1], 2),
+    }
+    return float(np.median(dts)), carry, spread
+
 # Peak bf16 matmul throughput per chip (the MXU roofline), by device kind.
 _PEAK_BF16_FLOPS = {
     'TPU v4': 275e12,
@@ -99,16 +123,18 @@ def measure_supervised(name, steps=20, **kwargs):
         tr.ds_train.epoch_indices(key, steps=2 * steps)), jnp.int32)
     state, losses = tr._train_many(state, idx[:steps], key)  # compile+warm
     force(losses)
-    dt, state = slope_time(
-        lambda s: tr._train_many(s, idx[steps:], key), state)
-    pps = steps * tr.global_batch_size / dt
+    dt, state, spread = _timed_spread(
+        lambda s: tr._train_many(s, idx[steps:], key), state, steps,
+        tr.global_batch_size)
+    pps = spread['pps_median']
     stats = _roofline(tr._train_step, (state, idx[0], key), dt / steps)
     mfu, hw = stats['mfu_pct'], stats['hw_util_pct']
     extras = ''.join([f', {mfu:.1f}% MFU' if mfu is not None else '',
                       f', {hw:.1f}% hw' if hw is not None else ''])
-    print(f'{name}: {pps:,.0f} patches/s  '
+    print(f'{name}: {pps:,.0f} patches/s '
+          f'[{spread["pps_p25"]:,.0f}..{spread["pps_p75"]:,.0f} IQR] '
           f'({stats["ms_per_step"]:.2f} ms/step{extras})')
-    return {'patches_per_sec': round(pps, 2), **stats}
+    return {'patches_per_sec': pps, 'spread': spread, **stats}
 
 
 def measure_cgan(name, steps=20):
@@ -151,16 +177,18 @@ def measure_cgan(name, steps=20):
         g, d, losses = tr._train_many(g, d, idx[steps:], key)
         return (g, d), losses
 
-    dt, (gen_state, disc_state) = slope_time(chunk, (gen_state, disc_state))
-    pps = steps * tr.global_batch_size / dt
+    dt, (gen_state, disc_state), spread = _timed_spread(
+        chunk, (gen_state, disc_state), steps, tr.global_batch_size)
+    pps = spread['pps_median']
     stats = _roofline(tr._train_step, (gen_state, disc_state, idx[0], key),
                       dt / steps)
     mfu, hw = stats['mfu_pct'], stats['hw_util_pct']
     extras = ''.join([f', {mfu:.1f}% MFU' if mfu is not None else '',
                       f', {hw:.1f}% hw' if hw is not None else ''])
-    print(f'{name}: {pps:,.0f} patches/s  '
+    print(f'{name}: {pps:,.0f} patches/s '
+          f'[{spread["pps_p25"]:,.0f}..{spread["pps_p75"]:,.0f} IQR] '
           f'({stats["ms_per_step"]:.2f} ms/step{extras})')
-    return {'patches_per_sec': round(pps, 2), **stats}
+    return {'patches_per_sec': pps, 'spread': spread, **stats}
 
 
 def main(only=None):

@@ -294,9 +294,18 @@ class CGANTrainer(Trainer):
                 idx_epoch = jax.device_put(
                     jnp.asarray(np.asarray(self.ds_train.epoch_indices(
                         ekey, steps=steps)), jnp.int32), idx_mat_sharding)
-                gen_state, disc_state, losses = self._train_many(
-                    gen_state, disc_state, idx_epoch, skey)
-                last = jax.device_get(losses[-1])
+                if jax.default_backend() == 'cpu':
+                    # XLA:CPU lowers scan-of-steps far slower than the
+                    # per-step program (see CLAUDE.md) — dispatch per step
+                    for i in range(steps):
+                        key, sk = jax.random.split(key)
+                        gen_state, disc_state, last = self._train_step(
+                            gen_state, disc_state, idx_epoch[i], sk)
+                    last = jax.device_get(jnp.stack(last))
+                else:
+                    gen_state, disc_state, losses = self._train_many(
+                        gen_state, disc_state, idx_epoch, skey)
+                    last = jax.device_get(losses[-1])
             else:
                 for batch in self.ds_train.epochs(n_epochs=1, steps=steps):
                     key, bkey = jax.random.split(key)

@@ -357,7 +357,13 @@ class SupervisedTrainer(Trainer):
             self.start_profiler()
         from jax.sharding import NamedSharding, PartitionSpec as P
         idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
-        spe = self.steps_per_execution or steps
+        spe = self.steps_per_execution
+        if spe is None:
+            # whole epoch per dispatch on TPU (ONE XLA program per epoch, no
+            # per-step host latency); XLA:CPU lowers scan-of-train-steps up
+            # to ~70x slower than the identical per-step program (see
+            # CLAUDE.md), so default to per-step dispatch there
+            spe = steps if jax.default_backend() != 'cpu' else 1
         # Round the epoch up to whole `spe` chunks so every `train_many`
         # dispatch has the same [spe, batch] shape — a ragged tail chunk
         # would trigger a second full XLA compile. `epoch_indices` wraps the
