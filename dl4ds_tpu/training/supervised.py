@@ -357,13 +357,16 @@ class SupervisedTrainer(Trainer):
             self.start_profiler()
         from jax.sharding import NamedSharding, PartitionSpec as P
         idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
-        spe = self.steps_per_execution
-        if spe is None:
-            # whole epoch per dispatch on TPU (ONE XLA program per epoch, no
-            # per-step host latency); XLA:CPU lowers scan-of-train-steps up
-            # to ~70x slower than the identical per-step program (see
-            # CLAUDE.md), so default to per-step dispatch there
-            spe = steps if jax.default_backend() != 'cpu' else 1
+        idx_row_sharding = NamedSharding(self.mesh, P('data'))
+        # XLA:CPU runs scan-of-steps ~25-60x slower than the identical
+        # per-step program EVEN AT TRIP COUNT 1 (measured: 23 s vs 0.4 s
+        # per step on the tutorial workload) — so on CPU bypass the scan
+        # wrappers entirely and dispatch the jitted single-step programs;
+        # TPU keeps the one-XLA-program-per-epoch scan dispatch.
+        # (an explicit steps_per_execution overrides the bypass)
+        per_step_dispatch = (jax.default_backend() == 'cpu'
+                             and self.steps_per_execution is None)
+        spe = self.steps_per_execution or steps
         # Round the epoch up to whole `spe` chunks so every `train_many`
         # dispatch has the same [spe, batch] shape — a ragged tail chunk
         # would trigger a second full XLA compile. `epoch_indices` wraps the
@@ -391,13 +394,22 @@ class SupervisedTrainer(Trainer):
             if self.data_in_hbm:
                 idx_epoch = np.asarray(
                     self.ds_train.epoch_indices(ekey, steps=steps_exec))
-                for c in range(0, steps_exec, spe):
-                    key, skey = jax.random.split(key)
-                    chunk = jax.device_put(
-                        jnp.asarray(idx_epoch[c:c + spe], jnp.int32),
-                        idx_mat_sharding)
-                    state, losses = self._train_many(state, chunk, skey)
-                    epoch_losses.append(losses)
+                if per_step_dispatch:
+                    for c in range(steps_exec):
+                        key, skey = jax.random.split(key)
+                        row = jax.device_put(
+                            jnp.asarray(idx_epoch[c], jnp.int32),
+                            idx_row_sharding)
+                        state, loss = self._train_step(state, row, skey)
+                        epoch_losses.append(loss)
+                else:
+                    for c in range(0, steps_exec, spe):
+                        key, skey = jax.random.split(key)
+                        chunk = jax.device_put(
+                            jnp.asarray(idx_epoch[c:c + spe], jnp.int32),
+                            idx_mat_sharding)
+                        state, losses = self._train_many(state, chunk, skey)
+                        epoch_losses.append(losses)
                 train_loss = float(np.mean(np.concatenate(
                     [np.atleast_1d(jax.device_get(l))
                      for l in epoch_losses])))
@@ -411,13 +423,23 @@ class SupervisedTrainer(Trainer):
                     epoch_losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(epoch_losses)))
 
-            # validation — one dispatch
+            # validation — one dispatch (per-step on CPU, see above)
             key, vkey, skey = jax.random.split(key, 3)
-            vidx = jax.device_put(
-                jnp.asarray(np.asarray(self.ds_val.epoch_indices(
-                    vkey, steps=val_steps)), jnp.int32), idx_mat_sharding)
-            val_loss = float(np.mean(jax.device_get(
-                self._eval_many_val(state, vidx, skey))))
+            vidx_np = np.asarray(
+                self.ds_val.epoch_indices(vkey, steps=val_steps))
+            if per_step_dispatch:
+                vls = []
+                for r in range(vidx_np.shape[0]):
+                    key, skey = jax.random.split(key)
+                    vls.append(self._eval_step_val(state, jax.device_put(
+                        jnp.asarray(vidx_np[r], jnp.int32),
+                        idx_row_sharding), skey))
+                val_loss = float(np.mean(jax.device_get(vls)))
+            else:
+                vidx = jax.device_put(jnp.asarray(vidx_np, jnp.int32),
+                                      idx_mat_sharding)
+                val_loss = float(np.mean(jax.device_get(
+                    self._eval_many_val(state, vidx, skey))))
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
@@ -471,11 +493,21 @@ class SupervisedTrainer(Trainer):
             test_steps = (self.test_steps if self.test_steps is not None
                           else max(test_batches, 1))
             key, tkey, skey = jax.random.split(key, 3)
-            tidx = jax.device_put(
-                jnp.asarray(np.asarray(self.ds_test.epoch_indices(
-                    tkey, steps=test_steps)), jnp.int32), idx_mat_sharding)
-            self.test_loss = float(np.mean(jax.device_get(
-                self._eval_many_test(state, tidx, skey))))
+            tidx_np = np.asarray(
+                self.ds_test.epoch_indices(tkey, steps=test_steps))
+            if per_step_dispatch:
+                tls = []
+                for r in range(tidx_np.shape[0]):
+                    key, skey = jax.random.split(key)
+                    tls.append(self._eval_step_test(state, jax.device_put(
+                        jnp.asarray(tidx_np[r], jnp.int32),
+                        idx_row_sharding), skey))
+                self.test_loss = float(np.mean(jax.device_get(tls)))
+            else:
+                tidx = jax.device_put(jnp.asarray(tidx_np, jnp.int32),
+                                      idx_mat_sharding)
+                self.test_loss = float(np.mean(jax.device_get(
+                    self._eval_many_test(state, tidx, skey))))
             if self.verbose:
                 print(f'\nScore on the test set: {self.test_loss}')
             self.timing.runtime()
