@@ -5,12 +5,14 @@ Workload: BASELINE.md config #2 — resnet_spc 4x post-upsampling with channel
 attention, patch training — full fused step (on-device batch synthesis +
 forward + backward + update) on one chip.
 
-vs_baseline: ratio against the reference-style pipeline measured on this
-host's CPU (host-side per-sample pair synthesis + CPU training step), i.e.
-the BASELINE.json north star ">=10x patches/sec/chip over CPU TF reference"
-proxied by the same workload on CPU. The CPU probe runs in a subprocess
-(backends can't be re-initialized in-process) and is cached in
-.bench_cpu_baseline.json.
+vs_baseline: ratio against the ACTUAL TensorFlow reference
+(/root/reference/dl4ds SupervisedTrainer: DataGenerator + model.fit) run
+on this host's CPU on the same workload — measured by
+`tools/tf_parity.py --sections throughput` and read from PARITY_TF.json
+(the BASELINE.json north star ">=10x patches/sec/chip over CPU TF
+reference", as a real measurement). Fallback when that artifact is
+absent: a JAX re-implementation proxy on CPU (subprocess, cached in
+.bench_cpu_baseline.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -153,6 +155,20 @@ def cpu_probe():
 
 
 def cpu_baseline():
+    # prefer the REAL reference number: tools/tf_parity.py --sections
+    # throughput runs /root/reference/dl4ds's SupervisedTrainer
+    # (DataGenerator + model.fit, TF on CPU) on this exact workload and
+    # records it in PARITY_TF.json; the JAX CPU probe below is only the
+    # fallback proxy when that artifact is absent
+    parity = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'PARITY_TF.json')
+    try:
+        with open(parity) as fh:
+            pps = json.load(fh)['throughput']['tf_cpu_patches_per_sec']
+        if pps:
+            return float(pps)
+    except (OSError, ValueError, KeyError):
+        pass
     if os.path.exists(CACHE):
         with open(CACHE) as fh:
             return json.load(fh)['pps']

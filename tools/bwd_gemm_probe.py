@@ -30,7 +30,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bench import force, slope_time
+from bench import force, slope_time, _enable_compile_cache
+
+_enable_compile_cache()
 
 B, H, W = 128, 16, 16
 KH = KW = 3
@@ -44,7 +46,7 @@ def band_matrices(w33, width):
     for kw in range(KW):
         # output col w draws from input col w' = w + kw - 1
         mask = (wi[:, None] + KW // 2 - kw == wi[None, :]).astype(w33.dtype)
-        out.append(jnp.einsum('uw,cf->ucwf', mask, w33[:, kw]))
+        out.append(jnp.einsum('uw,kcf->kucwf', mask, w33[:, kw]))
     bw = sum(out)                                   # [kh, W', C, W, F]
     c, f = w33.shape[2], w33.shape[3]
     return bw.reshape(KH, width * c, width * f)
@@ -70,7 +72,7 @@ def xla_conv(x, w33):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
-def probe(conv_fn, c, f, do_bwd, steps=30):
+def probe(conv_fn, c, f, do_bwd, steps=512):
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((B, H, W, c)), jnp.bfloat16)
     w0 = jnp.asarray(0.1 * rng.standard_normal((KH, KW, c, f)), jnp.bfloat16)
@@ -81,25 +83,22 @@ def probe(conv_fn, c, f, do_bwd, steps=30):
 
         g = jax.grad(loss, argnums=(0, 1))
 
-        @jax.jit
-        def chunk(carry):
+        def body(_, carry):
             w, x = carry
-            for _ in range(steps):
-                dw, dx = g(w, x)
-                # chain so steps cannot collapse
-                w = w + 1e-6 * dw.astype(w.dtype)
-                x = x + 1e-6 * dx.astype(x.dtype)
-            return (w, x), w
+            dw, dx = g(w, x)
+            # chain so iterations cannot collapse
+            return (w + 1e-6 * dw.astype(w.dtype),
+                    x + 1e-6 * dx.astype(x.dtype))
     else:
-        @jax.jit
-        def chunk(carry):
+        def body(_, carry):
             w, x = carry
-            for _ in range(steps):
-                y = conv_fn(x, w)
-                x = x + 1e-6 * y[..., :c] if f >= c else x
-                w = w
-                x = x.astype(jnp.bfloat16)
-            return (w, x), x
+            y = conv_fn(x, w)
+            return (w, (x + 1e-6 * y[..., :c]).astype(jnp.bfloat16))
+
+    @jax.jit
+    def chunk(carry):
+        carry = jax.lax.fori_loop(0, steps, body, carry)
+        return carry, carry[1]
 
     carry = (w0, x0)
     carry, out = chunk(carry)   # compile + warm
@@ -110,7 +109,7 @@ def probe(conv_fn, c, f, do_bwd, steps=30):
 
 def main():
     results = []
-    for width_ch in (8, 16, 32, 48):
+    for width_ch in (8, 32):
         c = f = width_ch
         useful = 2 * B * H * W * KH * KW * c * f            # fwd FLOPs
         row = {'channels': width_ch, 'useful_fwd_gflop': useful / 1e9}
@@ -118,8 +117,11 @@ def main():
                               ('band_fwd', banded_conv, False),
                               ('xla_fwdbwd', xla_conv, True),
                               ('band_fwdbwd', banded_conv, True)):
+            t0 = time.time()
             dt = probe(fn, c, f, bwd)
             row[name + '_us'] = round(dt * 1e6, 2)
+            print(f'# {width_ch}ch {name}: {dt*1e6:.1f} us '
+                  f'(wall {time.time()-t0:.0f}s)', flush=True)
         row['fwd_speedup'] = round(row['xla_fwd_us'] / row['band_fwd_us'], 2)
         row['fwdbwd_speedup'] = round(
             row['xla_fwdbwd_us'] / row['band_fwdbwd_us'], 2)
