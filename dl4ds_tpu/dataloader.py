@@ -275,9 +275,7 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
         if patch_size is not None:
             print(f'Crop X,Y: {crop_x}, {crop_y}')
         try:
-            import matplotlib
-            matplotlib.use('Agg')
-            import matplotlib.pyplot as plt
+            from .utils import plot_ndarray
             panels = [('HR array', np.squeeze(hr_array))]
             lr2d = np.squeeze(lr_array)
             if lr2d.ndim == 3:
@@ -286,15 +284,13 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
                                    lr2d[..., ci]))
             else:
                 panels.append(('LR array', lr2d))
-            fig, axes = plt.subplots(1, len(panels),
-                                     figsize=(4 * len(panels), 4), dpi=100)
-            for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+            imgs = []
+            for _, img in panels:
                 while img.ndim > 2:
                     img = img[0]
-                ax.imshow(img, origin='lower')
-                ax.set_title(title)
-            fig.savefig('dl4ds_pair_debug.png')
-            plt.close(fig)
+                imgs.append(img)
+            plot_ndarray(tuple(imgs), subplot_titles=[t for t, _ in panels],
+                         save_fname='dl4ds_pair_debug.png')
         except Exception:  # noqa: BLE001 — plotting is best-effort
             pass
 

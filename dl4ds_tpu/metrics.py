@@ -76,10 +76,15 @@ def compute_correlation(y, y_hat, over='time', mode='spearman', n_jobs=None):
 
 
 def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
-                    n_jobs=-1, scaler=None, mask=None, save_path=None):
+                    n_jobs=-1, scaler=None, mask=None, save_path=None,
+                    lats=None, lons=None):
     """Compute and report the full metric suite
     (reference: dl4ds/metrics.py:100-327). Returns
-    (rmse_map, pearson_corrmap, nmeanbias)."""
+    (rmse_map, pearson_corrmap, nmeanbias).
+
+    With `lats`/`lons` (1-D coordinate vectors) the map plots are drawn on
+    the geographic extent with degree axis labels — the stand-in for the
+    reference's ecubevis georeferenced panels."""
     timing = Timing()
 
     y_test = np.asarray(_maybe_values(y_test), 'float32')
@@ -131,7 +136,8 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     if mask is not None:
         temp_rmse_map[np.where(mask == 0)] = 0
     _plot_map(temp_rmse_map, f'RMSE map (mu = {mean_temp_rmse:.6f})',
-              save_path, 'metrics_pergridpoint_rmse_map', dpi, cmap='viridis')
+              save_path, 'metrics_pergridpoint_rmse_map', dpi,
+              cmap='viridis', lats=lats, lons=lons)
 
     # normalized per-grid-point RMSE
     norm_temp_rmse_map = temp_rmse_map / (np.mean(y_test) * 100)
@@ -141,7 +147,8 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
         norm_temp_rmse_map[np.where(mask == 0)] = 0
     _plot_map(norm_temp_rmse_map,
               f'nRMSE map (mu = {norm_mean_temp_rmse:.6f})', save_path,
-              'metrics_pergridpoint_nrmse_map', dpi, cmap='viridis')
+              'metrics_pergridpoint_nrmse_map', dpi, cmap='viridis',
+              lats=lats, lons=lons)
 
     # normalized mean bias
     nmeanbias = np.mean(y_test_hat - y_test, axis=0)
@@ -153,7 +160,8 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     if mask is not None:
         nmeanbias[np.where(mask == 0)] = 0
     _plot_map(nmeanbias, f'NMBias map (mu = {mean_nmeanbias:.6f})',
-              save_path, 'metrics_nmeanbias_map', dpi, cmap='viridis')
+              save_path, 'metrics_nmeanbias_map', dpi, cmap='viridis',
+              lats=lats, lons=lons)
 
     # correlations
     spatial_spearman_corr = compute_correlation(y_test, y_test_hat,
@@ -178,7 +186,8 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
         temp_pearson_corrmap[np.where(mask == 0)] = 0
     _plot_map(temp_pearson_corrmap,
               f'Pearson correlation map (mu = {mean_t_pear:.6f})', save_path,
-              'metrics_pergridpoint_corrpears_map', dpi, cmap='magma')
+              'metrics_pergridpoint_corrpears_map', dpi, cmap='magma',
+              lats=lats, lons=lons)
 
     _plot_violins(
         [(np.asarray(psnr_vals), 'PSNR', mean_psnr, std_psnr),
@@ -220,17 +229,19 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     return temp_rmse_map, temp_pearson_corrmap, nmeanbias
 
 
-def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis'):
+def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis',
+              lats=None, lons=None):
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(dpi=dpi)
-    im = ax.imshow(np.squeeze(arr), cmap=cmap, origin='lower')
-    fig.colorbar(im, ax=ax)
-    ax.set_title(title)
+    from .utils import plot_ndarray
+    fig = plot_ndarray(np.squeeze(arr), plot_title=None,
+                       subplot_titles=[title], dpi=dpi, cmap=cmap,
+                       lats=lats, lons=lons)
     if save_path is not None:
         np.save(os.path.join(save_path, fname + '.npy'), arr)
-        fig.savefig(os.path.join(save_path, fname + '.png'))
+        fig.savefig(os.path.join(save_path, fname + '.png'),
+                    bbox_inches='tight')
     plt.close(fig)
 
 

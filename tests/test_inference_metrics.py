@@ -219,3 +219,30 @@ def test_predict_mc_uncertainty(rng):
     with pytest.raises(TypeError, match='unsupported predict option'):
         dds.predict_mc(tr, data[16:], scale=4, n_members=2,
                        array_in_hr=True, bogus_option=1)
+
+
+def test_plot_ndarray_georeferenced(tmp_path, rng):
+    """ecubevis-style panel plotting: stacks/tuples, shared colorbar,
+    geographic extent from lat/lon vectors, descending-lat orientation."""
+    from dl4ds_tpu.utils import plot_ndarray
+    a = rng.standard_normal((2, 20, 30)).astype('float32')
+    f = plot_ndarray(a, subplot_titles=['one', 'two'], share_colorbar=True,
+                     lats=np.linspace(60, 40, 20), lons=np.linspace(0, 15, 30),
+                     plot_title='fields', save_fname=str(tmp_path / 'p.png'))
+    assert (tmp_path / 'p.png').exists()
+    # single 2-D field + tuple input
+    plot_ndarray(a[0], save_fname=str(tmp_path / 'q.png'))
+    plot_ndarray((a[0], a[1]), save_fname=str(tmp_path / 'r.png'))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        plot_ndarray(np.zeros((2, 2, 2, 2, 2)))
+
+
+def test_compute_metrics_georeferenced_maps(tmp_path, rng):
+    y = rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    yh = y + 0.1 * rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    dds.compute_metrics(y, yh, save_path=str(tmp_path) + '/',
+                        lats=np.linspace(70, 40, 16),
+                        lons=np.linspace(-10, 20, 16))
+    assert (tmp_path / 'metrics_pergridpoint_rmse_map.png').exists()
+    assert (tmp_path / 'metrics_summary.txt').exists()
