@@ -583,30 +583,45 @@ class RecurrentConvBlock(nn.Module):
 class SubpixelConvolutionBlock(nn.Module):
     """Sub-pixel convolution upsampler (reference: dl4ds/models/blocks.py:
     401-454): conv to filters*r^2 then pixel shuffle; composite factors
-    2*2=4, 2*2*2=8, 2*5=10, 2*2*5=20, direct otherwise."""
+    2*2=4, 2*2*2=8, 2*5=10, 2*2*5=20, direct otherwise. Like the
+    reference (blocks.py:415, one `self.conv2x` layer reused by every x2
+    stage), the x2 conv weights are SHARED across stages — scale 4/8 is a
+    weight-tied repeated pixel-shuffle, not independent convs."""
     scale: int
     n_filters: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        def up(x, factor, name):
-            y = nn.Conv(self.n_filters * factor ** 2, (3, 3), padding='SAME',
-                        dtype=self.dtype, name=name)(x)
+        # single module instances, reused -> tied params (ref blocks.py:415)
+        conv2x = nn.Conv(self.n_filters * 4, (3, 3), padding='SAME',
+                         dtype=self.dtype, name='conv2x')
+        conv5x = nn.Conv(self.n_filters * 25, (3, 3), padding='SAME',
+                         dtype=self.dtype, name='conv5x')
+
+        def up(x, factor):
+            if factor == 2:
+                y = conv2x(x)
+            elif factor == 5:
+                y = conv5x(x)
+            else:
+                y = nn.Conv(self.n_filters * factor ** 2, (3, 3),
+                            padding='SAME', dtype=self.dtype,
+                            name='convNx')(x)
             return depth_to_space(y, factor)
 
         s = self.scale
         if s == 2:
-            return up(x, 2, 'conv2x_a')
+            return up(x, 2)
         if s == 4:
-            return up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b')
+            return up(up(x, 2), 2)
         if s == 8:
-            return up(up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b'), 2, 'conv2x_c')
+            return up(up(up(x, 2), 2), 2)
         if s == 10:
-            return up(up(x, 2, 'conv2x_a'), 5, 'conv5x')
+            return up(up(x, 2), 5)
         if s == 20:
-            return up(up(up(x, 2, 'conv2x_a'), 2, 'conv2x_b'), 5, 'conv5x')
-        return up(x, s, 'convNx')
+            return up(up(up(x, 2), 2), 5)
+        return up(x, s)
 
 
 _RC_INTERP = {'bilinear': 'bilinear', 'nearest': 'nearest',

@@ -312,11 +312,64 @@ def jax_tree_to_dict(tree):
     return np.asarray(tree)
 
 
+def _transplant_resnet_spc(tf_model, params, n_blocks):
+    """Map the TF reference resnet_spc (4x) weights onto the Flax tree.
+
+    TF creation order (sp_postups.py:118-212): stem, N ResidualBlocks
+    (2 convs + 1x1 skip conv when widths change, blocks.py:206-208),
+    backbone merge conv, long-skip TransitionBlock, SPC head (ONE shared
+    conv2x for both x2 stages, blocks.py:415), TransitionLast, attention
+    ConvBlock, final ConvBlock."""
+    import copy
+    w = [v.numpy() for v in tf_model.weights]
+    p = copy.deepcopy(jax_tree_to_dict(params))
+    bb = p['_Backbone_0']
+    om = p['_OutputModule_0']
+    i = 0
+
+    def take():
+        nonlocal i
+        k, b = w[i], w[i + 1]
+        i += 2
+        return k, b
+
+    def set_conv(dst):
+        k, b = take()
+        assert dst['kernel'].shape == k.shape, (dst['kernel'].shape, k.shape)
+        dst['kernel'], dst['bias'] = k, b
+
+    set_conv(bb['stem'])
+    for j in range(1, n_blocks + 1):
+        blk = bb[f'ResidualBlock{j}']
+        set_conv(blk['Conv_0'])
+        set_conv(blk['Conv_1'])
+        if 'Conv_2' in blk:        # 1x1 skip conv (width changed)
+            set_conv(blk['Conv_2'])
+    set_conv(bb['backbone_out_conv'])
+    set_conv(bb['TransitionBlock_0']['Conv_0'])
+    set_conv(p['SubpixelConvolutionBlock_0']['conv2x'])
+    set_conv(om['TransitionLast']['Conv_0'])
+    set_conv(om['ConvBlock_0']['Conv_0'])
+    set_conv(om['ConvBlock_0']['Conv_1'])
+    att = om['ConvBlock_0']['ChannelAttention2D_0']
+    k1, b1 = take()
+    k2, b2 = take()
+    att['w1'], att['b1'] = k1[0, 0], b1
+    att['w2'], att['b2'] = k2[0, 0], b2
+    set_conv(om['ConvBlock_1']['Conv_0'])
+    set_conv(om['ConvBlock_1']['Conv_1'])
+    assert i == len(w), f'consumed {i} of {len(w)} weights'
+    return p
+
+
 def section_transplant(ref):
     jax = _jax_cpu()
     import jax.numpy as jnp
-    from dl4ds_tpu.models import net_pin
+    from dl4ds_tpu.models import net_pin, net_postupsampling
 
+    out = {}
+
+    # --- convnet_pin -----------------------------------------------------
     n_blocks, n_filters, hr = 3, 8, 32
     tfm = ref.net_pin('convnet', n_channels=1, n_aux_channels=0,
                       hr_size=(hr, hr), n_filters=n_filters,
@@ -326,17 +379,49 @@ def section_transplant(ref):
                  attention=False)
     variables = mm.init(jax.random.PRNGKey(0), batch_size=1)
     params = _transplant_convnet_pin(tfm, variables['params'], n_blocks)
-
     rng = np.random.default_rng(3)
     x = rng.standard_normal((4, hr, hr, 1)).astype('float32')
     y_tf = tfm.predict(x, verbose=0)
     y_jx = np.asarray(mm.module.apply({'params': params}, jnp.asarray(x),
                                       None, training=False))
     rmse = float(np.sqrt(np.mean((y_tf - y_jx) ** 2)))
-    return {'model': 'convnet_pin (3 blocks, 8 filters, attention head)',
-            'n_weights': int(len(tfm.weights)),
-            'max_abs_delta': _maxdiff(y_tf, y_jx),
-            'output_rmse': rmse, 'pass_1e-5': bool(rmse <= 1e-5)}
+    out['convnet_pin'] = {
+        'model': 'convnet_pin (3 blocks, 8 filters, attention head)',
+        'n_weights': int(len(tfm.weights)),
+        'max_abs_delta': _maxdiff(y_tf, y_jx),
+        'output_rmse': rmse, 'pass_1e-5': bool(rmse <= 1e-5)}
+
+    # --- resnet_spc 4x (the flagship/bench config) -----------------------
+    lr = 8
+    tfm2 = ref.net_postupsampling(
+        'resnet', 'spc', scale=4, n_channels=1, n_aux_channels=0,
+        lr_size=(lr, lr), n_filters=8, n_blocks=2, attention=False)
+    mm2 = net_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                             n_aux_channels=0, lr_size=(lr, lr), n_filters=8,
+                             n_blocks=2, attention=False)
+    v2 = mm2.init(jax.random.PRNGKey(0), batch_size=1)
+    n_tf = int(tfm2.count_params())
+    n_jx = int(sum(np.asarray(leaf).size
+                   for leaf in jax.tree_util.tree_leaves(v2)))
+    p2 = _transplant_resnet_spc(tfm2, v2['params'], 2)
+    x2 = rng.standard_normal((4, lr, lr, 1)).astype('float32')
+    y_tf2 = tfm2.predict(x2, verbose=0)
+    y_jx2 = np.asarray(mm2.module.apply({'params': p2}, jnp.asarray(x2),
+                                        None, training=False))
+    rmse2 = float(np.sqrt(np.mean((y_tf2 - y_jx2) ** 2)))
+    out['resnet_spc_4x'] = {
+        'model': 'resnet_spc 4x (2 blocks, 8 filters, tied-conv2x SPC '
+                 'head, attention head)',
+        'n_weights': int(len(tfm2.weights)),
+        'tf_params': n_tf, 'jax_params': n_jx,
+        'param_count_equal': n_tf == n_jx,
+        'max_abs_delta': _maxdiff(y_tf2, y_jx2),
+        'output_rmse': rmse2, 'pass_1e-5': bool(rmse2 <= 1e-5)}
+
+    worst = max(v['max_abs_delta'] for v in out.values())
+    return {'max_abs_delta': worst,
+            'pass_1e-5': bool(all(v['pass_1e-5'] for v in out.values())),
+            'models': out}
 
 
 def section_discriminator(ref):
