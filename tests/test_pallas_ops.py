@@ -233,3 +233,30 @@ def test_fused_convlstm_lane_padding(rng):
         pc.convlstm_reference(*a)[0])), argnums=(0, 1, 2, 3))(x, wx, bx, wh)
     for a, b2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-4)
+
+
+def test_fused_convlstm_under_batch_sharding(rng):
+    """The fused ConvLSTM under a pjit batch sharding (8-device CPU mesh,
+    interpret mode): executes, output stays batch-sharded, matches the
+    unsharded result, and the compiled module contains NO all-gather.
+    (Interpret mode is not the Mosaic lowering — on real multi-chip TPU
+    the kernel stays default-off until validated there, see
+    ConvLSTM2D.__call__ — but this pins the GSPMD partitioning behavior
+    of the surrounding program.)"""
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm
+    mesh = make_mesh()
+    x = jnp.asarray(rng.standard_normal((16, 3, 8, 8, 4)), jnp.float32)
+    wx = jnp.asarray(0.2 * rng.standard_normal((3, 3, 4, 20)), jnp.float32)
+    bx = jnp.asarray(0.1 * rng.standard_normal(20), jnp.float32)
+    wh = jnp.asarray(0.2 * rng.standard_normal((3, 3, 5, 20)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    fn = jax.jit(lambda a: fused_convlstm(a, wx, bx, wh, interpret=True))
+    y = fn(xs)
+    assert y.sharding.spec == P('data')
+    y_ref = fused_convlstm(x, wx, bx, wh, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    txt = fn.lower(xs).compile().as_text()
+    assert not re.findall(r'all-gather', txt)
