@@ -28,7 +28,9 @@ class Predictor:
                  static_vars=None, predictors=None, time_window=None,
                  time_metadata=None, interpolation='inter_area',
                  batch_size=64, scaler=None, save_path=None,
-                 save_fname='y_hat.npy', return_lr=False, device='TPU'):
+                 save_fname='y_hat.npy', return_lr=False, device='TPU',
+                 mesh=None, pad_to_multiple=None, tile=None, halo=32,
+                 spatial_mesh=None):
         self.trainer = trainer
         self.array = array
         self.scale = scale
@@ -44,6 +46,11 @@ class Predictor:
         self.save_fname = save_fname
         self.return_lr = return_lr
         self.device = device
+        self.mesh = mesh
+        self.pad_to_multiple = pad_to_multiple
+        self.tile = tile
+        self.halo = halo
+        self.spatial_mesh = spatial_mesh
 
     def run(self):
         return predict(
@@ -54,7 +61,9 @@ class Predictor:
             interpolation=self.interpolation, batch_size=self.batch_size,
             scaler=self.scaler, save_path=self.save_path,
             save_fname=self.save_fname, return_lr=self.return_lr,
-            device=self.device)
+            device=self.device, mesh=self.mesh,
+            pad_to_multiple=self.pad_to_multiple, tile=self.tile,
+            halo=self.halo, spatial_mesh=self.spatial_mesh)
 
 
 def _resolve_model(trainer):
