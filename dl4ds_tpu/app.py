@@ -303,13 +303,17 @@ def dl4ds(argv):
     if FLAGS.metrics and y_hat is not None and running_on_first_worker:
         print('\n' + '<' * 25, 'DL4DS Metrics computation phase',
               '>' * 25 + '\n')
+        gt = DATA.gt_holdout_dataset
+        # georeference the metric maps when the holdout carries coords
+        lats = getattr(getattr(gt, 'lat', None), 'values', None)
+        lons = getattr(getattr(gt, 'lon', None), 'values', None)
         dds.compute_metrics(
-            y_test=DATA.gt_holdout_dataset,
+            y_test=gt,
             y_test_hat=y_hat,
             dpi=300, plot_size_px=1200,
             mask=DATA.gt_mask,
             save_path=FLAGS.save_path,
-            n_jobs=-1)
+            n_jobs=-1, lats=lats, lons=lons)
 
 
 def main():

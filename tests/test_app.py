@@ -147,7 +147,6 @@ def test_app_netcdf_export(tmp_path):
     cfg = tmp_path / 'params.cfg'
     cfg.write_text(textwrap.dedent(f"""
         --debug
-        --nometrics
         --device=CPU
         --data_module={data_file}
         --backbone=convnet
@@ -180,6 +179,8 @@ def test_app_netcdf_export(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     nc = save_path + 'y_hat.nc'
     assert os.path.exists(nc), res.stderr[-2000:]
+    # metrics phase ran with georeferenced (lat/lon-extent) maps
+    assert os.path.exists(save_path + 'metrics_pergridpoint_rmse_map.png')
     sys.path.insert(0, stubs)
     try:
         import xarray as xr_check
