@@ -47,9 +47,11 @@ def test_weight_transplant_forward_parity(ref):
     import tf_parity
     res = tf_parity.section_transplant(ref)
     assert res['pass_1e-5'], res
-    for fam in ('convnet_pin', 'resnet_spc_4x'):
+    for fam in ('convnet_pin', 'resnet_spc_4x', 'recresnet_pin_tw3',
+                'unet_pin_spc'):
         assert res['models'][fam]['output_rmse'] <= 1e-5
-    assert res['models']['resnet_spc_4x']['param_count_equal']
+    for fam in ('resnet_spc_4x', 'recresnet_pin_tw3', 'unet_pin_spc'):
+        assert res['models'][fam]['param_count_equal']
 
 
 def test_discriminator_param_counts(ref):

@@ -14,10 +14,13 @@ Sections (select with --sections a,b,...; default: all but throughput/train):
               sides draw y,x from the global np.random in the same order).
   losses      all 9 loss functions vs the reference tf.image-based
               implementations (dl4ds/losses.py:5-147) on random tensors.
-  transplant  forward-pass parity with IDENTICAL weights: build the TF
-              reference convnet_pin (dl4ds/models/sp_preups.py:13) and the
-              Flax twin, transplant the TF weights into the Flax param
-              tree, compare outputs on the same input.
+  transplant  forward-pass parity with IDENTICAL weights: build TF
+              reference models (convnet_pin sp_preups.py:13, resnet_spc
+              sp_postups.py:14, recnet_pin spt_preups.py:12, unet_pin
+              sp_preups.py:192) and their Flax twins, transplant the TF
+              weights into the Flax param trees, compare outputs on the
+              same input — covers the ConvLSTM gate math and the U-Net
+              encoder/PadConcat ladder in addition to the plain CNNs.
   train       the tutorial workload (convnet_pin 4x) trained end-to-end by
               BOTH frameworks on the same data; RMSE/SSIM of each vs the
               held-out ground truth, and the deltas.
@@ -362,10 +365,110 @@ def _transplant_resnet_spc(tf_model, params, n_blocks):
     return p
 
 
+def _transplant_recnet_pin(tf_model, params, n_blocks):
+    """Map the TF reference recnet_pin weights onto the Flax tree.
+
+    TF creation order (spt_preups.py:100-140): stem RecurrentConvBlock +
+    n_blocks more, each = 2 ConvLSTM2D layers whose weights list as
+    [kernel (kh,kw,Cin,4F), recurrent_kernel (kh,kw,F,4F), bias (4F)] —
+    Keras gate order i,f,c,o matches _ConvLSTMCell (models/blocks.py:418);
+    then TransitionLast, attention ConvBlock, output ConvBlock. The Flax
+    split of each ConvLSTM into input_conv/{kernel,bias} +
+    cell/recurrent_conv/kernel (the hoisted-input-conv layout both the XLA
+    and fused-Pallas paths share) takes the same three tensors directly."""
+    import copy
+    w = [v.numpy() for v in tf_model.weights]
+    p = copy.deepcopy(jax_tree_to_dict(params))
+    bb = p['_RecBackbone_0']
+    i = 0
+
+    def take():
+        nonlocal i
+        k, b = w[i], w[i + 1]
+        i += 2
+        return k, b
+
+    def set_conv(dst):
+        k, b = take()
+        assert dst['kernel'].shape == k.shape, (dst['kernel'].shape, k.shape)
+        dst['kernel'], dst['bias'] = k, b
+
+    for j in range(1, n_blocks + 2):          # stem + n_blocks
+        blk = bb[f'RecurrentConvBlock{j}']
+        for cl in ('ConvLSTM2D_0', 'ConvLSTM2D_1'):
+            k, rk, b = w[i], w[i + 1], w[i + 2]
+            i += 3
+            d = blk[cl]
+            assert d['input_conv']['kernel'].shape == k.shape
+            assert d['cell']['recurrent_conv']['kernel'].shape == rk.shape
+            d['input_conv']['kernel'], d['input_conv']['bias'] = k, b
+            d['cell']['recurrent_conv']['kernel'] = rk
+    set_conv(p['TransitionLast']['Conv_0'])
+    set_conv(p['ConvBlock_0']['Conv_0'])
+    set_conv(p['ConvBlock_0']['Conv_1'])
+    att = p['ConvBlock_0']['ChannelAttention2D_0']
+    k1, b1 = take()
+    k2, b2 = take()
+    att['w1'], att['b1'] = k1[0, 0], b1
+    att['w2'], att['b2'] = k2[0, 0], b2
+    set_conv(p['ConvBlock_1']['Conv_0'])
+    set_conv(p['ConvBlock_1']['Conv_1'])
+    assert i == len(w), f'consumed {i} of {len(w)} weights'
+    return p
+
+
+def _transplant_unet_pin(tf_model, params, n_blocks):
+    """Map the TF reference unet_pin (spc decoder) weights onto the Flax
+    tree. TF creation order (sp_preups.py:252-310): n encoder ConvBlocks,
+    Bottleneck ConvBlock, then per decoder level SubpixelConvolutionBlock
+    conv2x + DecoderConvBlock, then TransitionLast + attention ConvBlock +
+    output ConvBlock. (Unbuilt layers — e.g. conv5x — never appear in
+    tf_model.weights.)"""
+    import copy
+    w = [v.numpy() for v in tf_model.weights]
+    p = copy.deepcopy(jax_tree_to_dict(params))
+    om = p['_OutputModule_0']
+    i = 0
+
+    def take():
+        nonlocal i
+        k, b = w[i], w[i + 1]
+        i += 2
+        return k, b
+
+    def set_conv(dst):
+        k, b = take()
+        assert dst['kernel'].shape == k.shape, (dst['kernel'].shape, k.shape)
+        dst['kernel'], dst['bias'] = k, b
+
+    for j in range(1, n_blocks + 1):
+        set_conv(p[f'EncoderBlock{j}']['ConvBlock_0']['Conv_0'])
+        set_conv(p[f'EncoderBlock{j}']['ConvBlock_0']['Conv_1'])
+    set_conv(p['Bottleneck']['Conv_0'])
+    set_conv(p['Bottleneck']['Conv_1'])
+    for j in range(n_blocks):
+        set_conv(p[f'SubpixelConvolutionBlock_{j}']['conv2x'])
+        set_conv(p[f'DecoderConvBlock{j + 1}']['Conv_0'])
+        set_conv(p[f'DecoderConvBlock{j + 1}']['Conv_1'])
+    set_conv(om['TransitionLast']['Conv_0'])
+    set_conv(om['ConvBlock_0']['Conv_0'])
+    set_conv(om['ConvBlock_0']['Conv_1'])
+    att = om['ConvBlock_0']['ChannelAttention2D_0']
+    k1, b1 = take()
+    k2, b2 = take()
+    att['w1'], att['b1'] = k1[0, 0], b1
+    att['w2'], att['b2'] = k2[0, 0], b2
+    set_conv(om['ConvBlock_1']['Conv_0'])
+    set_conv(om['ConvBlock_1']['Conv_1'])
+    assert i == len(w), f'consumed {i} of {len(w)} weights'
+    return p
+
+
 def section_transplant(ref):
     jax = _jax_cpu()
     import jax.numpy as jnp
-    from dl4ds_tpu.models import net_pin, net_postupsampling
+    from dl4ds_tpu.models import (net_pin, net_postupsampling, recnet_pin,
+                                  unet_pin)
 
     out = {}
 
@@ -418,10 +521,70 @@ def section_transplant(ref):
         'max_abs_delta': _maxdiff(y_tf2, y_jx2),
         'output_rmse': rmse2, 'pass_1e-5': bool(rmse2 <= 1e-5)}
 
+    # --- recnet_pin (ConvLSTM gate math vs keras ConvLSTM2D) -------------
+    tw, hr3 = 3, 16
+    tfm3 = ref.recnet_pin('resnet', n_channels=1, n_aux_channels=0,
+                          hr_size=(hr3, hr3), time_window=tw, n_filters=8,
+                          n_blocks=1, attention=False)
+    mm3 = recnet_pin('resnet', n_channels=1, n_aux_channels=0,
+                     hr_size=(hr3, hr3), time_window=tw, n_filters=8,
+                     n_blocks=1, attention=False)
+    v3 = mm3.init(jax.random.PRNGKey(0), batch_size=1)
+    n_tf3, n_jx3 = _param_counts(tfm3, v3, jax)
+    p3 = _transplant_recnet_pin(tfm3, v3['params'], 1)
+    x3 = rng.standard_normal((2, tw, hr3, hr3, 1)).astype('float32')
+    y_tf3 = tfm3.predict(x3, verbose=0)
+    y_jx3 = np.asarray(mm3.module.apply({'params': p3}, jnp.asarray(x3),
+                                        None, training=False))
+    rmse3 = float(np.sqrt(np.mean((y_tf3 - y_jx3) ** 2)))
+    out['recresnet_pin_tw3'] = {
+        'model': 'recresnet_pin (stem + 1 RecurrentConvBlock = 4 ConvLSTM2D '
+                 'layers, resnet merge, attention head)',
+        'n_weights': int(len(tfm3.weights)),
+        'tf_params': n_tf3, 'jax_params': n_jx3,
+        'param_count_equal': n_tf3 == n_jx3,
+        'max_abs_delta': _maxdiff(y_tf3, y_jx3),
+        'output_rmse': rmse3, 'pass_1e-5': bool(rmse3 <= 1e-5)}
+
+    # --- unet_pin (encoder ladder + PadConcat + spc decoder) -------------
+    # non-square grid: the reference's square-grid unet builds None-shaped
+    # inputs and its PadConcat crashes on them (sp_preups.py:244-247,281 —
+    # documented in PARITY.md); (32,48) forces static shapes on both sides
+    hu, wu = 32, 48
+    tfm4 = ref.unet_pin('unet', n_channels=1, n_aux_channels=0, n_filters=8,
+                        n_blocks=2, hr_size=(hu, wu), attention=False,
+                        decoder_upsampling='spc')
+    mm4 = unet_pin('unet', n_channels=1, n_aux_channels=0, hr_size=(hu, wu),
+                   n_filters=8, n_blocks=2, attention=False,
+                   decoder_upsampling='spc')
+    v4 = mm4.init(jax.random.PRNGKey(0), batch_size=1)
+    n_tf4, n_jx4 = _param_counts(tfm4, v4, jax)
+    p4 = _transplant_unet_pin(tfm4, v4['params'], 2)
+    x4 = rng.standard_normal((3, hu, wu, 1)).astype('float32')
+    y_tf4 = tfm4.predict(x4, verbose=0)
+    y_jx4 = np.asarray(mm4.module.apply({'params': p4}, jnp.asarray(x4),
+                                        None, training=False))
+    rmse4 = float(np.sqrt(np.mean((y_tf4 - y_jx4) ** 2)))
+    out['unet_pin_spc'] = {
+        'model': 'unet_pin (2 encoder levels, bottleneck, spc decoder, '
+                 'PadConcat skips, attention head; 32x48 grid)',
+        'n_weights': int(len(tfm4.weights)),
+        'tf_params': n_tf4, 'jax_params': n_jx4,
+        'param_count_equal': n_tf4 == n_jx4,
+        'max_abs_delta': _maxdiff(y_tf4, y_jx4),
+        'output_rmse': rmse4, 'pass_1e-5': bool(rmse4 <= 1e-5)}
+
     worst = max(v['max_abs_delta'] for v in out.values())
     return {'max_abs_delta': worst,
             'pass_1e-5': bool(all(v['pass_1e-5'] for v in out.values())),
             'models': out}
+
+
+def _param_counts(tf_model, variables, jax):
+    n_tf = int(tf_model.count_params())
+    n_jx = int(sum(np.asarray(leaf).size
+                   for leaf in jax.tree_util.tree_leaves(variables)))
+    return n_tf, n_jx
 
 
 def section_discriminator(ref):
