@@ -499,13 +499,15 @@ class ConvLSTM2D(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             import os
-            # default-on only for single-device TPU: pallas_call has no
-            # SPMD partitioning rule, so under a >1-device mesh the fused
-            # kernel could silently all-gather its batch-sharded input (or
-            # fail to lower). Until exercised on a real multi-chip mesh,
-            # multi-device runs take the XLA path; use_pallas=True forces.
+            # default-on for TPU, single- or multi-device: the kernel
+            # carries an explicit custom_partitioning rule (batch sharded,
+            # weights replicated, weight-grads psum-reduced), so under a
+            # data-parallel mesh each device runs the validated single-chip
+            # lowering on its local batch — no silent all-gather. The
+            # partitioning behavior is pinned by tests on the 8-device CPU
+            # mesh (test_pallas_ops.py::test_fused_convlstm_under_batch_
+            # sharding); DL4DS_NO_PALLAS_CONVLSTM=1 forces the XLA path.
             use_pallas = (jax.default_backend() == 'tpu'
-                          and len(jax.devices()) == 1
                           and not os.environ.get('DL4DS_NO_PALLAS_CONVLSTM'))
         if use_pallas:
             from ..ops.pallas_convlstm import fused_convlstm

@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 __all__ = ['fused_convlstm', 'convlstm_reference']
 
@@ -351,7 +353,19 @@ def _cost(b, t, h, w_pad, w_logical, wc, wf, kh, bwd, residuals=True):
                            bytes_accessed=(2 if bwd else 1) * io)
 
 
-def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt, w_logical,
+def _dims_from(xp, bwx, f):
+    """Recover (kh, w_pad, cin, bt) from the packed operand shapes — shape-
+    only, so it works on the per-shard shapes custom_partitioning hands the
+    kernel under a multi-device mesh (each shard picks its own batch tile)."""
+    b, t, h, wc = xp.shape
+    kh = bwx.shape[0]
+    w_pad = bwx.shape[-1] // (4 * f)
+    cin = wc // w_pad
+    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, xp.dtype.itemsize)
+    return kh, w_pad, cin, bt
+
+
+def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
                     save_residuals=True):
     """Run the forward kernel. With save_residuals=False (inference /
     no-grad) only ys is emitted — cs/zs exist purely as backward residuals
@@ -359,6 +373,7 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt, w_logical,
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
+    bt = _dims_from(xp, bwx, f)[3]
     state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     state_shape = jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype)
@@ -396,17 +411,16 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt, w_logical,
                             bwd=False, residuals=save_residuals),
         interpret=interpret,
     )(xp, bwx, bwh, bb)
-    if save_residuals:
-        return out
-    return out, None, None
+    return out
 
 
-def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt,
+def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
                      w_logical):
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
     wf4 = 4 * wf
+    bt = _dims_from(xp, bwx, f)[3]
     nprog = b // bt
     bwxT = jnp.swapaxes(bwx, 1, 2)
     bwhT = jnp.swapaxes(bwh, 1, 2)
@@ -456,6 +470,99 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret, bt,
 
 
 # --------------------------------------------------------------------------
+# SPMD partitioning (multi-device meshes)
+#
+# pallas_call has no built-in partitioning rule, so without help GSPMD
+# would all-gather a batch-sharded input onto every device before running
+# the kernel. The two wrappers below declare the rule the kernel actually
+# has: batch dim sharded, everything else (window, rows, lanes, band
+# matrices) replicated. Each shard then runs the SAME single-chip Mosaic
+# lowering on its local batch; the backward's band-matrix/bias gradients
+# are partial sums over local batches, all-reduced here with a psum over
+# the batch mesh axes (the lower_fn must produce the declared-replicated
+# global value itself — shardy's reduction factors only steer propagation).
+# --------------------------------------------------------------------------
+
+def _batch_axes(arg_shapes):
+    """Mesh axes the first operand's leading (batch) dim is sharded over."""
+    spec = arg_shapes[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def _bsharded(mesh, b, ndim):
+    return NamedSharding(mesh, PartitionSpec(*((b,) + (None,) * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(f, interpret, w_logical, save_residuals):
+    @custom_partitioning
+    def fwd(xp, bwx, bwh, bb):
+        return _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
+                               save_residuals)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        return jax.tree.map(lambda r: _bsharded(mesh, b, len(r.shape)),
+                            result_shape)
+
+    def part(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        rep = NamedSharding(mesh, PartitionSpec())
+        arg_sh = (_bsharded(mesh, b, 4), rep, rep, rep)
+        out_sh = jax.tree.map(lambda r: _bsharded(mesh, b, len(r.shape)),
+                              result_shape)
+
+        def lower(xp, bwx, bwh, bb):
+            return _forward_pallas(xp, bwx, bwh, bb, f, interpret,
+                                   w_logical, save_residuals)
+
+        return mesh, lower, out_sh, arg_sh
+
+    out_rule = 'b t h e, b t h e, b t h z' if save_residuals else 'b t h e'
+    fwd.def_partition(
+        infer_sharding_from_operands=infer, partition=part,
+        sharding_rule='b t h wc, kx mx z, kh mh z, u z -> ' + out_rule,
+        need_replication_factors=('t', 'h', 'wc', 'kx', 'mx', 'z', 'kh',
+                                  'mh', 'u', 'e'))
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(f, interpret, w_logical):
+    @custom_partitioning
+    def bwd(xp, zs, ys, cs, dys, bwx, bwh):
+        return _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f,
+                                interpret, w_logical)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        rep = NamedSharding(mesh, PartitionSpec())
+        return (_bsharded(mesh, b, 4), rep, rep, rep)
+
+    def part(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        rep = NamedSharding(mesh, PartitionSpec())
+        arg_sh = tuple(_bsharded(mesh, b, 4) for _ in range(5)) + (rep, rep)
+        out_sh = (_bsharded(mesh, b, 4), rep, rep, rep)
+
+        def lower(xp, zs, ys, cs, dys, bwx, bwh):
+            dx, dbwx, dbwh, dbb = _backward_pallas(
+                xp, bwx, bwh, zs, ys, cs, dys, f, interpret, w_logical)
+            if b is not None:
+                dbwx, dbwh, dbb = jax.lax.psum((dbwx, dbwh, dbb), b)
+            return dx, dbwx, dbwh, dbb
+
+        return mesh, lower, out_sh, arg_sh
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer, partition=part,
+        sharding_rule=('b t h wc, b t h z, b t h e, b t h e, b t h e, '
+                       'kx wc z, kh e z -> b t h wc, kx wc z, kh e z, z'),
+        need_replication_factors=('t', 'h', 'wc', 'z', 'e', 'kx', 'kh'))
+    return bwd
+
+
+# --------------------------------------------------------------------------
 # Differentiable entry point
 # --------------------------------------------------------------------------
 
@@ -468,29 +575,29 @@ def _prep(x, wx, bx, wh, w_valid):
     return xp, bwx, bwh, bb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused(x, wx, bx, wh, interpret, bt, w_valid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused(x, wx, bx, wh, interpret, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
-    ys, _, _ = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
-                               w_valid or w, save_residuals=False)
+    ys = _fwd_partitioned(f, interpret, w_valid or w, False)(
+        xp, bwx, bwh, bb)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
 
-def _fused_fwd(x, wx, bx, wh, interpret, bt, w_valid):
+def _fused_fwd(x, wx, bx, wh, interpret, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
-    ysp, csp, zsp = _forward_pallas(xp, bwx, bwh, bb, f, interpret, bt,
-                                    w_valid or w)
+    ysp, csp, zsp = _fwd_partitioned(f, interpret, w_valid or w, True)(
+        xp, bwx, bwh, bb)
     meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
             jax.ShapeDtypeStruct(bx.shape, bx.dtype),
             jax.ShapeDtypeStruct(wh.shape, wh.dtype))
     return ysp.reshape(b, t, h, w, f), (xp, bwx, bwh, zsp, ysp, csp, meta)
 
 
-def _fused_bwd(interpret, bt, w_valid, res, dys):
+def _fused_bwd(interpret, w_valid, res, dys):
     xp, bwx, bwh, zsp, ysp, csp, meta = res
     wx_sd, bx_sd, wh_sd = meta
     b, t, h, wc = xp.shape
@@ -498,9 +605,8 @@ def _fused_bwd(interpret, bt, w_valid, res, dys):
     f = wh_sd.shape[2]
     w = wc // cin
     dysp = dys.reshape(b, t, h, w * f)               # pure reshape
-    dx, dbwx, dbwh, dbb = _backward_pallas(xp, bwx, bwh, zsp, ysp, csp,
-                                           dysp, f, interpret, bt,
-                                           w_valid or w)
+    dx, dbwx, dbwh, dbb = _bwd_partitioned(f, interpret, w_valid or w)(
+        xp, zsp, ysp, csp, dysp, bwx, bwh)
     dwx = _unband(dbwx, kh, kw, cin, f, w, w_valid).reshape(wx_sd.shape)
     dwh = _unband(dbwh, kh, kw, f, f, w, w_valid).reshape(wh_sd.shape)
     dbxp = dbb.reshape(4, w, f)
@@ -528,6 +634,12 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     the band matrices don't model), when W*F is not lane-aligned (gate
     slices must sit on 128-lane boundaries), or when the working set — in
     particular the [W*C, 4*W*F] band matrices — cannot fit VMEM.
+
+    Multi-device meshes: the kernel carries an explicit
+    custom_partitioning rule (batch dim sharded, weights/bands replicated,
+    backward weight-grads psum-reduced over the batch axes), so under a
+    data-parallel pjit mesh each device runs the single-chip lowering on
+    its local batch with no all-gather of activations.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -545,12 +657,15 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
         step = 128 // math.gcd(f, 128)
         w_pad = -(-w // step) * step
         w_valid = w
-    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, x.dtype.itemsize)
-    if kh % 2 == 0 or kw % 2 == 0 or bt is None or w_pad > 2 * w:
+    # per-sample VMEM fit (independent of the batch size, so checking it on
+    # the global shape also covers every per-device shard)
+    fits = _pick_batch_tile(b, t, h, w_pad, cin, f, kh,
+                            x.dtype.itemsize) is not None
+    if kh % 2 == 0 or kw % 2 == 0 or not fits or w_pad > 2 * w:
         ys, _ = convlstm_reference(x, wx, bx, wh)
         return ys
     if w_valid is None:
-        return _fused(x, wx, bx, wh, interpret, bt, None)
+        return _fused(x, wx, bx, wh, interpret, None)
     xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))
-    ys = _fused(xpad, wx, bx, wh, interpret, bt, w_valid)
+    ys = _fused(xpad, wx, bx, wh, interpret, w_valid)
     return ys[..., :w, :]

@@ -218,11 +218,9 @@ def test_fused_convlstm_lane_padding(rng):
     bx = jnp.asarray(0.1 * rng.standard_normal(4 * f).astype('float32'))
     wh = jnp.asarray(0.3 * rng.standard_normal((k, k, f, 4 * f))
                      .astype('float32'))
-    bt = pc._pick_batch_tile(b, t, h, w_pad, cin, f, k, 4)
-
     def padded(x, wx, bx, wh):
         xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))
-        return pc._fused(xpad, wx, bx, wh, True, bt, w)[..., :w, :]
+        return pc._fused(xpad, wx, bx, wh, True, w)[..., :w, :]
 
     ys = padded(x, wx, bx, wh)
     ys_ref, _ = pc.convlstm_reference(x, wx, bx, wh)
@@ -237,12 +235,12 @@ def test_fused_convlstm_lane_padding(rng):
 
 def test_fused_convlstm_under_batch_sharding(rng):
     """The fused ConvLSTM under a pjit batch sharding (8-device CPU mesh,
-    interpret mode): executes, output stays batch-sharded, matches the
-    unsharded result, and the compiled module contains NO all-gather.
-    (Interpret mode is not the Mosaic lowering — on real multi-chip TPU
-    the kernel stays default-off until validated there, see
-    ConvLSTM2D.__call__ — but this pins the GSPMD partitioning behavior
-    of the surrounding program.)"""
+    interpret mode): the custom_partitioning rule keeps the output
+    batch-sharded, matches the unsharded result, and the compiled module
+    contains NO all-gather of the activations. Each shard runs the same
+    per-device lowering that is validated single-chip on the real TPU,
+    which is why the kernel is default-on under multi-device meshes
+    (ConvLSTM2D.__call__)."""
     import re
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dl4ds_tpu.training.base import make_mesh
@@ -260,3 +258,31 @@ def test_fused_convlstm_under_batch_sharding(rng):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
     txt = fn.lower(xs).compile().as_text()
     assert not re.findall(r'all-gather', txt)
+
+
+def test_fused_convlstm_sharded_gradients(rng):
+    """BPTT through the fused kernel under batch sharding: dx stays
+    batch-sharded with no activation all-gather, and the weight gradients
+    (partial per-shard sums psum-reduced by the partitioning rule) match
+    the unsharded gradients."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm
+    mesh = make_mesh()
+    x = jnp.asarray(rng.standard_normal((16, 3, 6, 8, 4)), jnp.float32)
+    wx = jnp.asarray(0.2 * rng.standard_normal((3, 3, 4, 20)), jnp.float32)
+    bx = jnp.asarray(0.1 * rng.standard_normal(20), jnp.float32)
+    wh = jnp.asarray(0.2 * rng.standard_normal((3, 3, 5, 20)), jnp.float32)
+
+    def loss(x, wx, bx, wh):
+        return jnp.sum(jnp.sin(fused_convlstm(x, wx, bx, wh,
+                                              interpret=True)))
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    g_sh = grad(xs, wx, bx, wh)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, wx, bx, wh)
+    assert g_sh[0].sharding.spec[0] == 'data'
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
