@@ -26,7 +26,14 @@ N_REPEATS = 5
 
 def _timed_spread(run_chunk, carry, steps, gbs):
     """Repeat the slope measurement N_REPEATS times; return
-    (median dt_per_chunk, carry, spread dict in patches/sec space)."""
+    (median dt_per_chunk, carry, spread dict in patches/sec space).
+
+    The first repeat is discarded: even after the compile+warm chunk, the
+    first timed slope occasionally lands 3-4x slow on the tunneled chip
+    (transient RPC backlog — e.g. a 15k-patches/s pps_min against a 65k
+    median recorded for unet_pin), which poisons min/IQR fields that exist
+    precisely to show dispersion of the steady state."""
+    _, carry = slope_time(run_chunk, carry, repeats=1)
     dts = []
     for _ in range(N_REPEATS):
         dt, carry = slope_time(run_chunk, carry, repeats=1)

@@ -260,11 +260,13 @@ class CGANTrainer(Trainer):
         gen_state = train_state.TrainState.create(
             apply_fn=self.generator.module.apply,
             params=self.gen_vars['params'],
-            tx=optax.adam(genlr, b1=0.5))
+            tx=optax.flatten(optax.adam(genlr, b1=0.5)))
         disc_state = train_state.TrainState.create(
             apply_fn=self.discriminator.module.apply,
             params=self.disc_vars['params'],
-            tx=optax.adam(dislr, b1=0.5))
+            # flatten: one fused update over the concatenated params
+            # instead of a 20-50 us op per leaf (see supervised.py)
+            tx=optax.flatten(optax.adam(dislr, b1=0.5)))
         if self.resume_from_checkpoint is not None:
             gen_state, disc_state = self._restore_gan_checkpoint(
                 gen_state, disc_state, self.resume_from_checkpoint)
