@@ -176,6 +176,27 @@ def test_synth_explicit_lr_pairs(rng):
     assert batch['hr'].shape == (4, 16, 16, 1)
 
 
+def test_synth_gather_crop_fallback_identical(hr_data, rng, monkeypatch):
+    """The MXU one-hot einsum gather+crop and its big-dataset dynamic-slice
+    fallback must produce IDENTICAL batches (both paths are exact: each
+    output element receives exactly one input)."""
+    statics = [rng.standard_normal((32, 32)).astype('float32')]
+    for kwargs in (dict(patch_size=16, static_vars=statics),
+                   dict(patch_size=16, time_window=3)):
+        synth = BatchSynthesizer(hr_data, None, 'spc', scale=4, batch_size=4,
+                                 **kwargs)
+        idx, key = jnp.arange(4), jax.random.PRNGKey(7)
+        fast = synth(idx, key)
+        monkeypatch.setattr(BatchSynthesizer, '_CROP_MATMUL_MAX_BYTES', 0)
+        slow = synth(idx, key)
+        monkeypatch.undo()
+        assert fast.keys() == slow.keys()
+        for name in fast:
+            np.testing.assert_array_equal(np.asarray(fast[name]),
+                                          np.asarray(slow[name]),
+                                          err_msg=name)
+
+
 def test_synth_season_ids(hr_data):
     season_ids = np.tile([0, 1, 2, 3], 6)
     synth = BatchSynthesizer(hr_data, None, 'pin', scale=4, batch_size=4,
