@@ -21,13 +21,15 @@ an approximation. Build models with `output_attention=False` (and
 `attention=False`) for exact tiling.
 """
 
+import collections
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ['predict_tiled', 'predict_spatial_sharded',
-           'receptive_field_radius']
+           'make_spatial_sharded_step', 'receptive_field_radius']
 
 
 def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
@@ -117,6 +119,176 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
     return full
 
 
+def _shard_map(fn, **specs):
+    """shard_map across jax versions (check_vma vs check_rep kwarg)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(fn, check_vma=False, **specs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **specs)
+
+
+def _halo_window(x_band, axis_name, n, bh, halo):
+    """Exchange `2*halo` boundary rows with both neighbours over `axis_name`
+    and return (window of bh + 2*halo rows anchored flush INSIDE the grid,
+    row offset of this device's own band inside the window).
+
+    Flush anchoring means the first/last devices see the true grid border
+    (and hence the exact zero-padding context an unsharded run sees) instead
+    of a zero-filled halo. Requires n >= 2 and bh >= 2*halo.
+    """
+    d = jax.lax.axis_index(axis_name)
+    up_perm = [(i, i - 1) for i in range(1, n)]     # receive from below
+    down_perm = [(i, i + 1) for i in range(n - 1)]  # receive from above
+    m = min(2 * halo, bh)
+    from_below = jax.lax.ppermute(x_band[:, :m], axis_name, up_perm)
+    from_above = jax.lax.ppermute(x_band[:, -m:], axis_name, down_perm)
+    # ext covers grid rows [d*bh - m, (d+1)*bh + m) (zeros out of range)
+    ext = jnp.concatenate([from_above, x_band, from_below], axis=1)
+    # window offset in ext: m at d==0 (flush at the true top border),
+    # m - 2*halo at d==n-1 (flush at the bottom), m - halo otherwise
+    off = jnp.where(d == 0, m,
+                    jnp.where(d == n - 1, m - 2 * halo, m - halo))
+    off = jnp.clip(off, 0, ext.shape[1] - (bh + 2 * halo))
+    win = jax.lax.dynamic_slice_in_dim(ext, off, bh + 2 * halo, axis=1)
+    return win, m - off
+
+
+SpatialShardedStep = collections.namedtuple(
+    'SpatialShardedStep', ['step', 'loss_and_grads', 'scale'])
+
+
+def make_spatial_sharded_step(model, mesh, tx=None, halo=32, loss='mae',
+                              space_axis='space', data_axis='data'):
+    """Build a TRAIN step whose spatial height axis is sharded across the
+    mesh — full-grid training for grids whose activations exceed one
+    chip's HBM (the training-side counterpart of `predict_spatial_sharded`;
+    no reference feature, SURVEY.md §5 "long-context analogue").
+
+    Each device holds a horizontal band of every sample. The halo exchange
+    (`lax.ppermute` over ICI) happens in the INPUT path, which is not
+    differentiated — so the per-band gradient is an ordinary local
+    backward pass, and one explicit `lax.psum` of the per-band (loss, grad)
+    contributions makes the result exactly the gradient of the global mean
+    loss: sum-decomposable pixel losses ('mae', 'mse') split exactly over
+    bands, and flush-anchored windows (see `_halo_window`) reproduce the
+    unsharded zero-padding context at the true borders. Gradients match an
+    unsharded step to float tolerance when `halo` >= the network's
+    receptive-field radius (`receptive_field_radius`) and the model is
+    attention- and norm-free (global channel attention pools per window;
+    batch-norm statistics would be per-band). Tested:
+    tests/test_parallel.py::test_spatial_sharded_step_matches_unsharded.
+
+    Dropout note: with dropout active, overlapping halo rows are computed
+    under different masks on neighbouring devices — still a valid
+    stochastic-gradient estimator, but not bit-identical to an unsharded
+    dropout realization; exactness claims apply to deterministic models.
+
+    Args:
+      model: a DSModel (factory output); upsampling inferred from its name.
+      mesh: `Mesh` with a `space_axis` axis; a `data_axis` axis, if present,
+        additionally shards the batch (2-D DPxSP).
+      tx: optax transform for `step` (default `optax.adam(1e-4)`).
+      halo: rows exchanged per side; >= the receptive-field radius for
+        exact gradients.
+      loss: 'mae' or 'mse' (sum-decomposable pixel losses only — windowed
+        SSIM losses do not split exactly across bands).
+
+    Returns a `SpatialShardedStep` namedtuple:
+      step(params, opt_state, x, y, key) -> (params, opt_state, loss)
+      loss_and_grads(params, x, y, key) -> (loss, grads)   [both jitted]
+    with x: [B, H, W, C] (LR grid for post-upsampling models, HR-sized for
+    'pin'), y: [B, H*s, W*s, C_out], H divisible by the space-axis size n,
+    H/n >= 2*halo, and B divisible by the data-axis size.
+    """
+    import optax
+
+    if loss not in ('mae', 'mse'):
+        raise ValueError(
+            f"loss must be 'mae' or 'mse' (sum-decomposable), got {loss!r}")
+    upsampling = model.name.split('_')[-1]
+    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
+        else 1
+    axis_names = mesh.axis_names
+    if space_axis not in axis_names:
+        raise ValueError(f'mesh has no {space_axis!r} axis: {axis_names}')
+    has_data = data_axis in axis_names
+    n_sp = mesh.shape[space_axis]
+    psum_axes = (space_axis,) + ((data_axis,) if has_data else ())
+    tx = tx if tx is not None else optax.adam(1e-4)
+
+    def band_fn(params, x_band, y_band, key):
+        bh = x_band.shape[1]
+        k = jax.random.fold_in(key, jax.lax.axis_index(space_axis))
+        if has_data:
+            k = jax.random.fold_in(k, jax.lax.axis_index(data_axis))
+        denom = y_band.size * n_sp * (mesh.shape[data_axis] if has_data
+                                      else 1)
+
+        def band_loss(p):
+            if n_sp > 1:
+                win, crop = _halo_window(x_band, space_axis, n_sp, bh, halo)
+            else:
+                win, crop = x_band, 0
+            out = model.module.apply({'params': p}, win, None, training=True,
+                                     rngs={'dropout': k})
+            out = jax.lax.dynamic_slice_in_dim(out, crop * scale,
+                                               bh * scale, axis=1)
+            err = out.astype(jnp.float32) - y_band
+            s = jnp.sum(jnp.abs(err)) if loss == 'mae' else jnp.sum(err * err)
+            return s / denom
+
+        l, g = jax.value_and_grad(band_loss)(params)
+        return (jax.lax.psum(l, psum_axes),
+                jax.lax.psum(g, psum_axes))
+
+    xy_spec = P(data_axis if has_data else None, space_axis, None, None)
+    sharded = _shard_map(band_fn, mesh=mesh,
+                         in_specs=(P(), xy_spec, xy_spec, P()),
+                         out_specs=(P(), P()))
+
+    def _validate(x, y):
+        b, h = x.shape[0], x.shape[1]
+        if h % n_sp:
+            raise ValueError(f'H={h} must be divisible by the {space_axis} '
+                             f'axis size {n_sp}')
+        if n_sp > 1 and h // n_sp < 2 * halo:
+            raise ValueError(f'band height H/n={h // n_sp} must be >= '
+                             f'2*halo={2 * halo}')
+        if has_data and b % mesh.shape[data_axis]:
+            raise ValueError(f'batch {b} not divisible by the {data_axis} '
+                             f'axis size {mesh.shape[data_axis]}')
+        if y.shape[1] != h * scale:
+            raise ValueError(f'target rows {y.shape[1]} != H*s = '
+                             f'{h * scale}')
+
+    @jax.jit
+    def loss_and_grads(params, x, y, key):
+        return sharded(params, jnp.asarray(x, jnp.float32),
+                       jnp.asarray(y, jnp.float32), key)
+
+    @jax.jit
+    def step(params, opt_state, x, y, key):
+        l, g = sharded(params, jnp.asarray(x, jnp.float32),
+                       jnp.asarray(y, jnp.float32), key)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    def checked_loss_and_grads(params, x, y, key):
+        _validate(x, y)
+        return loss_and_grads(params, x, y, key)
+
+    def checked_step(params, opt_state, x, y, key):
+        _validate(x, y)
+        return step(params, opt_state, x, y, key)
+
+    return SpatialShardedStep(checked_step, checked_loss_and_grads, scale)
+
+
 def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
     """Single-grid inference with the HEIGHT axis sharded across the mesh —
     for grids whose activations exceed one chip's HBM. Each device holds
@@ -136,11 +308,10 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
     x: [B, H, W, C] with H divisible by mesh.size and H/n >= 2*halo.
     Returns [B, H*s, W*s, C'].
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
+    if aux is not None:
+        raise NotImplementedError(
+            'predict_spatial_sharded does not support aux inputs; use '
+            'predict_tiled (which shards aux windows alongside the input)')
     n = mesh.size
     x = jnp.asarray(x, jnp.float32)
     b, h, w, c = x.shape
@@ -161,36 +332,15 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
                 variables, x))
 
     def band_fn(x_band):
-        # x_band: [B, H/n, W, C] on each device. Exchange 2*halo rows with
-        # both neighbours so every device can anchor its window flush
-        # inside the grid (edge devices need up to 2*halo rows from their
-        # single neighbour).
-        d = jax.lax.axis_index('data')
-        up_perm = [(i, i - 1) for i in range(1, n)]     # receive from below
-        down_perm = [(i, i + 1) for i in range(n - 1)]  # receive from above
-        m = min(2 * halo, bh)
-        from_below = jax.lax.ppermute(x_band[:, :m], 'data', up_perm)
-        from_above = jax.lax.ppermute(x_band[:, -m:], 'data', down_perm)
-        # ext covers grid rows [d*bh - m, (d+1)*bh + m) (zeros out of range)
-        ext = jnp.concatenate([from_above, x_band, from_below], axis=1)
-        # window of bh + 2*halo rows anchored flush inside the grid:
-        # offset in ext is m at d==0 (window starts at the true top border),
-        # m - 2*halo at d==n-1 (flush at the bottom), m - halo otherwise
-        off = jnp.where(d == 0, m,
-                        jnp.where(d == n - 1, m - 2 * halo, m - halo))
-        off = jnp.clip(off, 0, ext.shape[1] - (bh + 2 * halo))
-        win = jax.lax.dynamic_slice_in_dim(ext, off, bh + 2 * halo, axis=1)
+        # x_band: [B, H/n, W, C] on each device
+        win, crop = _halo_window(x_band, 'data', n, bh, halo)
         y = model.module.apply(variables, win, None, training=False)
-        # this device's own band sits at (d*bh - window_start) inside the
-        # window = m - off rows from its top
-        crop = (m - off) * scale
-        return jax.lax.dynamic_slice_in_dim(y, crop, bh * scale, axis=1)
+        # this device's own band sits `crop` rows below the window top
+        return jax.lax.dynamic_slice_in_dim(y, crop * scale, bh * scale,
+                                            axis=1)
 
-    specs = dict(mesh=mesh, in_specs=P(None, 'data', None, None),
-                 out_specs=P(None, 'data', None, None))
-    try:
-        sharded = shard_map(band_fn, check_vma=False, **specs)
-    except TypeError:  # older jax uses check_rep
-        sharded = shard_map(band_fn, check_rep=False, **specs)
+    sharded = _shard_map(band_fn, mesh=mesh,
+                         in_specs=P(None, 'data', None, None),
+                         out_specs=P(None, 'data', None, None))
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, 'data', None, None)))
     return np.asarray(jax.jit(sharded)(x_sh))
