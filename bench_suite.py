@@ -165,12 +165,13 @@ def measure_cgan(name, steps=20):
         tr.data_train, None, upsampling='spc', scale=4,
         batch_size=tr.global_batch_size, patch_size=64)
     tr.setup_model()
+    # optax.flatten mirrors the trainer's production optimizer (cgan.py)
     gen_state = train_state.TrainState.create(
         apply_fn=tr.generator.module.apply, params=tr.gen_vars['params'],
-        tx=optax.adam(2e-4, b1=0.5))
+        tx=optax.flatten(optax.adam(2e-4, b1=0.5)))
     disc_state = train_state.TrainState.create(
         apply_fn=tr.discriminator.module.apply, params=tr.disc_vars['params'],
-        tx=optax.adam(2e-4, b1=0.5))
+        tx=optax.flatten(optax.adam(2e-4, b1=0.5)))
     tr._make_step()
     key = jax.random.PRNGKey(0)
     idx = jnp.asarray(np.asarray(
