@@ -73,3 +73,5 @@ from .models import (net_postupsampling, net_pin, unet_pin,
 from .training import Trainer, SupervisedTrainer, CGANTrainer, load_checkpoint
 from .inference import Predictor, predict, predict_mc
 from .metrics import compute_rmse, compute_correlation, compute_metrics
+from .export import (export_forward, save_serving_artifact,
+                     load_serving_artifact)

@@ -1,0 +1,112 @@
+"""Portable serving artifacts via `jax.export` (StableHLO).
+
+The reference ships trained models as TF SavedModels for serving
+(reference: dl4ds/training/base.py:162-187 `save_results` → Keras
+`model.save`). The TPU-native serving equivalent is an ahead-of-time
+`jax.export` artifact: the jitted forward pass — with the trained
+variables embedded as constants — is lowered to StableHLO (by default
+with a SYMBOLIC batch dimension, so one artifact serves any batch size)
+and serialized to a single binary blob. A serving process deserializes
+and calls it without the model-building code; the StableHLO payload is
+also consumable by non-JAX runtimes (IFRT/PJRT).
+
+This complements `models.save_model` (architecture JSON + orbax
+variables — the re-trainable representation); the export artifact is
+the frozen inference representation.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['export_forward', 'save_serving_artifact',
+           'load_serving_artifact']
+
+
+def export_forward(model, variables, batch='poly', platforms=None):
+    """Export the model's inference forward as a `jax.export.Exported`.
+
+    Args:
+      model: a `DSModel` (any factory output).
+      variables: its trained variables; embedded in the artifact as
+        constants (a serving artifact is self-contained).
+      batch: 'poly' for a symbolic batch dimension (one artifact, any
+        batch size), or an int for a static batch.
+      platforms: optional list of lowering platforms (e.g.
+        ['tpu', 'cpu']). Default: the current default platform. Note the
+        fused-ConvLSTM Pallas path is chosen at TRACE time from the
+        default backend, so cross-platform exports of spatio-temporal
+        models should be made from the platform they will serve on.
+
+    Returns the `Exported`; call it with `exp.call(x[, aux])`, serialize
+    with `exp.serialize()`.
+    """
+    from jax import export as jexport
+
+    dtype = jnp.float32
+    if batch == 'poly':
+        (b,) = jexport.symbolic_shape('b')
+    else:
+        b = int(batch)
+    x_spec = jax.ShapeDtypeStruct((b, *model.input_shape), dtype)
+    aux_spec = (jax.ShapeDtypeStruct((b, *model.aux_shape), dtype)
+                if model.aux_shape is not None else None)
+
+    kwargs = {} if platforms is None else {'platforms': list(platforms)}
+    if aux_spec is not None:
+        def fn(x, aux):
+            return model.module.apply(variables, x, aux, training=False)
+        return jexport.export(jax.jit(fn), **kwargs)(x_spec, aux_spec)
+
+    def fn(x):
+        return model.module.apply(variables, x, None, training=False)
+    return jexport.export(jax.jit(fn), **kwargs)(x_spec)
+
+
+def save_serving_artifact(model, variables, path, batch='poly',
+                          platforms=None):
+    """Export + serialize to `path/` (forward.jaxexport + meta JSON).
+
+    Returns the on-disk size of the artifact in bytes.
+    """
+    exp = export_forward(model, variables, batch=batch, platforms=platforms)
+    blob = exp.serialize()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, 'forward.jaxexport'), 'wb') as fh:
+        fh.write(blob)
+    meta = {
+        'name': model.name,
+        'input_shape': list(model.input_shape),
+        'aux_shape': (list(model.aux_shape)
+                      if model.aux_shape is not None else None),
+        'batch': batch,
+        'platforms': list(exp.platforms),
+        'jax_version': jax.__version__,
+    }
+    with open(os.path.join(path, 'serving_meta.json'), 'w') as fh:
+        json.dump(meta, fh, indent=2)
+    return len(blob)
+
+
+def load_serving_artifact(path):
+    """Deserialize a `save_serving_artifact` directory.
+
+    Returns (call, meta): `call(x[, aux])` runs the frozen forward
+    (jit-compiled on first use); `meta` is the saved JSON dict.
+    """
+    from jax import export as jexport
+
+    with open(os.path.join(path, 'forward.jaxexport'), 'rb') as fh:
+        exp = jexport.deserialize(fh.read())
+    with open(os.path.join(path, 'serving_meta.json')) as fh:
+        meta = json.load(fh)
+
+    def call(x, aux=None):
+        x = jnp.asarray(x, jnp.float32)
+        if aux is not None:
+            return exp.call(x, jnp.asarray(aux, jnp.float32))
+        return exp.call(x)
+
+    return call, meta

@@ -1,0 +1,57 @@
+"""Serving-artifact tests: jax.export round-trips of the frozen forward
+(symbolic-batch StableHLO blob == direct apply)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dl4ds_tpu import save_serving_artifact, load_serving_artifact
+from dl4ds_tpu.export import export_forward
+from dl4ds_tpu.models import (net_postupsampling, recnet_postupsampling)
+
+
+def test_export_poly_batch_roundtrip(rng, tmp_path):
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=2, attention=True)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    nbytes = save_serving_artifact(model, variables, str(tmp_path / 'm'))
+    assert nbytes > 0
+    call, meta = load_serving_artifact(str(tmp_path / 'm'))
+    assert meta['name'] == model.name
+    # ONE artifact serves multiple batch sizes (symbolic batch dim)
+    for b in (2, 5):
+        x = rng.standard_normal((b, 16, 16, 1)).astype('float32')
+        y_direct = np.asarray(model.module.apply(
+            variables, jnp.asarray(x), None, training=False))
+        y_served = np.asarray(call(x))
+        assert y_served.shape == (b, 64, 64, 1)
+        np.testing.assert_allclose(y_served, y_direct, atol=1e-6)
+
+
+def test_export_with_aux(rng, tmp_path):
+    model = net_postupsampling('convnet', 'rc', scale=2, n_channels=1,
+                               n_aux_channels=2, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    save_serving_artifact(model, variables, str(tmp_path / 'm'))
+    call, _ = load_serving_artifact(str(tmp_path / 'm'))
+    x = rng.standard_normal((3, 16, 16, 1)).astype('float32')
+    aux = rng.standard_normal((3, 32, 32, 2)).astype('float32')
+    y_direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), jnp.asarray(aux), training=False))
+    np.testing.assert_allclose(np.asarray(call(x, aux)), y_direct,
+                               atol=1e-6)
+
+
+def test_export_static_batch_spatiotemporal(rng, tmp_path):
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(16, 16),
+                                  time_window=3, n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    exp = export_forward(model, variables, batch=2)
+    x = rng.standard_normal((2, 3, 16, 16, 1)).astype('float32')
+    y_direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), None, training=False))
+    np.testing.assert_allclose(np.asarray(exp.call(jnp.asarray(x))),
+                               y_direct, atol=1e-6)
