@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ['predict_tiled', 'predict_spatial_sharded',
-           'make_spatial_sharded_step', 'receptive_field_radius']
+           'make_spatial_sharded_step', 'receptive_field_radius',
+           'init_ensemble', 'make_ensemble_step', 'predict_ensemble']
 
 
 def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
@@ -344,3 +345,175 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
                          out_specs=P(None, 'data', None, None))
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, 'data', None, None)))
     return np.asarray(jax.jit(sharded)(x_sh))
+
+
+# ---------------------------------------------------------------------------
+# Ensemble parallelism ('ep'): N members trained simultaneously, one vmapped
+# program with the member axis sharded over the mesh.
+# ---------------------------------------------------------------------------
+
+EnsembleStep = collections.namedtuple(
+    'EnsembleStep', ['step', 'init_opt', 'n_members'])
+
+
+def _member_sharding(mesh, member_axis):
+    return NamedSharding(mesh, P(member_axis))
+
+
+def init_ensemble(model, n_members, seed=0, mesh=None,
+                  member_axis='ensemble'):
+    """Initialize `n_members` independent parameter sets as ONE stacked
+    pytree (leading member axis on every leaf) — the deep-ensembles
+    counterpart of the reference's MC-dropout uncertainty
+    (reference: dl4ds/inference.py:63-71 runs the net n_members times with
+    dropout on; deep ensembles with independent inits are the stronger
+    estimator and the member axis maps directly onto a mesh axis).
+
+    With `mesh` given, the stack is placed sharded over its `member_axis`
+    so each device (group) holds only its members.
+    """
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+    stacked = jax.vmap(lambda k: model.init(k))(keys)
+    if 'batch_stats' in stacked:
+        raise ValueError('ensemble training supports parameter-only models '
+                         '(batch-norm statistics are per-member mutable '
+                         'state); build the model without batch norm')
+    if mesh is not None:
+        stacked = jax.device_put(stacked, _member_sharding(mesh, member_axis))
+    return stacked
+
+
+def make_ensemble_step(model, mesh, tx=None, loss='mae',
+                       member_axis='ensemble', data_axis='data',
+                       bootstrap=True):
+    """Build a TRAIN step that advances a whole deep ensemble at once:
+    `shard_map` over the mesh's `member_axis` with each device (group)
+    running its local members as an ordinary `vmap` — embarrassingly
+    parallel, no collectives between members. If the mesh also has a
+    `data_axis`, the shared batch is sharded over it (EP x DP) and each
+    member's (loss, grad) is `lax.pmean`-reduced over the data axis —
+    exact for the library's losses (all uniform means over samples).
+
+    shard_map (explicit SPMD) rather than jit+GSPMD is deliberate: asking
+    GSPMD to partition the member-vmapped (grouped) convolutions over the
+    member axis was measured to CHANGE the numerics on XLA:CPU (losses off
+    by ~1% vs the unsharded program); with shard_map each member's conv is
+    an ordinary local conv and results match the unsharded step to float
+    tolerance (tests/test_ensemble.py).
+
+    Each member sees the same input batch but trains independently:
+    its own init (see `init_ensemble`), its own dropout stream, and — with
+    `bootstrap=True` — its own bootstrap resample of the batch (bagging;
+    under EP x DP the resample is per local shard, a stratified bootstrap),
+    so members decorrelate even for deterministic models.
+
+    Returns an `EnsembleStep` namedtuple:
+      init_opt(variables)                   -> stacked optimizer state
+      step(variables, opt_state, x, y, key) -> (variables, opt_state,
+                                                losses[M])
+    with x: [B, ...model.input_shape], y the matching HR target batch, and
+    `variables` the stacked pytree from `init_ensemble`; the member count M
+    (leading axis) must be divisible by the mesh's `member_axis` size, and
+    B by the `data_axis` size.
+    """
+    import optax
+
+    from .utils import checkarg_loss
+
+    lossf = checkarg_loss(loss)
+    if member_axis not in mesh.axis_names:
+        raise ValueError(f'mesh has no {member_axis!r} axis: '
+                         f'{mesh.axis_names}')
+    has_data = data_axis in mesh.axis_names
+    tx = tx if tx is not None else optax.adam(1e-4)
+    m_sh = _member_sharding(mesh, member_axis)
+    n_mesh = mesh.shape[member_axis]
+    x_spec = P(data_axis) if has_data else P()
+
+    def member_step(variables, opt_state, x, y, key):
+        kboot, kdrop = jax.random.split(key)
+        if has_data:
+            # decorrelate the per-shard dropout/bootstrap streams
+            d = jax.lax.axis_index(data_axis)
+            kboot = jax.random.fold_in(kboot, d)
+            kdrop = jax.random.fold_in(kdrop, d)
+        if bootstrap:
+            b = x.shape[0]
+            idx = jax.random.randint(kboot, (b,), 0, b)
+            x, y = x[idx], y[idx]
+
+        def member_loss(v):
+            out = model.module.apply(v, x, None, training=True,
+                                     rngs={'dropout': kdrop})
+            return lossf(y, out.astype(jnp.float32))
+
+        l, g = jax.value_and_grad(member_loss)(variables)
+        if has_data:
+            l = jax.lax.pmean(l, data_axis)
+            g = jax.lax.pmean(g, data_axis)
+        updates, opt_state = tx.update(g, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, l
+
+    # local member chunk on each device: plain vmap (x, y closed over
+    # in_axes=None; keys per member)
+    vstep = jax.vmap(member_step, in_axes=(0, 0, None, None, 0))
+    mspec = P(member_axis)
+    local = _shard_map(vstep, mesh=mesh,
+                       in_specs=(mspec, mspec, x_spec, x_spec, mspec),
+                       out_specs=(mspec, mspec, mspec))
+
+    @jax.jit
+    def step(variables, opt_state, x, y, key):
+        n_members = jax.tree_util.tree_leaves(variables)[0].shape[0]
+        keys = jax.random.split(key, n_members)
+        return local(variables, opt_state,
+                     jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                     keys)
+
+    def checked_step(variables, opt_state, x, y, key):
+        m = jax.tree_util.tree_leaves(variables)[0].shape[0]
+        if m % n_mesh:
+            raise ValueError(f'{m} members not divisible by the '
+                             f'{member_axis} axis size {n_mesh}')
+        if has_data and np.shape(x)[0] % mesh.shape[data_axis]:
+            raise ValueError(f'batch {np.shape(x)[0]} not divisible by the '
+                             f'{data_axis} axis size {mesh.shape[data_axis]}')
+        return step(variables, opt_state, x, y, key)
+
+    def init_opt(variables):
+        return jax.device_put(jax.vmap(tx.init)(variables), m_sh)
+
+    return EnsembleStep(checked_step, init_opt, n_mesh)
+
+
+def predict_ensemble(model, stacked_variables, x, aux=None, mesh=None,
+                     member_axis='ensemble'):
+    """Ensemble inference: run every member on `x` in one vmapped program
+    (members sharded over `mesh`'s `member_axis` when given — shard_map,
+    for the same exactness reason as `make_ensemble_step`) and return
+    `(mean, std)` over members — the downscaled field and its epistemic
+    uncertainty map. Counterpart of `predict_mc` for stacked ensembles."""
+    x = jnp.asarray(x, jnp.float32)
+    # aux folded to zeros-shaped placeholder when absent so the shard_map'd
+    # function takes no traced closures
+    aux_j = (jnp.zeros((x.shape[0], 0), jnp.float32) if aux is None
+             else jnp.asarray(aux, jnp.float32))
+    has_aux = aux is not None
+
+    def vapply(vs, xx, aa):
+        return jax.vmap(lambda v: model.module.apply(
+            v, xx, aa if has_aux else None, training=False))(vs)
+
+    if mesh is None:
+        outs = jax.jit(vapply)(stacked_variables, x, aux_j)
+    else:
+        stacked_variables = jax.device_put(
+            stacked_variables, _member_sharding(mesh, member_axis))
+        fn = _shard_map(vapply, mesh=mesh,
+                        in_specs=(P(member_axis), P(), P()),
+                        out_specs=P(member_axis))
+        outs = jax.jit(fn)(stacked_variables, x, aux_j)
+    outs = outs.astype(jnp.float32)
+    return (np.asarray(jnp.mean(outs, axis=0)),
+            np.asarray(jnp.std(outs, axis=0)))
