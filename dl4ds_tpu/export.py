@@ -38,7 +38,10 @@ def export_forward(model, variables, batch='poly', platforms=None):
         ['tpu', 'cpu']). Default: the current default platform. Note the
         fused-ConvLSTM Pallas path is chosen at TRACE time from the
         default backend, so cross-platform exports of spatio-temporal
-        models should be made from the platform they will serve on.
+        models should be made from the platform they will serve on; with
+        batch='poly' the symbolic batch dim cannot be kernel-tiled, so
+        spatio-temporal exports always embed the XLA recurrence (pass a
+        static `batch` to serve the fused kernel).
 
     Returns the `Exported`; call it with `exp.call(x[, aux])`, serialize
     with `exp.serialize()`.

@@ -183,6 +183,7 @@ class ChannelAttention2D(nn.Module):
         if use_pallas is None:
             import os
             use_pallas = (jax.default_backend() == 'tpu'
+                          and isinstance(x.shape[0], int)  # no poly-batch
                           and bool(os.environ.get('DL4DS_USE_PALLAS')))
         if use_pallas:
             return fused_channel_attention(x, w1, b1, w2, b2)
@@ -507,7 +508,10 @@ class ConvLSTM2D(nn.Module):
             # partitioning behavior is pinned by tests on the 8-device CPU
             # mesh (test_pallas_ops.py::test_fused_convlstm_under_batch_
             # sharding); DL4DS_NO_PALLAS_CONVLSTM=1 forces the XLA path.
+            # A symbolic batch dim (jax.export batch='poly' traces) cannot
+            # be tiled by the kernel — fall back to the XLA recurrence.
             use_pallas = (jax.default_backend() == 'tpu'
+                          and isinstance(b, int)
                           and not os.environ.get('DL4DS_NO_PALLAS_CONVLSTM'))
         if use_pallas:
             from ..ops.pallas_convlstm import fused_convlstm

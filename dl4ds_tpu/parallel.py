@@ -353,7 +353,7 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
 # ---------------------------------------------------------------------------
 
 EnsembleStep = collections.namedtuple(
-    'EnsembleStep', ['step', 'init_opt', 'n_members'])
+    'EnsembleStep', ['step', 'init_opt', 'axis_size'])
 
 
 def _member_sharding(mesh, member_axis):
@@ -408,13 +408,15 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
     so members decorrelate even for deterministic models.
 
     Returns an `EnsembleStep` namedtuple:
-      init_opt(variables)                   -> stacked optimizer state
-      step(variables, opt_state, x, y, key) -> (variables, opt_state,
-                                                losses[M])
-    with x: [B, ...model.input_shape], y the matching HR target batch, and
+      init_opt(variables)                        -> stacked optimizer state
+      step(variables, opt_state, x, y, key[, aux]) -> (variables, opt_state,
+                                                       losses[M])
+      axis_size: the mesh's member-axis size (members per step = M, the
+        stack's leading axis — any multiple of axis_size)
+    with x: [B, ...model.input_shape], y the matching HR target batch,
+    aux REQUIRED iff the model has an aux branch (`model.aux_shape`), and
     `variables` the stacked pytree from `init_ensemble`; the member count M
-    (leading axis) must be divisible by the mesh's `member_axis` size, and
-    B by the `data_axis` size.
+    must be divisible by `axis_size`, and B by the `data_axis` size.
     """
     import optax
 
@@ -429,8 +431,9 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
     m_sh = _member_sharding(mesh, member_axis)
     n_mesh = mesh.shape[member_axis]
     x_spec = P(data_axis) if has_data else P()
+    needs_aux = model.aux_shape is not None
 
-    def member_step(variables, opt_state, x, y, key):
+    def member_step(variables, opt_state, x, y, aux, key):
         kboot, kdrop = jax.random.split(key)
         if has_data:
             # decorrelate the per-shard dropout/bootstrap streams
@@ -441,10 +444,12 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
             b = x.shape[0]
             idx = jax.random.randint(kboot, (b,), 0, b)
             x, y = x[idx], y[idx]
+            if needs_aux:
+                aux = aux[idx]
 
         def member_loss(v):
-            out = model.module.apply(v, x, None, training=True,
-                                     rngs={'dropout': kdrop})
+            out = model.module.apply(v, x, aux if needs_aux else None,
+                                     training=True, rngs={'dropout': kdrop})
             return lossf(y, out.astype(jnp.float32))
 
         l, g = jax.value_and_grad(member_loss)(variables)
@@ -455,23 +460,24 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
         variables = optax.apply_updates(variables, updates)
         return variables, opt_state, l
 
-    # local member chunk on each device: plain vmap (x, y closed over
+    # local member chunk on each device: plain vmap (x, y, aux shared via
     # in_axes=None; keys per member)
-    vstep = jax.vmap(member_step, in_axes=(0, 0, None, None, 0))
+    vstep = jax.vmap(member_step, in_axes=(0, 0, None, None, None, 0))
     mspec = P(member_axis)
     local = _shard_map(vstep, mesh=mesh,
-                       in_specs=(mspec, mspec, x_spec, x_spec, mspec),
+                       in_specs=(mspec, mspec, x_spec, x_spec, x_spec,
+                                 mspec),
                        out_specs=(mspec, mspec, mspec))
 
     @jax.jit
-    def step(variables, opt_state, x, y, key):
+    def step(variables, opt_state, x, y, aux, key):
         n_members = jax.tree_util.tree_leaves(variables)[0].shape[0]
         keys = jax.random.split(key, n_members)
         return local(variables, opt_state,
                      jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
-                     keys)
+                     jnp.asarray(aux, jnp.float32), keys)
 
-    def checked_step(variables, opt_state, x, y, key):
+    def checked_step(variables, opt_state, x, y, key, aux=None):
         m = jax.tree_util.tree_leaves(variables)[0].shape[0]
         if m % n_mesh:
             raise ValueError(f'{m} members not divisible by the '
@@ -479,7 +485,14 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
         if has_data and np.shape(x)[0] % mesh.shape[data_axis]:
             raise ValueError(f'batch {np.shape(x)[0]} not divisible by the '
                              f'{data_axis} axis size {mesh.shape[data_axis]}')
-        return step(variables, opt_state, x, y, key)
+        if needs_aux and aux is None:
+            raise ValueError(f'model {model.name!r} has an aux branch '
+                             f'(aux_shape={model.aux_shape}); pass aux= to '
+                             f'step() or its params never train')
+        if aux is None:
+            # zero-width placeholder keeps one local() signature
+            aux = np.zeros((np.shape(x)[0], 0), 'float32')
+        return step(variables, opt_state, x, y, aux, key)
 
     def init_opt(variables):
         return jax.device_put(jax.vmap(tx.init)(variables), m_sh)

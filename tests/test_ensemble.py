@@ -139,3 +139,44 @@ def test_init_ensemble_rejects_batchnorm():
                                normalization='bn', attention=False)
     with pytest.raises(ValueError, match='batch-norm'):
         init_ensemble(model, 2)
+
+
+def test_ensemble_step_trains_aux_branch(rng):
+    """Models with an aux branch must train it (grads flow) and step()
+    must demand the aux input."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=2, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1, attention=False)
+    mesh = Mesh(np.array(jax.devices()[:4]), ('ensemble',))
+    stacked = init_ensemble(model, 4, seed=0, mesh=mesh)
+    es = make_ensemble_step(model, mesh, loss='mae', bootstrap=False)
+    opt = es.init_opt(stacked)
+    x, y = _data(rng)
+    aux = rng.standard_normal((8, 16, 16, 2)).astype('float32')
+
+    with pytest.raises(ValueError, match='aux branch'):
+        es.step(stacked, opt, x, y, jax.random.PRNGKey(0))
+
+    v, _, losses = es.step(stacked, opt, x, y, jax.random.PRNGKey(0),
+                           aux=aux)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # the aux-branch params moved away from init
+    flat0 = jax.tree_util.tree_leaves_with_path(stacked)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(v))
+    moved = [float(jnp.abs(flat1[p] - l).max())
+             for p, l in flat0 if 'aux' in str(p).lower()]
+    assert moved and max(moved) > 0
+
+
+def test_ensemble_axis_size_field():
+    model = _model()
+    mesh = Mesh(np.array(jax.devices()[:4]), ('ensemble',))
+    es = make_ensemble_step(model, mesh)
+    assert es.axis_size == 4
+    # 8 members on a 4-way axis: 2 per device, allowed
+    stacked = init_ensemble(model, 8, seed=0, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x, y = _data(rng)
+    _, _, losses = es.step(stacked, es.init_opt(stacked), x, y,
+                           jax.random.PRNGKey(0))
+    assert losses.shape == (8,)

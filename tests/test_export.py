@@ -55,3 +55,28 @@ def test_export_static_batch_spatiotemporal(rng, tmp_path):
         variables, jnp.asarray(x), None, training=False))
     np.testing.assert_allclose(np.asarray(exp.call(jnp.asarray(x))),
                                y_direct, atol=1e-6)
+
+
+def test_export_poly_batch_spatiotemporal_tpu_gate(rng, tmp_path,
+                                                   monkeypatch):
+    """batch='poly' export of a spatio-temporal model must trace even when
+    the default backend reports TPU: the symbolic batch dim cannot be
+    tiled by the fused Pallas ConvLSTM, so the gate (models/blocks.py)
+    must fall back to the XLA recurrence instead of crashing on
+    min(b, 32) / b % bt over a symbolic dimension."""
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(16, 16),
+                                  time_window=3, n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((2, 3, 16, 16, 1)).astype('float32')
+    y_direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), None, training=False))
+    # patch ONLY the export trace (a concrete-batch apply under the patch
+    # would try a real Mosaic lowering on CPU); lower for cpu so exp.call
+    # runs here
+    with monkeypatch.context() as m:
+        m.setattr(jax, 'default_backend', lambda: 'tpu')
+        exp = export_forward(model, variables, batch='poly',
+                             platforms=['cpu'])
+    np.testing.assert_allclose(np.asarray(exp.call(jnp.asarray(x))),
+                               y_direct, atol=1e-6)
