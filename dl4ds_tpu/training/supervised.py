@@ -64,7 +64,7 @@ class SupervisedTrainer(Trainer):
                  data_in_hbm=True, steps_per_execution=None,
                  checkpoints_frequency=0, resume_from_checkpoint=None,
                  season_ids=None, time_metadata=None, terminate_on_nan=True,
-                 **architecture_params):
+                 gradient_accumulation_steps=1, **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -122,6 +122,17 @@ class SupervisedTrainer(Trainer):
         # when the loss diverges to NaN/inf instead of burning the remaining
         # epochs (keras TerminateOnNaN analogue, on by default)
         self.terminate_on_nan = terminate_on_nan
+        # gradient accumulation (beyond the reference): every data step
+        # synthesizes and backprops one `batch_size` microbatch; parameters
+        # update once per `gradient_accumulation_steps` microbatches with the
+        # mean of the accumulated gradients (optax.MultiSteps) — an effective
+        # batch of k x global_batch_size at microbatch memory cost. Works in
+        # every dispatch mode (scan chunks, per-step, streaming tier).
+        if (not isinstance(gradient_accumulation_steps, int)
+                or gradient_accumulation_steps < 1):
+            raise ValueError('`gradient_accumulation_steps` must be an '
+                             'integer >= 1')
+        self.gradient_accumulation_steps = gradient_accumulation_steps
         # per-sample season indices 0..3, one array per split
         # ((train, val, test) tuple); one-hot channels appended on device —
         # replaces the reference's per-sample xarray time lookups
@@ -240,7 +251,11 @@ class SupervisedTrainer(Trainer):
         # ~0.3 ms/step of the headline config. The flattened update is a
         # few elementwise kernels over [n_params] regardless of leaf
         # count, and is element-for-element the same math.
-        return optax.flatten(optax.adam(self._lr))
+        tx = optax.flatten(optax.adam(self._lr))
+        if self.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(
+                tx, every_k_schedule=self.gradient_accumulation_steps)
+        return tx
 
     def _make_steps(self):
         model, lossf = self.model, self.lossf

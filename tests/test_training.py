@@ -579,3 +579,86 @@ def test_cgan_scale5_valid_conv_discriminator(data):
     leaves = jax.tree_util.tree_leaves_with_path(dparams)
     shapes = [tuple(x.shape) for _, x in leaves]
     assert (3, 3, 4, 4) in shapes
+
+
+def test_gradient_accumulation_matches_large_batch(data):
+    """k=2 accumulation over the SAME microbatch twice must produce exactly
+    the k=1 single-step update (mean of two identical gradients)."""
+    import jax.numpy as jnp
+    from dl4ds_tpu.training.supervised import TrainState
+
+    states = {}
+    for k in (1, 2):
+        tr = dds.SupervisedTrainer(
+            backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+            batch_size=4, epochs=1, loss='mae', n_filters=4, n_blocks=1,
+            save=False, verbose=False, seed=0,
+            gradient_accumulation_steps=k)
+        tr.setup_datagen()
+        tr.setup_model()
+        tx = tr._build_optimizer()
+        state = TrainState.create(
+            apply_fn=tr.model.module.apply, params=tr.variables['params'],
+            tx=tx, batch_stats=tr.variables.get('batch_stats'))
+        tr._make_steps()
+        batch = jax.tree.map(
+            lambda x: x, tr.ds_val._make_batch(
+                jnp.arange(4, dtype=jnp.int32), jax.random.PRNGKey(1)))
+        key = jax.random.PRNGKey(2)
+        for _ in range(k):
+            state, loss = tr._train_step_batch(state, batch, key)
+        states[k] = state
+    p1 = jax.tree.leaves(states[1].params)
+    p2 = jax.tree.leaves(states[2].params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gradient_accumulation_no_update_mid_cycle(data):
+    """Params must stay frozen until the k-th microbatch of a cycle."""
+    import jax.numpy as jnp
+    from dl4ds_tpu.training.supervised import TrainState
+
+    tr = dds.SupervisedTrainer(
+        backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+        batch_size=4, epochs=1, loss='mae', n_filters=4, n_blocks=1,
+        save=False, verbose=False, seed=0, gradient_accumulation_steps=3)
+    tr.setup_datagen()
+    tr.setup_model()
+    state = TrainState.create(
+        apply_fn=tr.model.module.apply, params=tr.variables['params'],
+        tx=tr._build_optimizer(), batch_stats=tr.variables.get('batch_stats'))
+    tr._make_steps()
+    batch = tr.ds_val._make_batch(jnp.arange(4, dtype=jnp.int32),
+                                  jax.random.PRNGKey(1))
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = tr._train_step_batch(state, batch, jax.random.PRNGKey(2))
+    state, _ = tr._train_step_batch(state, batch, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state, _ = tr._train_step_batch(state, batch, jax.random.PRNGKey(4))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)))
+    assert changed
+
+
+def test_gradient_accumulation_end_to_end(data):
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        patch_size=8, batch_size=2, epochs=2, steps_per_epoch=4,
+        validation_steps=1, test_steps=1, loss='mae', n_filters=4,
+        n_blocks=1, save=False, verbose=False,
+        gradient_accumulation_steps=2)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_gradient_accumulation_validation():
+    with pytest.raises(ValueError, match='gradient_accumulation_steps'):
+        dds.SupervisedTrainer(
+            backbone='convnet', upsampling='pin',
+            data_train=np.zeros((8, 16, 16, 1), 'float32'),
+            data_val=np.zeros((4, 16, 16, 1), 'float32'),
+            data_test=np.zeros((4, 16, 16, 1), 'float32'),
+            scale=4, gradient_accumulation_steps=0)
