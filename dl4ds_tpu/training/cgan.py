@@ -115,7 +115,8 @@ class CGANTrainer(Trainer):
                  generator_params=None, discriminator_params=None,
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, resume_from_checkpoint=None,
-                 data_in_hbm=True, terminate_on_nan=True):
+                 data_in_hbm=True, terminate_on_nan=True,
+                 gradient_accumulation_steps=1):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -148,6 +149,14 @@ class CGANTrainer(Trainer):
         self.data_in_hbm = data_in_hbm
         # stop when G or D loss diverges to NaN/inf (failure detection)
         self.terminate_on_nan = terminate_on_nan
+        # G and D both accumulate over k microbatches and update together
+        # every k-th (optax.MultiSteps) — same semantics as the supervised
+        # trainer's gradient_accumulation_steps
+        if (not isinstance(gradient_accumulation_steps, int)
+                or gradient_accumulation_steps < 1):
+            raise ValueError('`gradient_accumulation_steps` must be an '
+                             'integer >= 1')
+        self.gradient_accumulation_steps = gradient_accumulation_steps
         # resume G/D params + optimizer states from a periodic checkpoint
         # saved by checkpoints_frequency (path to .../checkpoints/<name>)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -257,16 +266,21 @@ class CGANTrainer(Trainer):
             genlr, dislr = lrs[0], lrs[1]
         else:
             genlr = dislr = lrs[0] if isinstance(lrs, (tuple, list)) else lrs
-        gen_state = train_state.TrainState.create(
-            apply_fn=self.generator.module.apply,
-            params=self.gen_vars['params'],
-            tx=optax.flatten(optax.adam(genlr, b1=0.5)))
-        disc_state = train_state.TrainState.create(
-            apply_fn=self.discriminator.module.apply,
-            params=self.disc_vars['params'],
+        def _tx(lr):
             # flatten: one fused update over the concatenated params
             # instead of a 20-50 us op per leaf (see supervised.py)
-            tx=optax.flatten(optax.adam(dislr, b1=0.5)))
+            tx = optax.flatten(optax.adam(lr, b1=0.5))
+            if self.gradient_accumulation_steps > 1:
+                tx = optax.MultiSteps(
+                    tx, every_k_schedule=self.gradient_accumulation_steps)
+            return tx
+
+        gen_state = train_state.TrainState.create(
+            apply_fn=self.generator.module.apply,
+            params=self.gen_vars['params'], tx=_tx(genlr))
+        disc_state = train_state.TrainState.create(
+            apply_fn=self.discriminator.module.apply,
+            params=self.disc_vars['params'], tx=_tx(dislr))
         if self.resume_from_checkpoint is not None:
             gen_state, disc_state = self._restore_gan_checkpoint(
                 gen_state, disc_state, self.resume_from_checkpoint)

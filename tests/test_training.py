@@ -662,3 +662,15 @@ def test_gradient_accumulation_validation():
             data_val=np.zeros((4, 16, 16, 1), 'float32'),
             data_test=np.zeros((4, 16, 16, 1), 'float32'),
             scale=4, gradient_accumulation_steps=0)
+
+
+def test_cgan_gradient_accumulation(data):
+    tr = dds.CGANTrainer(
+        backbone='resnet', upsampling='spc', data_train=data[:32],
+        data_test=data[32:], scale=4, patch_size=8, batch_size=2, epochs=2,
+        steps_per_epoch=4, save=False, verbose=False,
+        gradient_accumulation_steps=2,
+        generator_params=dict(n_filters=4, n_blocks=1),
+        discriminator_params=dict(n_filters=4, n_res_blocks=1))
+    tr.run()
+    assert np.isfinite(tr.test_loss)
