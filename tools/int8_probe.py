@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Probe int8 throughput on the real chip: is an int8 serving path worth it?
+
+The v5e MXU peak is ~394 TOPS int8 vs ~197 TFLOPS bf16. This measures,
+with the repo's forced-readback slope timing (bench.slope_time):
+
+  1. bf16 4096^3 matmul   (sanity anchor, expect ~190 TF/s)
+  2. int8  4096^3 matmul  (s8 x s8 -> s32 via preferred_element_type)
+  3. bf16 vs int8 conv    (the zoo's 3x3 conv at production width 64)
+
+Run on the real TPU (no env overrides): python tools/int8_probe.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bench import slope_time
+
+N = 4096
+REPS = 8
+
+
+def _chain_matmul(dtype, acc):
+    a = jnp.asarray(np.random.default_rng(0).integers(-4, 4, (N, N)), dtype)
+    b = jnp.asarray(np.random.default_rng(1).integers(-4, 4, (N, N)), dtype)
+
+    @jax.jit
+    def chunk(x):
+        for _ in range(REPS):
+            y = lax.dot_general(a + x.astype(dtype), b,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=acc)
+            # fold the result back into a scalar so calls chain
+            x = (y[0, 0] % 3).astype(jnp.int32) * 0
+        return x, y
+
+    return chunk
+
+
+def _chain_conv(dtype, acc, width=64, hw=64, batch=32):
+    x0 = jnp.asarray(np.random.default_rng(0).integers(
+        -4, 4, (batch, hw, hw, width)), dtype)
+    k = jnp.asarray(np.random.default_rng(1).integers(
+        -4, 4, (3, 3, width, width)), dtype)
+
+    @jax.jit
+    def chunk(t):
+        x = x0 + t.astype(dtype)
+        for _ in range(REPS):
+            y = lax.conv_general_dilated(
+                x, k, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=acc)
+            x = y.astype(dtype) % 5 if 'int' in str(dtype) else \
+                (y * 1e-3).astype(dtype)
+        t = (y[0, 0, 0, 0]).astype(jnp.int32) * 0
+        return t, y
+
+    flops = 2 * batch * hw * hw * 9 * width * width
+    return chunk, flops
+
+
+def measure(name, chunk, flops_per_rep):
+    t = jnp.int32(0)
+    t, y = chunk(t)   # compile + warm
+    float(jnp.sum(y.astype(jnp.float32)))
+    sec, _ = slope_time(lambda c: chunk(c), t)
+    tps = REPS * flops_per_rep / sec / 1e12
+    print(f'{name}: {1e3 * sec / REPS:.3f} ms/op  {tps:.1f} T(FL)OP/s',
+          flush=True)
+    return tps
+
+
+def main():
+    print(f'platform: {jax.devices()[0].device_kind}', flush=True)
+    out = {}
+    mm_flops = 2 * N ** 3
+    out['bf16_matmul_tflops'] = measure(
+        'bf16 matmul', _chain_matmul(jnp.bfloat16, jnp.float32), mm_flops)
+    try:
+        out['int8_matmul_tops'] = measure(
+            'int8 matmul', _chain_matmul(jnp.int8, jnp.int32), mm_flops)
+    except Exception as e:  # lowering may be unsupported
+        out['int8_matmul_error'] = repr(e)[:200]
+        print('int8 matmul FAILED:', repr(e)[:200], flush=True)
+    c, cf = _chain_conv(jnp.bfloat16, jnp.float32)
+    out['bf16_conv_tflops'] = measure('bf16 conv w64', c, cf)
+    try:
+        c, cf = _chain_conv(jnp.int8, jnp.int32)
+        out['int8_conv_tops'] = measure('int8 conv w64', c, cf)
+    except Exception as e:
+        out['int8_conv_error'] = repr(e)[:200]
+        print('int8 conv FAILED:', repr(e)[:200], flush=True)
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+
+
+if __name__ == '__main__':
+    main()
