@@ -1,0 +1,218 @@
+"""Int8 post-training quantization for serving.
+
+TPU MXUs run int8 x int8 -> int32 at twice the bf16 FLOP rate (v5e:
+~394 TOPS vs ~197 TFLOPS), so a quantized forward can nearly double
+serving throughput on MXU-bound (production-width) models. The reference
+has no quantization story (it serves f32 SavedModels,
+dl4ds/training/base.py:162-187); this is a TPU-native extra.
+
+The transform is jaxpr-level, so it works on EVERY model family without
+touching the model code:
+
+  1. `jax.make_jaxpr` traces the trained forward (variables embedded).
+  2. A calibration interpreter replays the jaxpr on representative
+     inputs and records, per convolution site, the max |activation|.
+  3. The quantized forward replays the same jaxpr but executes each
+     convolution as s8 x s8 -> s32: activations quantized per-tensor with
+     the calibrated scale, weights per-output-channel; the s32 result is
+     rescaled back to the float dtype. Everything else (bias adds, norms,
+     attention gates, pixel shuffles) runs unchanged in float.
+
+Weight-only mode (`mode='weight-only'`) dequantizes the int8 weights
+back to float at each site — no activation clipping anywhere, float
+conv math — for when the ~2x matmul rate matters less than exactness.
+
+Scope: convolutions (incl. separable, depthwise, transposed — they are
+all `conv_general_dilated`) are quantized; `dot_general`s (the per-pixel
+LCB einsum, attention squeeze) stay float — they are a rounding error of
+these models' FLOPs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.extend import core as jcore
+
+
+def safe_map(f, *xs):
+    lengths = {len(x) for x in xs}
+    assert len(lengths) == 1, f'length mismatch: {lengths}'
+    return list(map(f, *xs))
+
+__all__ = ['quantize_forward', 'QuantizedForward']
+
+_CONV = 'conv_general_dilated'
+
+
+def _subjaxprs(eqn):
+    """Inner jaxprs of call-like eqns (pjit, remat2, custom_jvp, ...) in
+    a uniform (jaxpr, consts) form."""
+    for name in ('jaxpr', 'call_jaxpr'):
+        sub = eqn.params.get(name)
+        if sub is None:
+            continue
+        if isinstance(sub, jcore.ClosedJaxpr):
+            return sub.jaxpr, sub.consts
+        return sub, []
+    return None, None
+
+
+def _walk(jaxpr, consts, args, on_conv):
+    """Replay `jaxpr` eagerly/traceably, dispatching conv eqns to
+    `on_conv(site_index, eqn, invals)`. Recurses into call-like eqns so
+    convs inside remat/pjit bodies are found too; site numbering is the
+    traversal order, shared between calibration and quantized replay."""
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, jcore.Literal) else env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    safe_map(write, jaxpr.constvars, consts)
+    safe_map(write, jaxpr.invars, args)
+    for eqn in jaxpr.eqns:
+        invals = safe_map(read, eqn.invars)
+        sub, sub_consts = _subjaxprs(eqn)
+        if eqn.primitive.name == _CONV:
+            outvals = [on_conv(eqn, invals)]
+        elif sub is not None:
+            outvals = _walk(sub, sub_consts, invals, on_conv)
+        else:
+            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+            outvals = eqn.primitive.bind(*subfuns, *invals, **bind_params)
+            if not eqn.primitive.multiple_results:
+                outvals = [outvals]
+        safe_map(write, eqn.outvars, outvals)
+    return safe_map(read, jaxpr.outvars)
+
+
+def _quantize_weights(w, dn_rhs_spec):
+    """Per-output-channel symmetric int8 quantization of a conv kernel.
+    Returns (w_int8, scale) with scale shaped to broadcast over the
+    conv output's feature dim."""
+    co_dim = dn_rhs_spec[0]     # rhs out-feature dimension index
+    reduce_dims = tuple(d for d in range(w.ndim) if d != co_dim)
+    absmax = jnp.max(jnp.abs(w), axis=reduce_dims, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _requant_scale(x_scale, w_scale, eqn):
+    """Broadcastable output rescale factor s_x * s_w[co] for the conv's
+    output layout."""
+    dn = eqn.params['dimension_numbers']
+    co_dim_rhs = dn.rhs_spec[0]
+    out_feature_dim = dn.out_spec[1]
+    w_s = jnp.squeeze(w_scale)          # [co]
+    shape = [1] * len(dn.out_spec)
+    shape[out_feature_dim] = w_s.shape[0] if w_s.ndim else 1
+    return x_scale * w_s.reshape(shape)
+
+
+def quantize_forward(model, variables, calibration, calibration_aux=None,
+                     mode='int8'):
+    """Build a quantized serving forward for any `DSModel`.
+
+    Args:
+      model: a model factory output (`DSModel`).
+      variables: trained variables (embedded as constants).
+      calibration: representative input batch `[B, ...model.input_shape]`
+        (e.g. a few training/validation batches) used to record per-site
+        activation ranges.
+      calibration_aux: HR-aux calibration batch when the model takes one.
+      mode: 'int8' (s8 x s8 -> s32 convs, activation + weight
+        quantization) or 'weight-only' (int8 weights dequantized to
+        float at each site; float conv math, no activation clipping).
+
+    Returns a `QuantizedForward`; call it like the model
+    (`qf(x[, aux])`), jit-compatible. The replayed program is fixed to
+    the calibration batch's shapes (reshape sites pin the batch size) —
+    calibrate with the batch shape you will serve.
+    """
+    if mode not in ('int8', 'weight-only'):
+        raise ValueError(f"mode must be 'int8' or 'weight-only', got "
+                         f'{mode!r}')
+    calibration = jnp.asarray(calibration, jnp.float32)
+    has_aux = model.aux_shape is not None
+    if has_aux and calibration_aux is None:
+        raise ValueError('model takes an aux input; pass calibration_aux')
+    if calibration.shape[1:] != tuple(model.input_shape):
+        raise ValueError(
+            f'calibration shape {calibration.shape[1:]} != model input '
+            f'shape {tuple(model.input_shape)}')
+
+    def fwd(x, aux):
+        return model.module.apply(variables, x, aux, training=False)
+
+    aux_arg = (jnp.asarray(calibration_aux, jnp.float32)
+               if has_aux else None)
+    closed = jax.make_jaxpr(fwd)(calibration, aux_arg)
+    jaxpr, consts = closed.jaxpr, closed.consts
+
+    # --- calibration pass: record per-site activation absmax -----------
+    act_absmax = []
+
+    def record(eqn, invals):
+        x, w = invals
+        act_absmax.append(float(jnp.max(jnp.abs(x))))
+        subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+        return eqn.primitive.bind(*subfuns, x, w, **bind_params)
+
+    args = [calibration] + ([aux_arg] if has_aux else [])
+    _walk(jaxpr, consts, args, record)
+    if not act_absmax:
+        raise ValueError('no convolutions found in the forward — nothing '
+                         'to quantize')
+    act_scales = [max(a, 1e-12) / 127.0 for a in act_absmax]
+
+    # --- quantized replay ----------------------------------------------
+    def run(x, aux=None):
+        site = [0]
+
+        def on_conv(eqn, invals):
+            i = site[0]
+            site[0] += 1
+            xv, w = invals
+            out_dtype = xv.dtype
+            dn = eqn.params['dimension_numbers']
+            w_q, w_scale = _quantize_weights(w, dn.rhs_spec)
+            params = dict(eqn.params)
+            subfuns, bind_params = eqn.primitive.get_bind_params(params)
+            if mode == 'weight-only':
+                w_dq = (w_q.astype(out_dtype) * w_scale.astype(out_dtype))
+                return eqn.primitive.bind(*subfuns, xv, w_dq, **bind_params)
+            s_x = jnp.asarray(act_scales[i], jnp.float32)
+            x_q = jnp.clip(jnp.round(xv.astype(jnp.float32) / s_x),
+                           -127, 127).astype(jnp.int8)
+            bind_params['preferred_element_type'] = jnp.int32
+            y = eqn.primitive.bind(*subfuns, x_q, w_q, **bind_params)
+            scale = _requant_scale(s_x, w_scale.astype(jnp.float32), eqn)
+            return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+        args = [jnp.asarray(x, jnp.float32)]
+        if has_aux:
+            if aux is None:
+                raise ValueError('model takes an aux input; pass aux')
+            args.append(jnp.asarray(aux, jnp.float32))
+        outs = _walk(jaxpr, consts, args, on_conv)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    return QuantizedForward(run, n_sites=len(act_absmax),
+                            act_scales=act_scales, mode=mode)
+
+
+class QuantizedForward:
+    """Callable quantized forward. `n_sites` = number of quantized convs;
+    `act_scales` = the calibrated per-site activation scales."""
+
+    def __init__(self, fn, n_sites, act_scales, mode):
+        self._fn = fn
+        self.n_sites = n_sites
+        self.act_scales = act_scales
+        self.mode = mode
+
+    def __call__(self, x, aux=None):
+        return self._fn(x, aux) if aux is not None else self._fn(x)

@@ -1,0 +1,117 @@
+"""Int8 post-training quantization: jaxpr-level conv rewrite
+(dl4ds_tpu/quantization.py). Correctness vs the float forward on the
+CPU mesh; the TPU speed claim lives in tools/int8_probe.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dl4ds_tpu.models import (net_postupsampling, net_pin, unet_pin,
+                              recnet_postupsampling)
+from dl4ds_tpu.quantization import quantize_forward
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, 'float32'), np.asarray(b, 'float32')
+    return float(np.sqrt(np.mean((a - b) ** 2)) / (np.std(b) + 1e-12))
+
+
+def _calib(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(
+        'float32')
+
+
+def test_int8_resnet_spc_close_to_float():
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=8, n_blocks=2, attention=True)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=4)
+    x = _calib((4, 16, 16, 1))
+    qf = quantize_forward(model, variables, x)
+    y_f32 = model.module.apply(variables, jnp.asarray(x), None,
+                               training=False)
+    y_q = qf(x)
+    assert qf.n_sites >= 6          # stem + blocks + head convs
+    assert y_q.shape == y_f32.shape
+    assert _rel_err(y_q, y_f32) < 0.08
+
+    # fresh inputs from the same distribution (calibration generalizes)
+    x2 = _calib((4, 16, 16, 1), seed=1)
+    y2 = model.module.apply(variables, jnp.asarray(x2), None,
+                            training=False)
+    assert _rel_err(qf(x2), y2) < 0.12
+
+
+def test_weight_only_mode_tighter_than_int8():
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(32, 32), n_filters=8, n_blocks=2)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 32, 32, 1))
+    y_f32 = model.module.apply(variables, jnp.asarray(x), None,
+                               training=False)
+    e_w = _rel_err(quantize_forward(model, variables, x,
+                                    mode='weight-only')(x), y_f32)
+    e_q = _rel_err(quantize_forward(model, variables, x)(x), y_f32)
+    assert e_w < 0.04
+    assert e_w <= e_q + 1e-6
+
+
+def test_int8_unet_with_aux():
+    model = unet_pin('unet', n_channels=1, n_aux_channels=1,
+                     hr_size=(16, 16), n_filters=8, n_blocks=2)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 16, 16, 1))
+    aux = _calib((2, 16, 16, 1), seed=3)
+    qf = quantize_forward(model, variables, x, calibration_aux=aux)
+    y_f32 = model.module.apply(variables, jnp.asarray(x), jnp.asarray(aux),
+                               training=False)
+    assert _rel_err(qf(x, aux), y_f32) < 0.06
+
+
+def test_int8_spatiotemporal_convlstm():
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(8, 8),
+                                  time_window=3, n_filters=8, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 3, 8, 8, 1))
+    qf = quantize_forward(model, variables, x)
+    y_f32 = model.module.apply(variables, jnp.asarray(x), None,
+                               training=False)
+    assert _rel_err(qf(x), y_f32) < 0.08
+
+
+def test_jit_compatible_and_deterministic():
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 8, 8, 1))
+    qf = quantize_forward(model, variables, x)
+    y_eager = np.asarray(qf(x))
+    y_jit = np.asarray(jax.jit(qf)(jnp.asarray(x)))
+    np.testing.assert_allclose(y_eager, y_jit, atol=2e-5, rtol=2e-5)
+
+
+def test_bad_mode_and_shape_errors():
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(8, 8), n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 8, 8, 1))
+    with pytest.raises(ValueError, match='mode'):
+        quantize_forward(model, variables, x, mode='int4')
+    with pytest.raises(ValueError, match='calibration shape'):
+        quantize_forward(model, variables, _calib((2, 9, 9, 1)))
+
+
+def test_remat_backbone_convs_found():
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=2, remat=True)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 8, 8, 1))
+    qf = quantize_forward(model, variables, x)
+    assert qf.n_sites >= 6          # convs inside remat bodies are reached
+    y_f32 = model.module.apply(variables, jnp.asarray(x), None,
+                               training=False)
+    assert _rel_err(qf(x), y_f32) < 0.06
