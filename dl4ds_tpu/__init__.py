@@ -75,3 +75,4 @@ from .inference import Predictor, predict, predict_mc
 from .metrics import compute_rmse, compute_correlation, compute_metrics
 from .export import (export_forward, save_serving_artifact,
                      load_serving_artifact)
+from .quantization import quantize_forward

@@ -115,3 +115,22 @@ def test_remat_backbone_convs_found():
     y_f32 = model.module.apply(variables, jnp.asarray(x), None,
                                training=False)
     assert _rel_err(qf(x), y_f32) < 0.06
+
+
+def test_quantized_forward_exports_to_stablehlo(tmp_path):
+    """The quantized forward composes with jax.export: a frozen int8
+    serving artifact (static shapes, variables + scales embedded)."""
+    from jax import export as jexport
+
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 8, 8, 1))
+    qf = quantize_forward(model, variables, x)
+    exp = jexport.export(jax.jit(qf))(
+        jax.ShapeDtypeStruct((2, 8, 8, 1), jnp.float32))
+    blob = exp.serialize()
+    rt = jexport.deserialize(blob)
+    np.testing.assert_allclose(np.asarray(rt.call(jnp.asarray(x))),
+                               np.asarray(qf(x)), atol=2e-5, rtol=2e-5)
