@@ -253,6 +253,8 @@ def infer_bench():
         'value': per_batch[best],
         'unit': 'grids/sec/chip', 'vs_baseline': None,
         'batch': best,
+        'definition': 'best over the serving-batch sweep (earlier rounds '
+                      'recorded fixed batch 8 — compare per_batch["8"])',
         'per_batch': {str(k): v for k, v in per_batch.items()}}))
 
 

@@ -23,9 +23,13 @@ back to float at each site — no activation clipping anywhere, float
 conv math — for when the ~2x matmul rate matters less than exactness.
 
 Scope: convolutions (incl. separable, depthwise, transposed — they are
-all `conv_general_dilated`) are quantized; `dot_general`s (the per-pixel
-LCB einsum, attention squeeze) stay float — they are a rounding error of
-these models' FLOPs.
+all `conv_general_dilated`, and convs inside remat/pjit bodies are
+reached) are quantized; `dot_general`s (the per-pixel LCB einsum,
+attention squeeze) stay float — they are a rounding error of these
+models' FLOPs. Convs inside loop/kernel primitives (`lax.scan` bodies —
+the ConvLSTM recurrence at time_window > 16 — and Pallas calls) also
+stay float: their inner jaxprs take carries/refs, not the eqn inputs,
+so they are replayed as-is (see _CALL_LIKE).
 """
 
 import numpy as np
@@ -34,7 +38,7 @@ import jax.numpy as jnp
 from jax.extend import core as jcore
 
 
-def safe_map(f, *xs):
+def _safe_map(f, *xs):
     lengths = {len(x) for x in xs}
     assert len(lengths) == 1, f'length mismatch: {lengths}'
     return list(map(f, *xs))
@@ -43,10 +47,21 @@ __all__ = ['quantize_forward', 'QuantizedForward']
 
 _CONV = 'conv_general_dilated'
 
+# call-like primitives whose body executes ONCE with the eqn's own invals
+# — safe to replay inline. Loop/kernel primitives (scan, while, pallas_call)
+# do NOT qualify: their inner jaxprs take per-iteration carries/refs, not
+# the eqn inputs, so they are default-bound and any convs inside them stay
+# float (the scan-path ConvLSTM recurrence is conv-over-carry; the fused
+# Pallas kernel has no conv eqns at all).
+_CALL_LIKE = ('pjit', 'remat2', 'checkpoint', 'closed_call', 'core_call',
+              'custom_jvp_call', 'custom_vjp_call', 'custom_vjp_call_jaxpr')
+
 
 def _subjaxprs(eqn):
     """Inner jaxprs of call-like eqns (pjit, remat2, custom_jvp, ...) in
     a uniform (jaxpr, consts) form."""
+    if eqn.primitive.name not in _CALL_LIKE:
+        return None, None
     for name in ('jaxpr', 'call_jaxpr'):
         sub = eqn.params.get(name)
         if sub is None:
@@ -70,10 +85,10 @@ def _walk(jaxpr, consts, args, on_conv):
     def write(v, val):
         env[v] = val
 
-    safe_map(write, jaxpr.constvars, consts)
-    safe_map(write, jaxpr.invars, args)
+    _safe_map(write, jaxpr.constvars, consts)
+    _safe_map(write, jaxpr.invars, args)
     for eqn in jaxpr.eqns:
-        invals = safe_map(read, eqn.invars)
+        invals = _safe_map(read, eqn.invars)
         sub, sub_consts = _subjaxprs(eqn)
         if eqn.primitive.name == _CONV:
             outvals = [on_conv(eqn, invals)]
@@ -84,8 +99,8 @@ def _walk(jaxpr, consts, args, on_conv):
             outvals = eqn.primitive.bind(*subfuns, *invals, **bind_params)
             if not eqn.primitive.multiple_results:
                 outvals = [outvals]
-        safe_map(write, eqn.outvars, outvals)
-    return safe_map(read, jaxpr.outvars)
+        _safe_map(write, eqn.outvars, outvals)
+    return _safe_map(read, jaxpr.outvars)
 
 
 def _quantize_weights(w, dn_rhs_spec):
@@ -143,6 +158,11 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
         raise ValueError(
             f'calibration shape {calibration.shape[1:]} != model input '
             f'shape {tuple(model.input_shape)}')
+    if has_aux and (np.shape(calibration_aux)[1:]
+                    != tuple(model.aux_shape)):
+        raise ValueError(
+            f'calibration_aux shape {np.shape(calibration_aux)[1:]} != '
+            f'model aux shape {tuple(model.aux_shape)}')
 
     def fwd(x, aux):
         return model.module.apply(variables, x, aux, training=False)
@@ -153,11 +173,14 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     jaxpr, consts = closed.jaxpr, closed.consts
 
     # --- calibration pass: record per-site activation absmax -----------
+    # absmax values stay on device (eager dispatch is async); ONE stacked
+    # readback at the end instead of a per-site device sync — on the
+    # tunneled TPU every scalar fetch is a remote RPC
     act_absmax = []
 
     def record(eqn, invals):
         x, w = invals
-        act_absmax.append(float(jnp.max(jnp.abs(x))))
+        act_absmax.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
         subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
         return eqn.primitive.bind(*subfuns, x, w, **bind_params)
 
@@ -166,7 +189,8 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     if not act_absmax:
         raise ValueError('no convolutions found in the forward — nothing '
                          'to quantize')
-    act_scales = [max(a, 1e-12) / 127.0 for a in act_absmax]
+    act_scales = [max(float(a), 1e-12) / 127.0
+                  for a in np.asarray(jnp.stack(act_absmax))]
 
     # --- quantized replay ----------------------------------------------
     def run(x, aux=None):

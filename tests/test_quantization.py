@@ -134,3 +134,19 @@ def test_quantized_forward_exports_to_stablehlo(tmp_path):
     rt = jexport.deserialize(blob)
     np.testing.assert_allclose(np.asarray(rt.call(jnp.asarray(x))),
                                np.asarray(qf(x)), atol=2e-5, rtol=2e-5)
+
+
+def test_scan_path_convlstm_does_not_crash():
+    """time_window > 16 takes the nn.scan ConvLSTM path; scan bodies are
+    default-bound (convs inside stay float) — the transform must still
+    work and quantize the convs outside the recurrence."""
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(8, 8),
+                                  time_window=17, n_filters=8, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = _calib((1, 17, 8, 8, 1))
+    qf = quantize_forward(model, variables, x)
+    assert qf.n_sites >= 1
+    y_f32 = model.module.apply(variables, jnp.asarray(x), None,
+                               training=False)
+    assert _rel_err(qf(x), y_f32) < 0.1

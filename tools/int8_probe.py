@@ -38,8 +38,10 @@ def _chain_matmul(dtype, acc):
             y = lax.dot_general(a + x.astype(dtype), b,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=acc)
-            # fold the result back into a scalar so calls chain
-            x = (y[0, 0] % 3).astype(jnp.int32) * 0
+            # genuine data dependence (NOT *0 — XLA constant-folds an
+            # integer x*0 chain and deletes every matmul; verified in the
+            # optimized HLO): carry a small value derived from the result
+            x = (y[0, 0] % 3).astype(jnp.int32)
         return x, y
 
     return chunk
@@ -61,7 +63,8 @@ def _chain_conv(dtype, acc, width=64, hw=64, batch=32):
                 preferred_element_type=acc)
             x = y.astype(dtype) % 5 if 'int' in str(dtype) else \
                 (y * 1e-3).astype(dtype)
-        t = (y[0, 0, 0, 0]).astype(jnp.int32) * 0
+        # data-dependent carry; see the matmul chain note on *0 folding
+        t = (y[0, 0, 0, 0] % 7).astype(jnp.int32)
         return t, y
 
     flops = 2 * batch * hw * hw * 9 * width * width
