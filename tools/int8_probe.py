@@ -82,6 +82,52 @@ def measure(name, chunk, flops_per_rep):
     return tps
 
 
+def model_level(batch=16, lr=64, width=64, blocks=6):
+    """End-to-end serving comparison on the production-width model:
+    bf16 forward vs the int8 quantize_forward replay, same grids."""
+    import jax.numpy as jnp
+    from dl4ds_tpu.models import net_postupsampling
+    from dl4ds_tpu.quantization import quantize_forward
+
+    results = {}
+    x = np.random.default_rng(0).standard_normal(
+        (batch, lr, lr, 1)).astype('float32')
+    for mode, dtype in (('bf16', jnp.bfloat16), ('int8', jnp.bfloat16)):
+        model = net_postupsampling(
+            'resnet', 'spc', scale=4, n_channels=1, n_aux_channels=0,
+            lr_size=(lr, lr), n_filters=width, n_blocks=blocks,
+            attention=True, dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0), batch_size=batch)
+        if mode == 'int8':
+            qf = quantize_forward(model, variables, x)
+            fwd = jax.jit(lambda xb: qf(xb))
+        else:
+            fwd = jax.jit(lambda xb: model.module.apply(
+                variables, xb, None, training=False))
+
+        def chunk(t):
+            xb = jnp.asarray(x) + t
+            y = None
+            for _ in range(4):
+                y = fwd(xb)
+                # float chain scalar (XLA does not fold float *0.0)
+                t = jnp.mean(y).astype(jnp.float32) * 0.0
+                xb = jnp.asarray(x) + t
+            return t, y
+
+        t0 = jnp.float32(0.0)
+        t0, y = chunk(t0)
+        float(jnp.sum(y.astype(jnp.float32)))
+        sec, _ = slope_time(chunk, t0)
+        gps = 4 * batch / sec
+        results[f'{mode}_w{width}_grids_per_sec'] = round(gps, 2)
+        print(f'model {mode} w{width}: {gps:.1f} grids/sec', flush=True)
+    results['int8_speedup'] = round(
+        results[f'int8_w{width}_grids_per_sec']
+        / results[f'bf16_w{width}_grids_per_sec'], 3)
+    return results
+
+
 def main():
     print(f'platform: {jax.devices()[0].device_kind}', flush=True)
     out = {}
@@ -102,6 +148,11 @@ def main():
     except Exception as e:
         out['int8_conv_error'] = repr(e)[:200]
         print('int8 conv FAILED:', repr(e)[:200], flush=True)
+    try:
+        out.update(model_level())
+    except Exception as e:
+        out['model_level_error'] = repr(e)[:300]
+        print('model-level FAILED:', repr(e)[:300], flush=True)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 
