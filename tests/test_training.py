@@ -674,3 +674,22 @@ def test_cgan_gradient_accumulation(data):
         discriminator_params=dict(n_filters=4, n_res_blocks=1))
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_gradient_accumulation_checkpoint_resume(data, tmp_path):
+    """The optax.MultiSteps state (grad accumulator + inner Adam state)
+    must round-trip through the orbax full-state checkpoint."""
+    save_path = str(tmp_path) + '/'
+    kw = dict(backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+              batch_size=2, steps_per_epoch=2, validation_steps=1,
+              test_steps=1, n_filters=4, n_blocks=1, save=False,
+              verbose=False, gradient_accumulation_steps=2)
+    tr1 = dds.SupervisedTrainer(epochs=2, save_path=save_path,
+                                checkpoints_frequency=1, **kw)
+    tr1.run()
+    tr2 = dds.SupervisedTrainer(
+        epochs=3, resume_from_checkpoint=save_path + 'checkpoints/epoch-2',
+        **kw)
+    tr2.run()
+    assert len(tr2.fithist['loss']) == 1
+    assert np.isfinite(tr2.test_loss)
