@@ -127,6 +127,10 @@ flags.DEFINE_bool('data_in_hbm', True,
 flags.DEFINE_integer('steps_per_execution', None,
                      'Training steps per host dispatch (None = whole epoch '
                      'in one lax.scan program)')
+flags.DEFINE_integer('gradient_accumulation_steps', 1,
+                     'Microbatches accumulated per optimizer update '
+                     '(effective batch = k x batch_size at microbatch '
+                     'memory cost)')
 
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
@@ -227,6 +231,8 @@ def dl4ds(argv):
                 verbose=FLAGS.verbose,
                 data_in_hbm=FLAGS.data_in_hbm,
                 steps_per_execution=FLAGS.steps_per_execution,
+                gradient_accumulation_steps=(
+                    FLAGS.gradient_accumulation_steps),
                 dtype=(jnp.bfloat16 if FLAGS.dtype == 'bfloat16'
                        else jnp.float32),
                 **architecture_params)
@@ -264,7 +270,9 @@ def dl4ds(argv):
                 save_loss_history=FLAGS.save,
                 verbose=FLAGS.verbose,
                 generator_params=architecture_params,
-                discriminator_params=discriminator_params)
+                discriminator_params=discriminator_params,
+                gradient_accumulation_steps=(
+                    FLAGS.gradient_accumulation_steps))
         trainer.run()
 
     y_hat = None

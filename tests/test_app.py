@@ -42,6 +42,7 @@ def test_app_debug_run(tmp_path):
         --n_filters=4
         --n_blocks=1
         --dropout_rate=0
+        --gradient_accumulation_steps=2
         --save_path={save_path}
         --inference_array_in_hr
         --inference_save_fname=y_hat.npy
