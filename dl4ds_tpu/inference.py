@@ -212,9 +212,10 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     batch_lr = x
 
     if tile is not None or spatial_mesh is not None:
-        if x.ndim == 5:
-            raise ValueError('tiled/spatially-sharded inference supports '
-                             'spatial models only (4-D inputs)')
+        if x.ndim == 5 and spatial_mesh is not None:
+            raise ValueError('spatially-sharded inference supports spatial '
+                             'models only (4-D inputs); use tile= for '
+                             'spatio-temporal grids')
         if pad_to_multiple is not None:
             raise ValueError('`pad_to_multiple` is redundant with tiled/'
                              'sharded inference (one window shape already '

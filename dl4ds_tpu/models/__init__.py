@@ -160,7 +160,7 @@ def recnet_postupsampling(backbone_block, upsampling, scale, n_channels,
                           normalization=None, attention=False,
                           activation='relu', output_activation=None,
                           rc_interpolation='bilinear', localcon_layer=False,
-                          dtype=jnp.float32):
+                          output_attention=True, dtype=jnp.float32):
     """Spatio-temporal (ConvLSTM) network + post-upsampling head
     (reference factory: dl4ds/models/spt_postups.py:12)."""
     backbone_block = checkarg_backbone(backbone_block)
@@ -175,7 +175,7 @@ def recnet_postupsampling(backbone_block, upsampling, scale, n_channels,
         attention=attention, activation=activation,
         output_activation=output_activation,
         rc_interpolation=rc_interpolation, localcon_layer=localcon_layer,
-        dtype=dtype)
+        output_attention=output_attention, dtype=dtype)
     aux_shape = ((int(h_lr * scale), int(w_lr * scale), n_aux_channels)
                  if n_aux_channels > 0 else None)
     return DSModel(module, f'rec{backbone_block}_{upsampling}',
@@ -186,7 +186,8 @@ def recnet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
                time_window, n_channels_out=1, n_filters=8, n_blocks=6,
                normalization=None, dropout_rate=0, dropout_variant=None,
                attention=False, activation='relu', output_activation=None,
-               localcon_layer=False, dtype=jnp.float32):
+               localcon_layer=False, output_attention=True,
+               dtype=jnp.float32):
     """Spatio-temporal pre-upsampled network
     (reference factory: dl4ds/models/spt_preups.py:12)."""
     backbone_block = checkarg_backbone(backbone_block)
@@ -199,7 +200,7 @@ def recnet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
         dropout_rate=dropout_rate, dropout_variant=dropout_variant,
         attention=attention, activation=activation,
         output_activation=output_activation, localcon_layer=localcon_layer,
-        dtype=dtype)
+        output_attention=output_attention, dtype=dtype)
     aux_shape = ((h_hr, w_hr, n_aux_channels) if n_aux_channels > 0 else None)
     return DSModel(module, f'rec{backbone_block}_pin',
                    (time_window, h_hr, w_hr, n_channels), aux_shape)

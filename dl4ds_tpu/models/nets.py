@@ -419,6 +419,9 @@ class RecNetPostupsampling(nn.Module):
     output_activation: Optional[str] = None
     rc_interpolation: str = 'bilinear'
     localcon_layer: bool = False
+    # global channel attention in the output head (reference parity);
+    # False makes halo-tiled inference exact (same knob as the spatial nets)
+    output_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -462,7 +465,8 @@ class RecNetPostupsampling(nn.Module):
                             name='TransitionLast')(x, training)
         x = ConvBlock(self.n_filters, activation=None,
                       dropout_rate=self.dropout_rate,
-                      normalization=self.normalization, attention=True,
+                      normalization=self.normalization,
+                      attention=self.output_attention,
                       dtype=self.dtype)(x, training)
         x = ConvBlock(self.n_channels_out,
                       activation=self.output_activation, dropout_rate=0.0,
@@ -486,6 +490,8 @@ class RecNetPIN(nn.Module):
     activation: Optional[str] = 'relu'
     output_activation: Optional[str] = None
     localcon_layer: bool = False
+    # see RecNetPostupsampling.output_attention
+    output_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -513,7 +519,8 @@ class RecNetPIN(nn.Module):
                             name='TransitionLast')(x, training)
         x = ConvBlock(self.n_filters, activation=None,
                       dropout_rate=self.dropout_rate,
-                      normalization=self.normalization, attention=True,
+                      normalization=self.normalization,
+                      attention=self.output_attention,
                       dtype=self.dtype)(x, training)
         x = ConvBlock(self.n_channels_out,
                       activation=self.output_activation, dropout_rate=0.0,

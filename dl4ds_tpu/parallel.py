@@ -42,14 +42,16 @@ def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
 
 def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
                   batch_size=8, mesh=None):
-    """Tiled inference over [B, h, w, C] input (LR for post-upsampling
-    models; HR-sized for 'pin').
+    """Tiled inference over [B, h, w, C] or spatio-temporal
+    [B, T, h, w, C] input (LR for post-upsampling models; HR-sized for
+    'pin').
 
-    Returns [B, h*s, w*s, C_out] where s is the model's output scale
+    Returns [B(,T), h*s, w*s, C_out] where s is the model's output scale
     (1 for 'pin').
     """
     x = jnp.asarray(x, jnp.float32)
-    b, h, w, c = x.shape
+    b = x.shape[0]
+    h, w = x.shape[-3], x.shape[-2]
     upsampling = model.name.split('_')[-1]
     scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
         else 1
@@ -63,7 +65,7 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
     s_aux = None
     if aux is not None:
         aux = jnp.asarray(aux, jnp.float32)
-        s_aux = aux.shape[1] // h
+        s_aux = aux.shape[-3] // h
 
     windows, aux_windows, placements = [], [], []
     for ty in range(n_ty):
@@ -72,9 +74,9 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
             y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
             wy0 = min(max(y0 - halo, 0), h - t_in_y)
             wx0 = min(max(x0 - halo, 0), w - t_in_x)
-            windows.append(x[:, wy0:wy0 + t_in_y, wx0:wx0 + t_in_x, :])
+            windows.append(x[..., wy0:wy0 + t_in_y, wx0:wx0 + t_in_x, :])
             if aux is not None:
-                windows_aux = aux[:, wy0 * s_aux:(wy0 + t_in_y) * s_aux,
+                windows_aux = aux[..., wy0 * s_aux:(wy0 + t_in_y) * s_aux,
                                   wx0 * s_aux:(wx0 + t_in_x) * s_aux, :]
                 aux_windows.append(windows_aux)
             # where the tile region sits inside the window, and in the output
@@ -110,12 +112,13 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
         out_tiles = np.concatenate(outs, axis=0)
 
     c_out = out_tiles.shape[-1]
-    full = np.zeros((b, h * scale, w * scale, c_out), np.float32)
+    full = np.zeros((b, *out_tiles.shape[1:-3], h * scale, w * scale,
+                     c_out), np.float32)
     for k, (y0, x0, ty_len, tx_len, oy, ox) in enumerate(placements):
         blk = out_tiles[k * b:(k + 1) * b]
-        full[:, y0 * scale:(y0 + ty_len) * scale,
+        full[..., y0 * scale:(y0 + ty_len) * scale,
              x0 * scale:(x0 + tx_len) * scale, :] = \
-            blk[:, oy * scale:(oy + ty_len) * scale,
+            blk[..., oy * scale:(oy + ty_len) * scale,
                 ox * scale:(ox + tx_len) * scale, :]
     return full
 

@@ -245,3 +245,40 @@ def test_tiled_with_aux_input(rng):
                             halo=receptive_field_radius(1))
     assert y_tiled.shape == y_full.shape
     np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_tiled_matches_untiled_spatiotemporal(rng):
+    """5-D [B,T,h,w,C] tiling: the per-tile ConvLSTM sees the same halo
+    context as the full grid — exact for attention-free models."""
+    from dl4ds_tpu.models import recnet_postupsampling
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(16, 16),
+                                  time_window=3, n_filters=4, n_blocks=1,
+                                  attention=False, output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((2, 3, 48, 48, 1)).astype('float32')
+    y_full = np.asarray(model.module.apply(variables, jnp.asarray(x), None,
+                                           training=False))
+    halo = receptive_field_radius(1)
+    y_tiled = predict_tiled(model, variables, x, tile=16, halo=halo)
+    assert y_tiled.shape == y_full.shape == (2, 3, 96, 96, 1)
+    np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
+
+
+def test_predict_tile_routing_spatiotemporal(rng):
+    """predict(tile=) handles spatio-temporal inputs (5-D window batch)
+    and matches plain predict for attention-free models."""
+    from dl4ds_tpu.models import recnet_postupsampling
+    model = recnet_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                  n_aux_channels=0, lr_size=(12, 12),
+                                  time_window=3, n_filters=4, n_blocks=1,
+                                  attention=False, output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((8, 24, 24, 1)).astype('float32')
+    y_plain = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                          time_window=3)
+    y_tiled = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                          time_window=3, tile=8,
+                          halo=receptive_field_radius(1))
+    assert y_tiled.shape == y_plain.shape
+    np.testing.assert_allclose(y_tiled, y_plain, atol=1e-4)
