@@ -378,7 +378,17 @@ def _enable_compile_cache():
         pass
 
 
+def _maybe_force_cpu():
+    """DDS_FORCE_CPU=1 -> run on XLA:CPU (the sandbox
+    sitecustomize pins the axon TPU; env vars alone cannot
+    override it)."""
+    if os.environ.get('DDS_FORCE_CPU'):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+
 def main():
+    _maybe_force_cpu()
     _enable_compile_cache()
     if '--cpu-probe' in sys.argv:
         cpu_probe()

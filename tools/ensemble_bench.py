@@ -62,7 +62,17 @@ def measure(n_members, steps_per_chunk=10):
     return ms
 
 
+def _maybe_force_cpu():
+    """DDS_FORCE_CPU=1 -> run on XLA:CPU (the sandbox
+    sitecustomize pins the axon TPU; env vars alone cannot
+    override it)."""
+    if os.environ.get('DDS_FORCE_CPU'):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+
 def main():
+    _maybe_force_cpu()
     print(f'platform: {jax.devices()[0].device_kind}', flush=True)
     results = {}
     t1 = measure(1)

@@ -128,7 +128,17 @@ def model_level(batch=16, lr=64, width=64, blocks=6):
     return results
 
 
+def _maybe_force_cpu():
+    """DDS_FORCE_CPU=1 -> run on XLA:CPU (the sandbox
+    sitecustomize pins the axon TPU; env vars alone cannot
+    override it)."""
+    if os.environ.get('DDS_FORCE_CPU'):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+
 def main():
+    _maybe_force_cpu()
     print(f'platform: {jax.devices()[0].device_kind}', flush=True)
     out = {}
     mm_flops = 2 * N ** 3
