@@ -798,6 +798,13 @@ class HostStreamer:
     host (costs one extra dataset-sized host allocation; crop-exact parity
     with the device tier). For datasets that fit in HBM prefer
     `BatchSynthesizer` (no host round-trip at all).
+
+    Disk tier: `array` may be a read-only `np.memmap`
+    (`np.load(path, mmap_mode='r')`) — a contiguous-float32 mapping is
+    kept as a VIEW (no RAM copy), the native gather reads through the
+    mapping's pages, and only patches ever materialize: datasets larger
+    than host RAM stream straight from disk (implicit post-ups pairs;
+    'pin' needs the dataset-sized `lr_pre` precompute).
     """
 
     def __init__(self, array, upsampling, scale, batch_size, patch_size=None,

@@ -202,3 +202,35 @@ def test_hoststreamer_early_exit_stops_producer(rng):
             break
         time.sleep(0.05)
     assert not alive, f'producer thread leaked: {alive}'
+
+
+def test_host_streamer_memmap_disk_tier(tmp_path, rng):
+    """Datasets larger than host RAM: HostStreamer accepts a read-only
+    np.memmap (np.load(mmap_mode='r')) without copying it into RAM —
+    the native gather/crop reads through the mapping, so only patches
+    ever materialize. This is the disk tier of the pipeline."""
+    import dl4ds_tpu as dds
+
+    data = rng.standard_normal((40, 32, 32, 1)).astype('float32')
+    path = tmp_path / 'dataset.npy'
+    np.save(path, data)
+    mm = np.load(path, mmap_mode='r')
+
+    from dl4ds_tpu.dataloader import HostStreamer
+    hs = HostStreamer(mm, upsampling='spc', scale=4, batch_size=4,
+                      patch_size=16, seed=0)
+    # no RAM copy: the streamer's array must alias the memmap's buffer
+    assert hs.array.base is mm or hs.array is mm
+    batch = next(iter(hs.epochs(n_epochs=1, steps=2)))
+    assert batch['hr'].shape == (4, 16, 16, 1)
+    assert np.isfinite(batch['hr']).all()
+
+    # end-to-end: train from the memmapped dataset (streaming tier)
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', data_train=mm,
+        data_val=data[:8], data_test=data[:8], scale=4, patch_size=16,
+        batch_size=4, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, loss='mae', n_filters=4, n_blocks=1, save=False,
+        verbose=False, data_in_hbm=False)
+    tr.run()
+    assert np.isfinite(tr.test_loss)
