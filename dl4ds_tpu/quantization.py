@@ -128,7 +128,7 @@ def _requant_scale(x_scale, w_scale, eqn):
 
 
 def quantize_forward(model, variables, calibration, calibration_aux=None,
-                     mode='int8'):
+                     mode='int8', calibration_quantile=None):
     """Build a quantized serving forward for any `DSModel`.
 
     Args:
@@ -141,6 +141,10 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
       mode: 'int8' (s8 x s8 -> s32 convs, activation + weight
         quantization) or 'weight-only' (int8 weights dequantized to
         float at each site; float conv math, no activation clipping).
+      calibration_quantile: None -> absmax calibration. A value like
+        0.999 clips each site's range at that quantile of |activation|
+        instead — robust to outliers (the few clipped values saturate at
+        +-127 while the other 8-bit codes resolve the bulk finer).
 
     Returns a `QuantizedForward`; call it like the model
     (`qf(x[, aux])`), jit-compatible. The replayed program is fixed to
@@ -150,6 +154,9 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     if mode not in ('int8', 'weight-only'):
         raise ValueError(f"mode must be 'int8' or 'weight-only', got "
                          f'{mode!r}')
+    if calibration_quantile is not None and not (
+            0.5 < calibration_quantile <= 1.0):
+        raise ValueError('calibration_quantile must be in (0.5, 1.0]')
     calibration = jnp.asarray(calibration, jnp.float32)
     has_aux = model.aux_shape is not None
     if has_aux and calibration_aux is None:
@@ -180,7 +187,10 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
 
     def record(eqn, invals):
         x, w = invals
-        act_absmax.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
+        a = jnp.abs(x.astype(jnp.float32))
+        stat = (jnp.max(a) if calibration_quantile is None
+                else jnp.quantile(a.ravel(), calibration_quantile))
+        act_absmax.append(stat)
         subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
         return eqn.primitive.bind(*subfuns, x, w, **bind_params)
 
