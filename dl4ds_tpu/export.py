@@ -25,7 +25,8 @@ __all__ = ['export_forward', 'save_serving_artifact',
            'load_serving_artifact']
 
 
-def export_forward(model, variables, batch='poly', platforms=None):
+def export_forward(model, variables, batch='poly', platforms=None,
+                   spatial_size=None):
     """Export the model's inference forward as a `jax.export.Exported`.
 
     Args:
@@ -42,6 +43,12 @@ def export_forward(model, variables, batch='poly', platforms=None):
         batch='poly' the symbolic batch dim cannot be kernel-tiled, so
         spatio-temporal exports always embed the XLA recurrence (pass a
         static `batch` to serve the fused kernel).
+      spatial_size: optional (h, w) overriding the model's trace-time
+        spatial dims — the models are fully convolutional, so a
+        PATCH-trained model exports a FULL-GRID serving artifact by
+        passing the serving grid size here (the aux input is scaled to
+        match). Models with a LocalizedConvBlock are shape-bound and
+        reject the override at trace time.
 
     Returns the `Exported`; call it with `exp.call(x[, aux])`, serialize
     with `exp.serialize()`.
@@ -53,9 +60,19 @@ def export_forward(model, variables, batch='poly', platforms=None):
         (b,) = jexport.symbolic_shape('b')
     else:
         b = int(batch)
-    x_spec = jax.ShapeDtypeStruct((b, *model.input_shape), dtype)
-    aux_spec = (jax.ShapeDtypeStruct((b, *model.aux_shape), dtype)
-                if model.aux_shape is not None else None)
+    in_shape = tuple(model.input_shape)
+    aux_shape = (tuple(model.aux_shape)
+                 if model.aux_shape is not None else None)
+    if spatial_size is not None:
+        h, w = map(int, spatial_size)
+        in_shape = (*in_shape[:-3], h, w, in_shape[-1])
+        if aux_shape is not None:
+            # aux lives on the HR(-output) grid; keep its scale factor
+            s = model.aux_shape[-3] // model.input_shape[-3]
+            aux_shape = (h * s, w * s, aux_shape[-1])
+    x_spec = jax.ShapeDtypeStruct((b, *in_shape), dtype)
+    aux_spec = (jax.ShapeDtypeStruct((b, *aux_shape), dtype)
+                if aux_shape is not None else None)
 
     kwargs = {} if platforms is None else {'platforms': list(platforms)}
     if aux_spec is not None:
@@ -69,19 +86,27 @@ def export_forward(model, variables, batch='poly', platforms=None):
 
 
 def save_serving_artifact(model, variables, path, batch='poly',
-                          platforms=None):
+                          platforms=None, spatial_size=None):
     """Export + serialize to `path/` (forward.jaxexport + meta JSON).
 
-    Returns the on-disk size of the artifact in bytes.
+    `spatial_size=(h, w)` exports a full-grid artifact from a
+    patch-trained model (see `export_forward`). Returns the on-disk size
+    of the artifact in bytes.
     """
-    exp = export_forward(model, variables, batch=batch, platforms=platforms)
+    exp = export_forward(model, variables, batch=batch, platforms=platforms,
+                         spatial_size=spatial_size)
     blob = exp.serialize()
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, 'forward.jaxexport'), 'wb') as fh:
         fh.write(blob)
+    in_shape = list(model.input_shape)
+    if spatial_size is not None:
+        in_shape = (in_shape[:-3]
+                    + [int(spatial_size[0]), int(spatial_size[1])]
+                    + in_shape[-1:])
     meta = {
         'name': model.name,
-        'input_shape': list(model.input_shape),
+        'input_shape': in_shape,
         'aux_shape': (list(model.aux_shape)
                       if model.aux_shape is not None else None),
         'batch': batch,

@@ -161,15 +161,24 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     has_aux = model.aux_shape is not None
     if has_aux and calibration_aux is None:
         raise ValueError('model takes an aux input; pass calibration_aux')
-    if calibration.shape[1:] != tuple(model.input_shape):
+    # the models are fully convolutional: any spatial size works (a
+    # patch-trained model quantizes for full-grid serving by calibrating
+    # on full grids); rank, channel count (and T for 5-D) must match
+    mshape = tuple(model.input_shape)
+    cshape = calibration.shape[1:]
+    if (len(cshape) != len(mshape) or cshape[-1] != mshape[-1]
+            or cshape[:-3] != mshape[:-3]):
         raise ValueError(
-            f'calibration shape {calibration.shape[1:]} != model input '
-            f'shape {tuple(model.input_shape)}')
-    if has_aux and (np.shape(calibration_aux)[1:]
-                    != tuple(model.aux_shape)):
-        raise ValueError(
-            f'calibration_aux shape {np.shape(calibration_aux)[1:]} != '
-            f'model aux shape {tuple(model.aux_shape)}')
+            f'calibration shape {cshape} incompatible with model input '
+            f'shape {mshape} (rank, channels and time dims must match; '
+            f'spatial dims are free)')
+    if has_aux:
+        ashape = np.shape(calibration_aux)[1:]
+        if (len(ashape) != len(model.aux_shape)
+                or ashape[-1] != model.aux_shape[-1]):
+            raise ValueError(
+                f'calibration_aux shape {ashape} incompatible with model '
+                f'aux shape {tuple(model.aux_shape)}')
 
     def fwd(x, aux):
         return model.module.apply(variables, x, aux, training=False)

@@ -80,3 +80,23 @@ def test_export_poly_batch_spatiotemporal_tpu_gate(rng, tmp_path,
                              platforms=['cpu'])
     np.testing.assert_allclose(np.asarray(exp.call(jnp.asarray(x))),
                                y_direct, atol=1e-6)
+
+
+def test_export_spatial_size_override_full_grid(rng):
+    """A patch-trained model exports a FULL-GRID artifact via
+    spatial_size= (the networks are fully convolutional)."""
+    from dl4ds_tpu.models import net_postupsampling
+    from dl4ds_tpu.export import export_forward
+
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=1, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    exp = export_forward(model, variables, batch=2, spatial_size=(12, 12))
+    x = rng.standard_normal((2, 12, 12, 1)).astype('float32')
+    aux = rng.standard_normal((2, 24, 24, 1)).astype('float32')
+    y = np.asarray(exp.call(jnp.asarray(x), jnp.asarray(aux)))
+    y_ref = np.asarray(model.module.apply(variables, jnp.asarray(x),
+                                          jnp.asarray(aux), training=False))
+    assert y.shape == (2, 24, 24, 1)
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)

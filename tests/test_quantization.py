@@ -101,7 +101,10 @@ def test_bad_mode_and_shape_errors():
     with pytest.raises(ValueError, match='mode'):
         quantize_forward(model, variables, x, mode='int4')
     with pytest.raises(ValueError, match='calibration shape'):
-        quantize_forward(model, variables, _calib((2, 9, 9, 1)))
+        quantize_forward(model, variables, _calib((2, 8, 8, 3)))
+    # spatial dims are free (fully convolutional): 12x12 calibrates fine
+    assert quantize_forward(model, variables,
+                            _calib((2, 12, 12, 1))).n_sites >= 1
 
 
 def test_remat_backbone_convs_found():
