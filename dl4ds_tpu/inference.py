@@ -170,7 +170,8 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             interpolation='inter_area', batch_size=64, scaler=None,
             save_path=None, save_fname='y_hat.npy', return_lr=False,
             device='TPU', mesh=None, pad_to_multiple=None, tile=None,
-            halo=32, spatial_mesh=None):
+            halo=32, spatial_mesh=None, quantize=None,
+            calibration_quantile=None):
     """Super-resolve/downscale `array` with a trained model
     (reference: dl4ds/inference.py:109-255). With `mesh`, samples are
     processed in global batches of `batch_size * mesh.size` sharded over the
@@ -196,8 +197,18 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     exchange (`parallel.predict_spatial_sharded`) — for grids whose
     activations exceed one chip's HBM. Both are bit-exact vs untiled
     inference for attention-free models (`attention=False,
-    output_attention=False`); spatial models only."""
+    output_attention=False`); spatial models only.
+
+    Int8 serving: `quantize='int8'` (or 'weight-only') runs the forward
+    through `quantization.quantize_forward`, calibrated on the first
+    device batch of THIS input (optionally with `calibration_quantile`) —
+    every conv executes s8 x s8 -> s32 on the MXU. Plain batched path
+    only (not combinable with mesh/tile/spatial_mesh)."""
     timing = Timing()
+    if quantize is not None and (mesh is not None or tile is not None
+                                 or spatial_mesh is not None):
+        raise ValueError('quantize= is only supported on the plain batched '
+                         'path (without mesh/tile/spatial_mesh)')
 
     model, variables = _resolve_model(trainer)
     upsampling = model.name.split('_')[-1]
@@ -237,6 +248,25 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     out_hw = None
     if pad_to_multiple is not None:
         x, aux, out_hw = _pad_spatial_to_multiple(x, aux, pad_to_multiple)
+
+    if quantize is not None:
+        from .quantization import quantize_forward
+        n = x.shape[0]
+        bs = min(batch_size, n)
+        calib = x[:bs]
+        if calib.shape[0] < bs:   # unreachable, defensive
+            calib = jnp.concatenate(
+                [calib, jnp.repeat(calib[-1:], bs - calib.shape[0], 0)], 0)
+        qf = quantize_forward(
+            model, variables, calib,
+            calibration_aux=(aux[:bs] if aux is not None else None),
+            mode=quantize, calibration_quantile=calibration_quantile)
+        apply_q = jax.jit(lambda v, xb, ab: qf(xb, ab)
+                          if ab is not None else qf(xb))
+        out = _batched_apply(apply_q, variables, x, aux, bs)
+        out = _crop_padded(out, x, out_hw)
+        return _finalize_predict(out, batch_lr, time_window, scaler,
+                                 save_path, save_fname, return_lr, timing)
 
     apply = _cached_jit_apply(model)
     if mesh is not None:

@@ -191,3 +191,25 @@ def test_int8_on_bf16_model():
     y_q = qf(x)
     assert y_q.dtype == y_f.dtype
     assert _rel_err(y_q, y_f) < 0.1
+
+
+def test_predict_quantize_kwarg(rng):
+    """predict(quantize='int8') serves the quantized forward, calibrated
+    on the first device batch of the given input."""
+    import dl4ds_tpu as dds
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = rng.standard_normal((5, 8, 8, 1)).astype('float32')
+    y_f32 = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                        batch_size=2)
+    y_q = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                      batch_size=2, quantize='int8',
+                      calibration_quantile=0.999)
+    assert y_q.shape == y_f32.shape == (5, 16, 16, 1)
+    assert _rel_err(y_q, y_f32) < 0.2   # random-init net, 2-sample calib
+
+    with pytest.raises(ValueError, match='plain batched path'):
+        dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                    quantize='int8', tile=8)
