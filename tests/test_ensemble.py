@@ -180,3 +180,23 @@ def test_ensemble_axis_size_field():
     _, _, losses = es.step(stacked, es.init_opt(stacked), x, y,
                            jax.random.PRNGKey(0))
     assert losses.shape == (8,)
+
+
+def test_ensemble_save_load_roundtrip(tmp_path, rng):
+    """A stacked ensemble variable tree persists through save_model /
+    load_model (orbax handles any pytree) and still serves uncertainty."""
+    from dl4ds_tpu.models import net_postupsampling, save_model, load_model
+    from dl4ds_tpu.parallel import init_ensemble, predict_ensemble
+
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    stacked = init_ensemble(model, 4, seed=0)
+    save_model(model, stacked, str(tmp_path / 'ens'))
+    model2, stacked2 = load_model(str(tmp_path / 'ens'))
+    for a, b in zip(jax.tree.leaves(stacked), jax.tree.leaves(stacked2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = rng.standard_normal((2, 8, 8, 1)).astype('float32')
+    mean, std = predict_ensemble(model2, stacked2, x)
+    assert mean.shape == (2, 16, 16, 1) and std.shape == mean.shape
+    assert np.all(np.asarray(std) >= 0)
