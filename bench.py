@@ -349,12 +349,20 @@ def accuracy_bench(quick=False):
 
     model_rmse, model_ssim = _metrics(y_hat.astype('float32'))
     bic_rmse, bic_ssim = _metrics(y_bicubic.astype('float32'))
+    # int8 PTQ serving of the SAME trained model (predict(quantize=)):
+    # how much accuracy does the 2x-MXU-rate path give up on a real task?
+    y_int8 = dds.predict(trainer, test, scale=SCALE, array_in_hr=True,
+                         static_vars=[topo], quantize='int8',
+                         calibration_quantile=0.999)
+    int8_rmse, int8_ssim = _metrics(np.asarray(y_int8, 'float32'))
     artifact = {
         'workload': 'resnet_spc 4x + HR static topography '
                     f'({n} frames, {size}px, {epochs} epochs)',
         'platform': jax.devices()[0].platform,
         'test_loss_mae': round(float(trainer.test_loss), 6),
         'model': {'rmse': round(model_rmse, 6), 'ssim': round(model_ssim, 6)},
+        'model_int8': {'rmse': round(int8_rmse, 6),
+                       'ssim': round(int8_ssim, 6)},
         'bicubic': {'rmse': round(bic_rmse, 6), 'ssim': round(bic_ssim, 6)},
         'rmse_improvement': round(bic_rmse / model_rmse, 3),
     }
