@@ -100,15 +100,19 @@ def save_serving_artifact(model, variables, path, batch='poly',
     with open(os.path.join(path, 'forward.jaxexport'), 'wb') as fh:
         fh.write(blob)
     in_shape = list(model.input_shape)
+    aux_shape = (list(model.aux_shape)
+                 if model.aux_shape is not None else None)
     if spatial_size is not None:
-        in_shape = (in_shape[:-3]
-                    + [int(spatial_size[0]), int(spatial_size[1])]
-                    + in_shape[-1:])
+        h, w = int(spatial_size[0]), int(spatial_size[1])
+        in_shape = in_shape[:-3] + [h, w] + in_shape[-1:]
+        if aux_shape is not None:
+            # keep the meta consistent with the exported aux signature
+            sf = model.aux_shape[-3] // model.input_shape[-3]
+            aux_shape = [h * sf, w * sf, aux_shape[-1]]
     meta = {
         'name': model.name,
         'input_shape': in_shape,
-        'aux_shape': (list(model.aux_shape)
-                      if model.aux_shape is not None else None),
+        'aux_shape': aux_shape,
         'batch': batch,
         'platforms': list(exp.platforms),
         'jax_version': jax.__version__,

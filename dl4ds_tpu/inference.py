@@ -30,7 +30,7 @@ class Predictor:
                  batch_size=64, scaler=None, save_path=None,
                  save_fname='y_hat.npy', return_lr=False, device='TPU',
                  mesh=None, pad_to_multiple=None, tile=None, halo=32,
-                 spatial_mesh=None):
+                 spatial_mesh=None, quantize=None, calibration_quantile=None):
         self.trainer = trainer
         self.array = array
         self.scale = scale
@@ -51,6 +51,8 @@ class Predictor:
         self.tile = tile
         self.halo = halo
         self.spatial_mesh = spatial_mesh
+        self.quantize = quantize
+        self.calibration_quantile = calibration_quantile
 
     def run(self):
         return predict(
@@ -63,7 +65,9 @@ class Predictor:
             save_fname=self.save_fname, return_lr=self.return_lr,
             device=self.device, mesh=self.mesh,
             pad_to_multiple=self.pad_to_multiple, tile=self.tile,
-            halo=self.halo, spatial_mesh=self.spatial_mesh)
+            halo=self.halo, spatial_mesh=self.spatial_mesh,
+            quantize=self.quantize,
+            calibration_quantile=self.calibration_quantile)
 
 
 def _resolve_model(trainer):
@@ -253,10 +257,7 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         from .quantization import quantize_forward
         n = x.shape[0]
         bs = min(batch_size, n)
-        calib = x[:bs]
-        if calib.shape[0] < bs:   # unreachable, defensive
-            calib = jnp.concatenate(
-                [calib, jnp.repeat(calib[-1:], bs - calib.shape[0], 0)], 0)
+        calib = x[:bs]          # bs = min(batch_size, n) <= n by design
         qf = quantize_forward(
             model, variables, calib,
             calibration_aux=(aux[:bs] if aux is not None else None),

@@ -33,11 +33,21 @@ __all__ = ['predict_tiled', 'predict_spatial_sharded',
            'init_ensemble', 'make_ensemble_step', 'predict_ensemble']
 
 
-def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6):
+def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6,
+                           time_window=None):
     """Conservative receptive-field radius estimate for the zoo's backbones:
-    each KxK conv adds (K-1)/2 px per side."""
+    each KxK conv adds (K-1)/2 px per side.
+
+    Spatio-temporal models: pass `time_window` — each ConvLSTM layer's
+    recurrence convolves the hidden state once per timestep, so the
+    spatial radius grows by (K-1)/2 * (T-1) per recurrent layer on top
+    of the input convs (the backbone has 2 ConvLSTM layers per block,
+    stem included: 2*(n_blocks+1) recurrent layers)."""
     per_conv = (ks - 1) // 2
-    return per_conv * (n_blocks * convs_per_block + extra)
+    r = per_conv * (n_blocks * convs_per_block + extra)
+    if time_window is not None and time_window > 1:
+        r += per_conv * (time_window - 1) * 2 * (n_blocks + 1)
+    return r
 
 
 def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,

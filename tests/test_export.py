@@ -100,3 +100,23 @@ def test_export_spatial_size_override_full_grid(rng):
                                           jnp.asarray(aux), training=False))
     assert y.shape == (2, 24, 24, 1)
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_export_meta_aux_shape_scales_with_spatial_size(tmp_path, rng):
+    """serving_meta.json must describe the exported program's ACTUAL aux
+    signature when spatial_size overrides the trace shape."""
+    from dl4ds_tpu.models import net_postupsampling
+    from dl4ds_tpu.export import save_serving_artifact, load_serving_artifact
+
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=1, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    save_serving_artifact(model, variables, str(tmp_path), batch=2,
+                          spatial_size=(12, 12))
+    call, meta = load_serving_artifact(str(tmp_path))
+    assert meta['input_shape'] == [12, 12, 1]
+    assert meta['aux_shape'] == [24, 24, 1]
+    x = rng.standard_normal((2, *meta['input_shape'])).astype('float32')
+    aux = rng.standard_normal((2, *meta['aux_shape'])).astype('float32')
+    assert np.asarray(call(x, aux)).shape == (2, 24, 24, 1)

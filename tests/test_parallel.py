@@ -259,7 +259,7 @@ def test_tiled_matches_untiled_spatiotemporal(rng):
     x = rng.standard_normal((2, 3, 48, 48, 1)).astype('float32')
     y_full = np.asarray(model.module.apply(variables, jnp.asarray(x), None,
                                            training=False))
-    halo = receptive_field_radius(1)
+    halo = receptive_field_radius(1, time_window=3)   # recurrence grows RF
     y_tiled = predict_tiled(model, variables, x, tile=16, halo=halo)
     assert y_tiled.shape == y_full.shape == (2, 3, 96, 96, 1)
     np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
@@ -279,6 +279,6 @@ def test_predict_tile_routing_spatiotemporal(rng):
                           time_window=3)
     y_tiled = dds.predict((model, variables), x, scale=2, array_in_hr=False,
                           time_window=3, tile=8,
-                          halo=receptive_field_radius(1))
+                          halo=receptive_field_radius(1, time_window=3))
     assert y_tiled.shape == y_plain.shape
     np.testing.assert_allclose(y_tiled, y_plain, atol=1e-4)

@@ -49,6 +49,13 @@ def run_step(name, cmd, timeout):
                 break
             except ValueError:
                 continue
+        if parsed is None and name == 'suite':
+            # bench_suite.py reports via BENCH_SUITE.json, not stdout
+            try:
+                with open(os.path.join(ROOT, 'BENCH_SUITE.json')) as fh:
+                    parsed = json.load(fh)
+            except (OSError, ValueError):
+                pass
         return {'ok': res.returncode == 0 and parsed is not None,
                 'rc': res.returncode,
                 'json': parsed,

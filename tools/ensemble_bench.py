@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import optax
 
-from bench import slope_time
+from bench import slope_time, _maybe_force_cpu
 from dl4ds_tpu.models import net_postupsampling
 from dl4ds_tpu.parallel import init_ensemble, make_ensemble_step
 
@@ -60,15 +60,6 @@ def measure(n_members, steps_per_chunk=10):
     sec_per_chunk, _ = slope_time(chunk, carry)
     ms = 1e3 * sec_per_chunk / steps_per_chunk
     return ms
-
-
-def _maybe_force_cpu():
-    """DDS_FORCE_CPU=1 -> run on XLA:CPU (the sandbox
-    sitecustomize pins the axon TPU; env vars alone cannot
-    override it)."""
-    if os.environ.get('DDS_FORCE_CPU'):
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
 
 
 def main():

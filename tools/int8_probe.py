@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from bench import slope_time
+from bench import slope_time, _maybe_force_cpu
 
 N = 4096
 REPS = 8
@@ -105,14 +105,13 @@ def model_level(batch=16, lr=64, width=64, blocks=6):
             fwd = jax.jit(lambda xb: model.module.apply(
                 variables, xb, None, training=False))
 
+        xd = jnp.asarray(x)   # ONE transfer, outside the timed region
         def chunk(t):
-            xb = jnp.asarray(x) + t
             y = None
             for _ in range(4):
-                y = fwd(xb)
+                y = fwd(xd + t)
                 # float chain scalar (XLA does not fold float *0.0)
                 t = jnp.mean(y).astype(jnp.float32) * 0.0
-                xb = jnp.asarray(x) + t
             return t, y
 
         t0 = jnp.float32(0.0)
@@ -126,15 +125,6 @@ def model_level(batch=16, lr=64, width=64, blocks=6):
         results[f'int8_w{width}_grids_per_sec']
         / results[f'bf16_w{width}_grids_per_sec'], 3)
     return results
-
-
-def _maybe_force_cpu():
-    """DDS_FORCE_CPU=1 -> run on XLA:CPU (the sandbox
-    sitecustomize pins the axon TPU; env vars alone cannot
-    override it)."""
-    if os.environ.get('DDS_FORCE_CPU'):
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
 
 
 def main():
