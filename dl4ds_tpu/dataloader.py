@@ -113,6 +113,20 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
     hr_y, hr_x = (hr_array.shape[1:3] if is_spatiotemp
                   else hr_array.shape[0:2])
 
+    # Reference-broken configurations (host-compat tier mirrors the
+    # reference byte-for-byte, so it cannot support these): the reference
+    # squeezes the [T, H, W, 1] window to rank-3 before cropping, so
+    # crop_array crops the (time, y) axes — a crash when T < patch_size
+    # and silent time-axis cropping otherwise (dl4ds/dataloader.py:110,
+    # :183, :204). The device tiers handle these correctly.
+    if is_spatiotemp and patch_size is not None and (
+            upsampling == 'pin' or lr_is_given or predictors is not None):
+        raise ValueError(
+            'spatio-temporal patch cropping with pin / explicit LR / '
+            'predictors is a reference-broken configuration in the '
+            'host-compat tier (the reference crops the squeezed [t, y, x] '
+            'stack as [y, x, c]); use BatchSynthesizer or HostStreamer')
+
     crop_y = crop_x = None
     patch_size_lr = None
     lr_array_predictors = None
@@ -143,7 +157,9 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
 
         if predictors is not None:
             predictors = np.asarray(predictors)
-            if predictors.shape[1] != lr_y or predictors.shape[2] != lr_x:
+            pred_hw = (predictors.shape[1:3] if predictors.ndim == 4
+                       else predictors.shape[0:2])
+            if pred_hw != (lr_y, lr_x):
                 predictors = resize_array(predictors, (lr_x, lr_y),
                                           interpolation)
             predictors = resize_array(predictors, (hr_x, hr_y), interpolation)
@@ -169,7 +185,9 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
 
         if predictors is not None:
             predictors = np.asarray(predictors)
-            if predictors.shape[1] != lr_y or predictors.shape[2] != lr_x:
+            pred_hw = (predictors.shape[1:3] if predictors.ndim == 4
+                       else predictors.shape[0:2])
+            if pred_hw != (lr_y, lr_x):
                 lr_array_predictors = resize_array(predictors, (lr_x, lr_y),
                                                    interpolation)
             else:
@@ -222,6 +240,21 @@ def create_pair_hr_lr(array, array_lr, upsampling, scale, patch_size,
     is_postups = upsampling in POSTUPSAMPLING_METHODS
     static_array_hr = []
     if static_vars is not None:
+        if (is_postups and patch_size is not None
+                and (lr_is_given or predictors is not None)):
+            # reference-parity BUG kept for golden equivalence: in these
+            # branches crop_y/crop_x are LR-grid origins, but the reference
+            # crops the HR statics with them (dl4ds/dataloader.py:54 uses
+            # crop_y from the LR crop while crop_y_hr exists) — the static
+            # channels are spatially misaligned with the HR patch. The
+            # device tiers (BatchSynthesizer/HostStreamer) align correctly.
+            import warnings
+            warnings.warn(
+                'host-compat tier: static_vars patches are cropped at '
+                'LR-coordinate origins on the HR grid in this configuration '
+                '(reference-parity bug, dl4ds/dataloader.py:54); use '
+                'BatchSynthesizer or HostStreamer for aligned statics',
+                RuntimeWarning, stacklevel=2)
         for var in static_vars:
             var = np.asarray(var)
             if patch_size is not None:
@@ -382,6 +415,8 @@ class DataGenerator:
             self.predictors = np.concatenate(
                 [_values(p) for p in self.predictors], axis=-1)
         self.interpolation = interpolation
+        if repeat is not None and not isinstance(repeat, int):
+            raise TypeError('`repeat` must be an int (or None)')
         self.repeat = repeat
 
         if self.time_window is not None:
@@ -494,7 +529,16 @@ class BatchSynthesizer:
         if patch_size is not None:
             if self.is_postups and patch_size % scale != 0:
                 raise ValueError('`patch_size` must be divisible by `scale`')
+            if patch_size > min(self.hr_y, self.hr_x):
+                raise ValueError(
+                    f'patch_size={patch_size} exceeds the HR grid '
+                    f'({self.hr_y}x{self.hr_x}) — crops would be silently '
+                    f'zero-padded')
             self.patch_lr = int(patch_size / scale)
+            if self.patch_lr > min(self.lr_y, self.lr_x):
+                raise ValueError(
+                    f'LR patch {self.patch_lr} exceeds the LR grid '
+                    f'({self.lr_y}x{self.lr_x})')
 
         # ---- precompute per-dataset device arrays ---------------------------
         # pin: the interpolated-to-HR LR field is crop-independent, so it is
@@ -528,12 +572,22 @@ class BatchSynthesizer:
         if statics is not None:
             s_hr = jnp.asarray(statics)
             self.static_hr = put(s_hr)
-            if self.is_postups:
+            if patch_size is not None:
+                # patch path recomputes LR statics from each crop; the
+                # full-grid LR resize would be dead weight in HBM
+                self.static_lr = None
+            elif self.is_postups:
                 self.static_lr = put(
                     resize2d(s_hr, (self.lr_y, self.lr_x), interpolation))
             else:
                 self.static_lr = self.static_hr
 
+        if season_ids is not None and len(season_ids) < self.n:
+            # jnp.take clamps out-of-range indices under jit — a short
+            # table would silently reuse the last season
+            raise ValueError(
+                f'season_ids has {len(season_ids)} entries but the sampler '
+                f'draws indices up to {self.n - 1}')
         self.season_ids = (put(jnp.asarray(season_ids, jnp.int32))
                            if season_ids is not None else None)
         self.has_aux = self.n_static > 0 or season_ids is not None
@@ -677,7 +731,7 @@ class BatchSynthesizer:
                                        self.static_hr, xsel, precision=hi)
             else:
                 static_hr = None
-            if self.static_lr is not None:
+            if static_hr is not None:
                 if self.is_postups:
                     static_lr = resize2d(static_hr, (plr, plr),
                                          self.interpolation)
@@ -830,6 +884,11 @@ class HostStreamer:
         if patch_size is not None and self.is_postups \
                 and patch_size % scale != 0:
             raise ValueError('`patch_size` must be divisible by `scale`')
+        if patch_size is not None and patch_size > min(self.hr_y, self.hr_x):
+            raise ValueError(
+                f'patch_size={patch_size} exceeds the HR grid '
+                f'({self.hr_y}x{self.hr_x}) — the native gather would read '
+                f'out of bounds')
         if self.array_lr is not None:
             self.lr_y, self.lr_x = self.array_lr.shape[1:3]
         else:
@@ -856,6 +915,10 @@ class HostStreamer:
 
         self.season_ids = (np.asarray(season_ids, np.int32)
                            if season_ids is not None else None)
+        if self.season_ids is not None and len(self.season_ids) < self.n:
+            raise ValueError(
+                f'season_ids has {len(self.season_ids)} entries but the '
+                f'sampler draws indices up to {self.n - 1}')
         self.has_aux = self.n_static > 0 or self.season_ids is not None
         self._static_hr_dev = None  # device copy for full-grid batches
         self._static_lr_dev = None  # its LR resize, computed once
@@ -995,16 +1058,24 @@ class HostStreamer:
             return False
 
         def producer():
-            for _ in range(n_epochs):
-                perm = self.rng.permutation(self.n)
-                for i in range(steps):
-                    if cancel.is_set():
-                        return
-                    idx = perm[(i * self.batch_size) % self.n:]
-                    idx = np.resize(idx, self.batch_size).astype(np.int64)
-                    if not bounded_put(self._host_batch(idx)):
-                        return
-            bounded_put(stop)
+            try:
+                for _ in range(n_epochs):
+                    perm = self.rng.permutation(self.n)
+                    for i in range(steps):
+                        if cancel.is_set():
+                            return
+                        # wrap AROUND the permutation (like the device
+                        # tier's epoch_indices) — tiling only the tail
+                        # would yield batches of a few repeated samples
+                        pos = np.arange(i * self.batch_size,
+                                        (i + 1) * self.batch_size) % self.n
+                        idx = np.take(perm, pos).astype(np.int64)
+                        if not bounded_put(self._host_batch(idx)):
+                            return
+                bounded_put(stop)
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                # without this the consumer would block on q.get() forever
+                bounded_put(('__producer_error__', exc))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -1013,6 +1084,9 @@ class HostStreamer:
                 item = q.get()
                 if item is stop:
                     break
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] == '__producer_error__'):
+                    raise item[1]
                 yield self._to_device(item)
         finally:
             # consumer done or bailed early: release the producer

@@ -266,3 +266,81 @@ def test_generator_explicit_pairs(rng):
     [blr], [bhr] = gen[0]
     assert blr.shape == (4, 4, 4, 1)
     assert bhr.shape == (4, 16, 16, 1)
+
+
+def test_host_tier_rejects_reference_broken_st_patch_configs(rng):
+    """The reference crops the squeezed [t,y,x] window as [y,x,c] in the
+    pin / explicit-LR / predictors patch branches (crash or silent
+    time-axis cropping) — the host-compat tier refuses cleanly."""
+    from dl4ds_tpu.dataloader import create_pair_hr_lr
+    hr = rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    lr = rng.standard_normal((8, 4, 4, 1)).astype('float32')
+    with pytest.raises(ValueError, match='reference-broken'):
+        create_pair_hr_lr(hr, None, 'pin', 4, patch_size=8)
+    with pytest.raises(ValueError, match='reference-broken'):
+        create_pair_hr_lr(hr, lr, 'spc', 4, patch_size=8)
+    # postups + implicit + no predictors IS supported (reference works too)
+    out = create_pair_hr_lr(hr, None, 'spc', 4, patch_size=8)
+    assert out[0].shape == (8, 8, 8, 1)
+
+
+def test_host_tier_warns_on_reference_statics_misalignment(rng):
+    from dl4ds_tpu.dataloader import create_pair_hr_lr
+    hr = rng.standard_normal((16, 16, 1)).astype('float32')
+    lr = rng.standard_normal((4, 4, 1)).astype('float32')
+    topo = rng.standard_normal((16, 16)).astype('float32')
+    with pytest.warns(RuntimeWarning, match='LR-coordinate origins'):
+        create_pair_hr_lr(hr, lr, 'spc', 4, patch_size=8,
+                          static_vars=[topo])
+
+
+def test_batch_synthesizer_rejects_oversized_patch(rng):
+    from dl4ds_tpu.dataloader import BatchSynthesizer
+    data = rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    with pytest.raises(ValueError, match='exceeds the HR grid'):
+        BatchSynthesizer(data, None, 'spc', 4, batch_size=2, patch_size=32)
+
+
+def test_season_ids_length_validated(rng):
+    from dl4ds_tpu.dataloader import BatchSynthesizer, HostStreamer
+    data = rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    with pytest.raises(ValueError, match='season_ids has'):
+        BatchSynthesizer(data, None, 'spc', 4, batch_size=2,
+                         season_ids=np.zeros(3, np.int32))
+    with pytest.raises(ValueError, match='season_ids has'):
+        HostStreamer(data, 'spc', 4, batch_size=2,
+                     season_ids=np.zeros(3, np.int32))
+
+
+def test_datagen_repeat_must_be_int(rng):
+    from dl4ds_tpu.dataloader import DataGenerator
+    data = rng.standard_normal((8, 16, 16, 1)).astype('float32')
+    with pytest.raises(TypeError, match='repeat'):
+        DataGenerator(data, None, 'resnet', 'spc', 4, batch_size=2,
+                      repeat=2.0)
+
+
+def test_host_streamer_producer_error_propagates(rng):
+    from dl4ds_tpu.dataloader import HostStreamer
+    data = rng.standard_normal((16, 16, 16, 1)).astype('float32')
+    hs = HostStreamer(data, 'spc', 4, batch_size=4, patch_size=8, seed=0)
+
+    def boom(idx):
+        raise RuntimeError('synthetic producer failure')
+    hs._host_batch = boom
+    with pytest.raises(RuntimeError, match='synthetic producer failure'):
+        for _ in hs.epochs(n_epochs=1, steps=2):
+            pass
+
+
+def test_host_streamer_wraps_whole_permutation(rng):
+    """steps > n_batches must wrap around the permutation (distinct
+    samples), not tile the permutation's tail."""
+    from dl4ds_tpu.dataloader import HostStreamer
+    data = (np.arange(10, dtype='float32')[:, None, None, None]
+            * np.ones((1, 16, 16, 1), 'float32'))
+    hs = HostStreamer(data, 'spc', 4, batch_size=8, seed=0)
+    batches = list(hs.epochs(n_epochs=1, steps=3))
+    for b in batches:
+        ids = np.unique(np.asarray(b['hr'][:, 0, 0, 0]).round(3))
+        assert len(ids) == 8    # every batch draws 8 DISTINCT samples
