@@ -33,6 +33,33 @@ __all__ = ['predict_tiled', 'predict_spatial_sharded',
            'init_ensemble', 'make_ensemble_step', 'predict_ensemble']
 
 
+def _output_scale(model):
+    """Output/input spatial ratio from the model's name-suffix contract
+    (models/__init__.py: names end _spc/_rc/_dc/_pin)."""
+    upsampling = model.name.split('_')[-1]
+    return (int(model.module.scale) if upsampling in ('spc', 'rc', 'dc')
+            else 1)
+
+
+def _cached_jit(model, key, make_fn):
+    """Per-model jit cache: repeated predict_* calls reuse the compiled
+    executable instead of paying a retrace+compile per call (minutes
+    through the remote TPU tunnel). Falls back gracefully on frozen
+    wrappers."""
+    cache = getattr(model, '_parallel_jit_cache', None)
+    if cache is None:
+        cache = {}
+        try:
+            model._parallel_jit_cache = cache
+        except Exception:  # noqa: BLE001 — frozen wrapper: no caching
+            pass
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(make_fn())
+        cache[key] = fn
+    return fn
+
+
 def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6,
                            time_window=None):
     """Conservative receptive-field radius estimate for the zoo's backbones:
@@ -62,9 +89,7 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
     x = jnp.asarray(x, jnp.float32)
     b = x.shape[0]
     h, w = x.shape[-3], x.shape[-2]
-    upsampling = model.name.split('_')[-1]
-    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
-        else 1
+    scale = _output_scale(model)
 
     t_in_y = min(h, tile + 2 * halo)
     t_in_x = min(w, tile + 2 * halo)
@@ -96,22 +121,31 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
     aux_tiles = (jnp.concatenate(aux_windows, axis=0) if aux is not None
                  else None)
 
-    apply = jax.jit(lambda v, xb, ab: model.module.apply(
-        v, xb, ab, training=False))
+    apply = _cached_jit(
+        model, 'apply',
+        lambda: lambda v, xb, ab: model.module.apply(v, xb, ab,
+                                                     training=False))
     n_win = tiles.shape[0]
     if mesh is not None:
+        # per-dispatch size: bounded by batch_size windows PER DEVICE (the
+        # whole point of tiling is bounded activation memory), padded by
+        # wrapping indices so it always divides over the 'data' axis
         sharding = NamedSharding(mesh, P('data'))
-        pad_to = -(-n_win // mesh.size) * mesh.size
+        gbs = min(batch_size * mesh.size,
+                  -(-n_win // mesh.size) * mesh.size)
+        pad_to = -(-n_win // gbs) * gbs
         if pad_to != n_win:
-            reps = pad_to - n_win
-            tiles = jnp.concatenate([tiles, tiles[:reps]], axis=0)
+            sel = jnp.arange(pad_to) % n_win
+            tiles = jnp.take(tiles, sel, axis=0)
             if aux_tiles is not None:
-                aux_tiles = jnp.concatenate([aux_tiles, aux_tiles[:reps]],
-                                            axis=0)
-        tiles = jax.device_put(tiles, sharding)
-        if aux_tiles is not None:
-            aux_tiles = jax.device_put(aux_tiles, sharding)
-        out_tiles = np.asarray(apply(variables, tiles, aux_tiles))[:n_win]
+                aux_tiles = jnp.take(aux_tiles, sel, axis=0)
+        outs = []
+        for i in range(0, pad_to, gbs):
+            tb = jax.device_put(tiles[i:i + gbs], sharding)
+            ab = (jax.device_put(aux_tiles[i:i + gbs], sharding)
+                  if aux_tiles is not None else None)
+            outs.append(np.asarray(apply(variables, tb, ab)))
+        out_tiles = np.concatenate(outs, axis=0)[:n_win]
     else:
         outs = []
         for i in range(0, n_win, batch_size):
@@ -223,9 +257,13 @@ def make_spatial_sharded_step(model, mesh, tx=None, halo=32, loss='mae',
     if loss not in ('mae', 'mse'):
         raise ValueError(
             f"loss must be 'mae' or 'mse' (sum-decomposable), got {loss!r}")
-    upsampling = model.name.split('_')[-1]
-    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
-        else 1
+    if model.aux_shape is not None:
+        raise ValueError(
+            'make_spatial_sharded_step does not support aux-input models '
+            f'(aux_shape={model.aux_shape}): the step applies aux=None, so '
+            'the aux branch would never train; build the model with '
+            'n_aux_channels=0')
+    scale = _output_scale(model)
     axis_names = mesh.axis_names
     if space_axis not in axis_names:
         raise ValueError(f'mesh has no {space_axis!r} axis: {axis_names}')
@@ -265,6 +303,11 @@ def make_spatial_sharded_step(model, mesh, tx=None, halo=32, loss='mae',
                          out_specs=(P(), P()))
 
     def _validate(x, y):
+        if np.ndim(x) != 4 or np.ndim(y) != 4:
+            raise ValueError(
+                'spatial sharding takes [B, H, W, C] grids (4-D); a 5-D '
+                'spatio-temporal input would shard the TIME axis — use '
+                'patch training or predict_tiled for those models')
         b, h = x.shape[0], x.shape[1]
         if h % n_sp:
             raise ValueError(f'H={h} must be divisible by the {space_axis} '
@@ -303,7 +346,8 @@ def make_spatial_sharded_step(model, mesh, tx=None, halo=32, loss='mae',
     return SpatialShardedStep(checked_step, checked_loss_and_grads, scale)
 
 
-def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
+def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None,
+                            axis=None):
     """Single-grid inference with the HEIGHT axis sharded across the mesh —
     for grids whose activations exceed one chip's HBM. Each device holds
     one horizontal band; `halo` rows are exchanged with neighbours via
@@ -319,45 +363,63 @@ def predict_spatial_sharded(model, variables, x, mesh, halo=32, aux=None):
     radius (see receptive_field_radius) and the model is attention-free
     (global channel attention pools per band -> approximate).
 
-    x: [B, H, W, C] with H divisible by mesh.size and H/n >= 2*halo.
-    Returns [B, H*s, W*s, C'].
+    x: [B, H, W, C] with H divisible by the sharding axis size and
+    H/n >= 2*halo. `axis` names the mesh axis to shard over (default: the
+    only axis of a 1-D mesh). Returns [B, H*s, W*s, C'].
     """
     if aux is not None:
         raise NotImplementedError(
             'predict_spatial_sharded does not support aux inputs; use '
             'predict_tiled (which shards aux windows alongside the input)')
-    n = mesh.size
+    if axis is None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f'mesh has axes {mesh.axis_names}; pass axis= to choose '
+                f'which one shards the grid height')
+        axis = mesh.axis_names[0]
+    elif axis not in mesh.axis_names:
+        raise ValueError(f'mesh has no {axis!r} axis: {mesh.axis_names}')
+    n = mesh.shape[axis]
     x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 4:
+        raise ValueError('predict_spatial_sharded takes [B, H, W, C] grids '
+                         '(4-D); use predict_tiled for spatio-temporal '
+                         'models')
     b, h, w, c = x.shape
     if h % n != 0:
-        raise ValueError(f'H={h} must be divisible by mesh size {n}')
+        raise ValueError(f'H={h} must be divisible by the {axis!r} axis '
+                         f'size {n}')
     bh = h // n
     if n > 1 and bh < 2 * halo:
         raise ValueError(
             f'band height H/n={bh} must be >= 2*halo={2 * halo} so edge '
             f'windows can anchor inside the grid with rows exchanged only '
             f'between neighbouring devices')
-    upsampling = model.name.split('_')[-1]
-    scale = int(model.module.scale) if upsampling in ('spc', 'rc', 'dc') \
-        else 1
+    scale = _output_scale(model)
     if n == 1:  # degenerate mesh: no sharding, run the model directly
-        return np.asarray(jax.jit(
-            lambda v, xb: model.module.apply(v, xb, None, training=False))(
-                variables, x))
+        apply = _cached_jit(
+            model, 'apply',
+            lambda: lambda v, xb, ab: model.module.apply(v, xb, ab,
+                                                         training=False))
+        return np.asarray(apply(variables, x, None))
 
-    def band_fn(x_band):
-        # x_band: [B, H/n, W, C] on each device
-        win, crop = _halo_window(x_band, 'data', n, bh, halo)
-        y = model.module.apply(variables, win, None, training=False)
-        # this device's own band sits `crop` rows below the window top
-        return jax.lax.dynamic_slice_in_dim(y, crop * scale, bh * scale,
-                                            axis=1)
+    def make_sharded():
+        def band_fn(v, x_band):
+            # x_band: [B, H/n, W, C] on each device
+            win, crop = _halo_window(x_band, axis, n, bh, halo)
+            y = model.module.apply(v, win, None, training=False)
+            # this device's own band sits `crop` rows below the window top
+            return jax.lax.dynamic_slice_in_dim(y, crop * scale, bh * scale,
+                                                axis=1)
 
-    sharded = _shard_map(band_fn, mesh=mesh,
-                         in_specs=P(None, 'data', None, None),
-                         out_specs=P(None, 'data', None, None))
-    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, 'data', None, None)))
-    return np.asarray(jax.jit(sharded)(x_sh))
+        return _shard_map(band_fn, mesh=mesh,
+                          in_specs=(P(), P(None, axis, None, None)),
+                          out_specs=P(None, axis, None, None))
+
+    sharded = _cached_jit(model, ('spatial_sharded', id(mesh), axis, halo,
+                                  bh), make_sharded)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+    return np.asarray(sharded(variables, x_sh))
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +447,10 @@ def init_ensemble(model, n_members, seed=0, mesh=None,
     With `mesh` given, the stack is placed sharded over its `member_axis`
     so each device (group) holds only its members.
     """
+    if mesh is not None and n_members % mesh.shape[member_axis]:
+        raise ValueError(
+            f'{n_members} members not divisible by the {member_axis!r} '
+            f'axis size {mesh.shape[member_axis]}')
     keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
     stacked = jax.vmap(lambda k: model.init(k))(keys)
     if 'batch_stats' in stacked:
@@ -527,19 +593,32 @@ def predict_ensemble(model, stacked_variables, x, aux=None, mesh=None,
              else jnp.asarray(aux, jnp.float32))
     has_aux = aux is not None
 
-    def vapply(vs, xx, aa):
-        return jax.vmap(lambda v: model.module.apply(
-            v, xx, aa if has_aux else None, training=False))(vs)
+    def make_vapply():
+        def vapply(vs, xx, aa):
+            return jax.vmap(lambda v: model.module.apply(
+                v, xx, aa if has_aux else None, training=False))(vs)
+        return vapply
 
     if mesh is None:
-        outs = jax.jit(vapply)(stacked_variables, x, aux_j)
+        outs = _cached_jit(model, ('ens_predict', None, has_aux),
+                           make_vapply)(stacked_variables, x, aux_j)
     else:
+        m = jax.tree.leaves(stacked_variables)[0].shape[0]
+        if m % mesh.shape[member_axis]:
+            raise ValueError(
+                f'{m} members not divisible by the {member_axis!r} axis '
+                f'size {mesh.shape[member_axis]}')
         stacked_variables = jax.device_put(
             stacked_variables, _member_sharding(mesh, member_axis))
-        fn = _shard_map(vapply, mesh=mesh,
-                        in_specs=(P(member_axis), P(), P()),
-                        out_specs=P(member_axis))
-        outs = jax.jit(fn)(stacked_variables, x, aux_j)
+
+        def make_fn():
+            return _shard_map(make_vapply(), mesh=mesh,
+                              in_specs=(P(member_axis), P(), P()),
+                              out_specs=P(member_axis))
+
+        outs = _cached_jit(model, ('ens_predict', id(mesh), member_axis,
+                                   has_aux), make_fn)(
+            stacked_variables, x, aux_j)
     outs = outs.astype(jnp.float32)
     return (np.asarray(jnp.mean(outs, axis=0)),
             np.asarray(jnp.std(outs, axis=0)))

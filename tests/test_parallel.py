@@ -282,3 +282,67 @@ def test_predict_tile_routing_spatiotemporal(rng):
                           halo=receptive_field_radius(1, time_window=3))
     assert y_tiled.shape == y_plain.shape
     np.testing.assert_allclose(y_tiled, y_plain, atol=1e-4)
+
+
+def test_tiled_mesh_fewer_windows_than_devices(rng):
+    """n_win < mesh.size: padding must wrap indices (a tail slice used to
+    under-fill the padded batch and crash device_put)."""
+    from dl4ds_tpu.training.base import make_mesh
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 32, 64, 1)).astype('float32')  # 1x2 tiles
+    halo = receptive_field_radius(1)
+    y_plain = predict_tiled(model, variables, x, tile=32, halo=halo)
+    y_mesh = predict_tiled(model, variables, x, tile=32, halo=halo,
+                           mesh=make_mesh())
+    np.testing.assert_allclose(y_mesh, y_plain, atol=1e-5)
+
+
+def test_spatial_sharded_step_rejects_aux_models():
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import make_spatial_sharded_step
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=1, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ('data', 'space'))
+    with pytest.raises(ValueError, match='aux'):
+        make_spatial_sharded_step(model, mesh)
+
+
+def test_predict_spatial_sharded_axis_selection(rng):
+    """2-D meshes need an explicit axis; the bands shard over that axis's
+    size (n=4 here), matching the unsharded output."""
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import predict_spatial_sharded
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 32, 1)).astype('float32')
+    mesh2d = Mesh(np.array(jax.devices()).reshape(2, 4), ('data', 'space'))
+    with pytest.raises(ValueError, match='pass axis='):
+        predict_spatial_sharded(model, variables, x, mesh2d, halo=8)
+    y = predict_spatial_sharded(model, variables, x, mesh2d, halo=8,
+                                axis='space')
+    y_full = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_full, atol=1e-4)
+    with pytest.raises(ValueError, match='4-D'):
+        predict_spatial_sharded(
+            model, variables, rng.standard_normal(
+                (1, 4, 64, 32, 1)).astype('float32'), mesh2d, axis='space')
+
+
+def test_init_ensemble_divisibility_error():
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.parallel import init_ensemble
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(8, 8),
+                               n_filters=4, n_blocks=1)
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()), ('ensemble',))
+    with pytest.raises(ValueError, match='not divisible'):
+        init_ensemble(model, 6, mesh=mesh)
