@@ -16,13 +16,18 @@ import jax.numpy as jnp
 
 from .utils import Timing, checkarray_ndim, spatiotemporal_to_spatial_samples
 from .interpolation import resize_array
-from .dataloader import BatchSynthesizer
+from .dataloader import BatchSynthesizer, _values
 
 __all__ = ['Predictor', 'predict', 'predict_mc']
 
 
 class Predictor:
-    """Downscale unseen data with a trained network (see `predict`)."""
+    """Downscale unseen data with a trained network (see `predict`).
+
+    Reference-parity quirk kept on purpose: `Predictor` defaults
+    `array_in_hr=False` while `predict` defaults `array_in_hr=True` —
+    exactly like the reference (dl4ds/inference.py:23 vs :113). Pass it
+    explicitly when switching between the two entry points."""
 
     def __init__(self, trainer, array, scale, array_in_hr=False,
                  static_vars=None, predictors=None, time_window=None,
@@ -104,9 +109,9 @@ def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
         if time_metadata is None:
             raise ValueError("time_metadata='auto' requires `array` to be "
                              "an xr.DataArray with a time coordinate")
-    array = np.asarray(_maybe_values(array), 'float32')
+    array = np.asarray(_values(array), 'float32')
     if static_vars is not None:
-        static_vars = [np.asarray(_maybe_values(s)) for s in static_vars]
+        static_vars = [np.asarray(_values(s)) for s in static_vars]
     n_samples = array.shape[0]
     if time_window is not None:
         n_samples -= time_window - 1
@@ -116,7 +121,7 @@ def _assemble_inputs(model, array, scale, array_in_hr, static_vars,
             f'time_window={time_window})')
     if predictors is not None:
         predictors = np.concatenate(
-            [np.asarray(_maybe_values(p)) for p in predictors], axis=-1)
+            [np.asarray(_values(p)) for p in predictors], axis=-1)
     if array_in_hr:
         array_hr, array_lr = array, None
     else:
@@ -213,9 +218,12 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
                                  or spatial_mesh is not None):
         raise ValueError('quantize= is only supported on the plain batched '
                          'path (without mesh/tile/spatial_mesh)')
+    if spatial_mesh is not None and mesh is not None:
+        raise ValueError('pass either spatial_mesh (one grid sharded over '
+                         'its height) or mesh (samples sharded over the '
+                         'batch), not both')
 
     model, variables = _resolve_model(trainer)
-    upsampling = model.name.split('_')[-1]
     is_spatiotemporal = len(model.input_shape) == 4
     if is_spatiotemporal and time_window is None:
         raise ValueError(
@@ -262,9 +270,26 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             model, variables, calib,
             calibration_aux=(aux[:bs] if aux is not None else None),
             mode=quantize, calibration_quantile=calibration_quantile)
-        apply_q = jax.jit(lambda v, xb, ab: qf(xb, ab)
+        # the trained weights are jaxpr constants inside qf — jit only
+        # (xb, ab) so dispatches skip flattening the variables pytree
+        apply_q = jax.jit(lambda xb, ab: qf(xb, ab)
                           if ab is not None else qf(xb))
-        out = _batched_apply(apply_q, variables, x, aux, bs)
+        out = _batched_apply(lambda v, xb, ab: apply_q(xb, ab),
+                             variables, x, aux, bs)
+        out = _crop_padded(out, x, out_hw)
+        return _finalize_predict(out, batch_lr, time_window, scaler,
+                                 save_path, save_fname, return_lr, timing)
+
+    if device is not None and str(device).upper() == 'CPU' \
+            and jax.default_backend() != 'cpu':
+        # reference parity: predict under the CPU device
+        # (dl4ds/inference.py:237 tf.device('cpu:0'))
+        cpu = jax.devices('cpu')[0]
+        with jax.default_device(cpu):
+            apply = jax.jit(lambda v, xb, ab: model.module.apply(
+                v, xb, ab, training=False))
+            out = _batched_apply(apply, jax.device_put(variables, cpu),
+                                 x, aux, batch_size)
         out = _crop_padded(out, x, out_hw)
         return _finalize_predict(out, batch_lr, time_window, scaler,
                                  save_path, save_fname, return_lr, timing)
@@ -363,16 +388,6 @@ def _batched_apply(apply, variables, x, aux, batch_size, *extra,
     return np.concatenate(outs, axis=0)
 
 
-def _maybe_values(x):
-    try:
-        import xarray as xr
-        if isinstance(x, xr.DataArray):
-            return x.values
-    except ImportError:
-        pass
-    return x
-
-
 def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
     """Monte-Carlo-dropout ensemble inference: run `predict` n_members times
     with different dropout streams and return (mean, std) over members.
@@ -383,45 +398,45 @@ def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
     variants all members are identical.
     """
     model, variables = _resolve_model(trainer)
-    members = []
     key = jax.random.PRNGKey(seed)
-    base_kwargs = dict(kwargs)
-    base_kwargs.pop('return_lr', None)
-    for i in range(n_members):
-        key, sub = jax.random.split(key)
-        members.append(_predict_once_with_rng(model, variables, array, scale,
-                                              sub, **base_kwargs))
-    stack = np.stack(members, axis=0)
-    return stack.mean(axis=0), stack.std(axis=0)
-
-
-def _predict_once_with_rng(model, variables, array, scale, rng_key,
-                           array_in_hr=True, static_vars=None,
-                           predictors=None, time_window=None,
-                           time_metadata=None, interpolation='inter_area',
-                           batch_size=64, scaler=None, pad_to_multiple=None,
-                           device='TPU', **unknown):
-    """One stochastic forward pass (dropout rng supplied)."""
+    kw = dict(kwargs)
+    kw.pop('return_lr', None)
+    unknown = set(kw) - {'array_in_hr', 'static_vars', 'predictors',
+                         'time_window', 'time_metadata', 'interpolation',
+                         'batch_size', 'scaler', 'pad_to_multiple', 'device'}
     if unknown:
         raise TypeError(
             f'predict_mc got unsupported predict option(s): '
             f'{sorted(unknown)} (save_path/mesh/return_lr are predict-only)')
-    x, aux, n_samples = _assemble_inputs(
-        model, array, scale, array_in_hr, static_vars, predictors,
-        time_window, interpolation, time_metadata)
+    # assemble ONCE: the inputs are deterministic given the arguments; only
+    # the dropout stream varies per member (was: n_members whole-dataset
+    # resizes + synthesizer constructions + pads)
+    x, aux, _ = _assemble_inputs(
+        model, array, scale, kw.get('array_in_hr', True),
+        kw.get('static_vars'), kw.get('predictors'), kw.get('time_window'),
+        kw.get('interpolation', 'inter_area'), kw.get('time_metadata'))
     out_hw = None
-    if pad_to_multiple is not None:
-        x, aux, out_hw = _pad_spatial_to_multiple(x, aux, pad_to_multiple)
+    if kw.get('pad_to_multiple') is not None:
+        x, aux, out_hw = _pad_spatial_to_multiple(x, aux,
+                                                  kw['pad_to_multiple'])
     # memoized so the n_members loop (and repeated predict_mc calls)
     # compiles each input shape exactly once
     apply = _memoized_jit(
         model, '_cached_jit_apply_rng',
         lambda: lambda v, xb, ab, k: model.module.apply(
             v, xb, ab, training=False, rngs={'dropout': k}))
-    out = _batched_apply(apply, variables, x, aux, batch_size, rng_key)
-    out = _crop_padded(out, x, out_hw)
-    if out.ndim == 5 and time_window is not None:
-        out = spatiotemporal_to_spatial_samples(out, time_window)
-    if scaler is not None:
-        out = scaler.inverse_transform(out)
-    return out
+    members = []
+    time_window = kw.get('time_window')
+    scaler = kw.get('scaler')
+    for _ in range(n_members):
+        key, sub = jax.random.split(key)
+        out = _batched_apply(apply, variables, x, aux,
+                             kw.get('batch_size', 64), sub)
+        out = _crop_padded(out, x, out_hw)
+        if out.ndim == 5 and time_window is not None:
+            out = spatiotemporal_to_spatial_samples(out, time_window)
+        if scaler is not None:
+            out = scaler.inverse_transform(out)
+        members.append(out)
+    stack = np.stack(members, axis=0)
+    return stack.mean(axis=0), stack.std(axis=0)

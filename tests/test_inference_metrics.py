@@ -246,3 +246,20 @@ def test_compute_metrics_georeferenced_maps(tmp_path, rng):
                         lons=np.linspace(-10, 20, 16))
     assert (tmp_path / 'metrics_pergridpoint_rmse_map.png').exists()
     assert (tmp_path / 'metrics_summary.txt').exists()
+
+
+def test_predict_device_cpu_and_mesh_conflicts(rng):
+    from dl4ds_tpu.models import net_pin
+    import jax as _jax
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(8, 8), n_filters=4, n_blocks=1)
+    variables = model.init(_jax.random.PRNGKey(0), batch_size=2)
+    x = rng.standard_normal((3, 8, 8, 1)).astype('float32')
+    y_cpu = dds.predict((model, variables), x, scale=2, array_in_hr=True,
+                        device='CPU')
+    y_def = dds.predict((model, variables), x, scale=2, array_in_hr=True)
+    np.testing.assert_allclose(y_cpu, y_def, atol=1e-5)
+    from dl4ds_tpu.training.base import make_mesh
+    with pytest.raises(ValueError, match='not both'):
+        dds.predict((model, variables), x, scale=2, array_in_hr=True,
+                    mesh=make_mesh(), spatial_mesh=make_mesh())
