@@ -63,7 +63,7 @@ def train_step(gen_state, disc_state, batch, key, generator, discriminator,
     (cgan.py:575-639; the Horovod allreduce becomes XLA's all-reduce when the
     batch is sharded over a mesh). Returns (gen_state, disc_state,
     (g_total, g_gan, g_px, d_loss))."""
-    gkey, dkey = jax.random.split(key)
+    gkey, dkey, rkey = jax.random.split(key, 3)
     lr, hr, aux = batch['lr'], batch['hr'], batch['aux']
 
     def g_loss_fn(g_params):
@@ -80,9 +80,13 @@ def train_step(gen_state, disc_state, batch, key, generator, discriminator,
         g_loss_fn, has_aux=True)(gen_state.params)
 
     def d_loss_fn(d_params):
+        # d_real gets its OWN dropout mask (the reference's D(real) is a
+        # separate call); d_fake keeps gkey's pairing via dkey — the
+        # reference computes ONE disc_generated_output shared by both
+        # losses (cgan.py:595-600), which reusing dkey reproduces exactly
         d_real = discriminator.module.apply({'params': d_params}, lr, hr,
                                             training=True,
-                                            rngs={'dropout': dkey})
+                                            rngs={'dropout': rkey})
         d_fake = discriminator.module.apply(
             {'params': d_params}, lr, jax.lax.stop_gradient(fake),
             training=True, rngs={'dropout': dkey})
@@ -164,10 +168,10 @@ class CGANTrainer(Trainer):
 
         self.time_window = time_window
         if self.time_window is not None and not self.model_is_spatiotemporal:
+            # time_window <= 1 builds spatial models (base.py defines
+            # spatio-temporality FROM time_window, so no inconsistency
+            # is possible here)
             self.time_window = None
-        if self.model_is_spatiotemporal and self.time_window is None:
-            raise ValueError('The argument `time_window` must be a positive '
-                             'integer for spatio-temporal models')
 
     # ------------------------------------------------------------------
     def setup_model(self):
@@ -192,11 +196,15 @@ class CGANTrainer(Trainer):
         key = jax.random.PRNGKey(self.seed)
         kg, kd = jax.random.split(key)
         self.gen_vars = self.generator.init(kg, batch_size=2)
-        x, _ = self.discriminator.dummy_inputs(batch_size=2)
-        ref = jnp.zeros((2,) + tuple(self.discriminator.aux_shape),
-                        jnp.float32)
-        self.disc_vars = self.discriminator.module.init(
-            {'params': kd, 'dropout': kd}, x, ref, training=False)
+        self.disc_vars = self.discriminator.init(kd, batch_size=2)
+        if ('batch_stats' in self.gen_vars
+                or 'batch_stats' in self.disc_vars):
+            raise NotImplementedError(
+                "normalization='bn' is not supported in the CGAN trainer "
+                '(the fused G+D step does not thread batch statistics '
+                'through the three discriminator passes); use '
+                "normalization='ln' or None — the supervised trainer "
+                'supports bn')
         if self.verbose == 1 and self.running_on_first_worker:
             print(self.generator.summary(self.gen_vars))
             print(self.discriminator.summary(self.disc_vars))
@@ -386,6 +394,11 @@ class CGANTrainer(Trainer):
                 predictors=self.predictors_test,
                 interpolation=self.interpolation)
             n_test = ds_test.n
+            if n_test < 1:
+                raise ValueError(
+                    f'data_test yields no evaluable sample (n_test='
+                    f'{n_test}; len(data_test)={len(self.data_test)}, '
+                    f'time_window={self.time_window})')
             # The reference materializes the WHOLE test set as one batch
             # (cgan.py:419, batch_size=n_test) — OOM-by-design for large
             # test splits. Evaluate in fixed-size chunks instead: constant
@@ -450,9 +463,12 @@ def load_checkpoint(checkpoint_dir, checkpoint_number, backbone, upsampling,
     """Rebuild G + D architectures from hyperparameters and restore a saved
     CGAN checkpoint (reference: cgan.py:447-522). `checkpoint_number` selects
     'epoch-N' (or 'final' when None/-1)."""
-    n_channels = 1 + n_static_vars + n_predictors
-    n_aux_channels = n_static_vars
     spatiotemporal = time_window is not None and time_window > 1
+    # mirror base.channel_counts: spatial samples concatenate statics into
+    # the LR input AND the aux branch; spatio-temporal keep statics
+    # aux-only
+    n_channels = 1 + n_predictors + (0 if spatiotemporal else n_static_vars)
+    n_aux_channels = n_static_vars
 
     h, w = input_height_width
     generator = build_model(
