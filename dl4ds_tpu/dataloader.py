@@ -922,6 +922,10 @@ class HostStreamer:
         self.has_aux = self.n_static > 0 or self.season_ids is not None
         self._static_hr_dev = None  # device copy for full-grid batches
         self._static_lr_dev = None  # its LR resize, computed once
+        # optional NamedSharding for the emitted batches: the trainer sets
+        # this so each host batch transfers ONCE with the right placement
+        # instead of default-device put + a second resharding copy
+        self.sharding = None
 
     def _host_batch(self, idx):
         from . import native
@@ -979,11 +983,17 @@ class HostStreamer:
 
     def _to_device(self, item):
         hr_np, lr_np, pred_np, static_np, sid_np = item
+
+        def put(a):   # batch-major arrays go straight to the target layout
+            return (jax.device_put(jnp.asarray(a), self.sharding)
+                    if self.sharding is not None
+                    else jax.device_put(jnp.asarray(a)))
+
         tw = self.time_window
-        hr = jax.device_put(jnp.asarray(hr_np))
+        hr = put(hr_np)
         h, w = hr.shape[-3], hr.shape[-2]
         if lr_np is not None:
-            lr = jax.device_put(jnp.asarray(lr_np))
+            lr = put(lr_np)
         else:  # implicit post-upsampling pairs: coarsen on device
             lr = resize2d(hr, (h // self.scale, w // self.scale),
                           self.interpolation)
@@ -991,7 +1001,7 @@ class HostStreamer:
         h_lr, w_lr = lr.shape[-3], lr.shape[-2]
         parts_lr = [lr]
         if pred_np is not None:
-            parts_lr.append(jax.device_put(jnp.asarray(pred_np)))
+            parts_lr.append(put(pred_np))
         aux_parts = []
         if static_np is not None:
             full_grid = static_np is _FULL_GRID_STATICS

@@ -73,6 +73,11 @@ class SupervisedTrainer(Trainer):
             verbose=verbose, model_list=model_list, save=save,
             save_path=save_path, show_plot=show_plot, mesh=mesh,
             devices=devices)
+        if self.time_window is not None and not self.model_is_spatiotemporal:
+            # time_window=1 builds a SPATIAL model (models/__init__.py
+            # dispatches on tw > 1) — normalize so the synthesizers emit
+            # matching 4-D batches instead of [B, 1, H, W, C]
+            self.time_window = None
         self.data_val = self._as_array(data_val, 'data_val')
         self.data_test = self._as_array(data_test, 'data_test')
         self.data_val_lr = (self._as_array(data_val_lr, 'data_val_lr')
@@ -90,6 +95,12 @@ class SupervisedTrainer(Trainer):
         self.static_vars = static_vars
         self.interpolation = interpolation
         self.epochs = epochs
+        for nm, v in (('steps_per_epoch', steps_per_epoch),
+                      ('validation_steps', validation_steps),
+                      ('test_steps', test_steps)):
+            if v is not None and v < 1:
+                raise ValueError(f'`{nm}` must be >= 1 or None (0 steps '
+                                 f'would evaluate to NaN)')
         self.steps_per_epoch = steps_per_epoch
         self.validation_steps = validation_steps
         self.test_steps = test_steps
@@ -105,9 +116,10 @@ class SupervisedTrainer(Trainer):
         self.seed = seed
         self.save_logs = save_logs
         self.profile = profile
-        # data_in_hbm=False streams the training split from host RAM through
-        # the native gather/crop kernels (for datasets larger than HBM);
-        # implicit pairs only — predictors/statics require the device tier.
+        # data_in_hbm=False streams the training split from host RAM (or a
+        # read-only np.memmap) through the native gather/crop kernels — for
+        # datasets larger than HBM; full feature matrix (explicit/implicit
+        # pairs, predictors, statics, season).
         self.data_in_hbm = data_in_hbm
         # steps executed per host dispatch (lax.scan chunk); None = whole
         # epoch in one XLA program (TPU-idiomatic: no per-step host latency)
@@ -199,6 +211,9 @@ class SupervisedTrainer(Trainer):
                 interpolation=self.interpolation, seed=self.seed,
                 array_lr=self.data_train_lr, static_vars=self.static_vars,
                 predictors=self.predictors_train, season_ids=season[0])
+            # one transfer per batch: emit straight onto the batch sharding
+            # (the loop's device_put then matches and is a no-op)
+            self.ds_train.sharding = self.batch_sharding
         self.ds_val = BatchSynthesizer(
             self.data_val, self.data_val_lr,
             predictors=self.predictors_val, season_ids=season[1], **common)
@@ -357,6 +372,10 @@ class SupervisedTrainer(Trainer):
         self._make_steps()
 
         key = jax.random.PRNGKey(self.seed)
+        if self.trained_epochs:
+            # a resumed run must not replay the first epochs' shuffles/
+            # crops/dropout streams
+            key = jax.random.fold_in(key, self.trained_epochs)
         n_batches = self.ds_train.n // self.global_batch_size
         steps = (self.steps_per_epoch if self.steps_per_epoch is not None
                  else n_batches)
@@ -449,19 +468,10 @@ class SupervisedTrainer(Trainer):
             key, vkey, skey = jax.random.split(key, 3)
             vidx_np = np.asarray(
                 self.ds_val.epoch_indices(vkey, steps=val_steps))
-            if per_step_dispatch:
-                vls = []
-                for r in range(vidx_np.shape[0]):
-                    key, skey = jax.random.split(key)
-                    vls.append(self._eval_step_val(state, jax.device_put(
-                        jnp.asarray(vidx_np[r], jnp.int32),
-                        idx_row_sharding), skey))
-                val_loss = float(np.mean(jax.device_get(vls)))
-            else:
-                vidx = jax.device_put(jnp.asarray(vidx_np, jnp.int32),
-                                      idx_mat_sharding)
-                val_loss = float(np.mean(jax.device_get(
-                    self._eval_many_val(state, vidx, skey))))
+            val_loss, key = self._eval_epoch(
+                state, vidx_np, key, skey, per_step_dispatch,
+                self._eval_step_val, self._eval_many_val,
+                idx_row_sharding, idx_mat_sharding)
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
@@ -509,27 +519,22 @@ class SupervisedTrainer(Trainer):
         if state.batch_stats is not None:
             self.variables['batch_stats'] = state.batch_stats
 
-        # test evaluation (worker 0, reference: supervised.py:408-414)
+        # test evaluation — the computation runs on ALL processes (the
+        # sharded eval contains collectives; gating it on worker 0 would
+        # deadlock a multi-host mesh), only the reporting is rank-gated
+        # (reference: supervised.py:408-414 evaluates on worker 0, but its
+        # per-process Horovod model is replicated, not SPMD)
+        test_batches = self.ds_test.n // self.global_batch_size
+        test_steps = (self.test_steps if self.test_steps is not None
+                      else max(test_batches, 1))
+        key, tkey, skey = jax.random.split(key, 3)
+        tidx_np = np.asarray(
+            self.ds_test.epoch_indices(tkey, steps=test_steps))
+        self.test_loss, key = self._eval_epoch(
+            state, tidx_np, key, skey, per_step_dispatch,
+            self._eval_step_test, self._eval_many_test,
+            idx_row_sharding, idx_mat_sharding)
         if self.running_on_first_worker:
-            test_batches = self.ds_test.n // self.global_batch_size
-            test_steps = (self.test_steps if self.test_steps is not None
-                          else max(test_batches, 1))
-            key, tkey, skey = jax.random.split(key, 3)
-            tidx_np = np.asarray(
-                self.ds_test.epoch_indices(tkey, steps=test_steps))
-            if per_step_dispatch:
-                tls = []
-                for r in range(tidx_np.shape[0]):
-                    key, skey = jax.random.split(key)
-                    tls.append(self._eval_step_test(state, jax.device_put(
-                        jnp.asarray(tidx_np[r], jnp.int32),
-                        idx_row_sharding), skey))
-                self.test_loss = float(np.mean(jax.device_get(tls)))
-            else:
-                tidx = jax.device_put(jnp.asarray(tidx_np, jnp.int32),
-                                      idx_mat_sharding)
-                self.test_loss = float(np.mean(jax.device_get(
-                    self._eval_many_test(state, tidx, skey))))
             if self.verbose:
                 print(f'\nScore on the test set: {self.test_loss}')
             self.timing.runtime()
@@ -538,6 +543,24 @@ class SupervisedTrainer(Trainer):
         return self
 
     # ------------------------------------------------------------------
+    def _eval_epoch(self, state, idx_np, key, skey, per_step_dispatch,
+                    eval_step, eval_many, idx_row_sharding,
+                    idx_mat_sharding):
+        """Mean eval loss over an index matrix — one scan dispatch on TPU,
+        per-step on XLA:CPU (see the dispatch note in run())."""
+        if per_step_dispatch:
+            ls = []
+            for r in range(idx_np.shape[0]):
+                key, skey = jax.random.split(key)
+                ls.append(eval_step(state, jax.device_put(
+                    jnp.asarray(idx_np[r], jnp.int32), idx_row_sharding),
+                    skey))
+            return float(np.mean(jax.device_get(ls))), key
+        idx = jax.device_put(jnp.asarray(idx_np, jnp.int32),
+                             idx_mat_sharding)
+        return float(np.mean(jax.device_get(
+            eval_many(state, idx, skey)))), key
+
     def _save_checkpoint(self, state, name):
         import os
         path = os.path.abspath(os.path.join(self.savecheckpoint_path, name))
@@ -547,9 +570,11 @@ class SupervisedTrainer(Trainer):
         self._checkpoint_save(path, payload)
 
     def _save_full_checkpoint(self, state, epoch):
-        """Full train state (params + opt state + epoch) for resume."""
+        """Full train state (params + opt state + epoch) for resume.
+        Routed through the warn-and-pickle-fallback helper so a transient
+        FS/orbax failure cannot abort the training run it exists to
+        protect."""
         import os
-        import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(
             self.savecheckpoint_path, 'checkpoints', f'epoch-{epoch}'))
         payload = {'params': jax.device_get(state.params),
@@ -557,7 +582,7 @@ class SupervisedTrainer(Trainer):
                    'step': int(state.step), 'epoch': epoch}
         if state.batch_stats is not None:
             payload['batch_stats'] = jax.device_get(state.batch_stats)
-        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+        self._checkpoint_save(path, payload)
 
     def _restore_checkpoint(self, state, path):
         import os

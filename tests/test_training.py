@@ -693,3 +693,23 @@ def test_gradient_accumulation_checkpoint_resume(data, tmp_path):
     tr2.run()
     assert len(tr2.fithist['loss']) == 1
     assert np.isfinite(tr2.test_loss)
+
+
+def test_time_window_one_is_spatial(data):
+    """time_window=1 builds a spatial model; the synthesizers must emit
+    matching 4-D batches (tw is normalized to None)."""
+    tr = dds.SupervisedTrainer(
+        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        batch_size=2, epochs=1, steps_per_epoch=2, validation_steps=1,
+        test_steps=1, time_window=1, loss='mae', n_filters=4, n_blocks=1,
+        save=False, verbose=False)
+    assert tr.time_window is None and not tr.model_is_spatiotemporal
+    tr.run()
+    assert np.isfinite(tr.test_loss)
+
+
+def test_zero_eval_steps_rejected(data):
+    with pytest.raises(ValueError, match='validation_steps'):
+        dds.SupervisedTrainer(
+            backbone='convnet', upsampling='pin', **_splits(data), scale=4,
+            validation_steps=0)
