@@ -85,7 +85,16 @@ class Dropout(nn.Module):
         active = training or is_mc
         if not active:
             return x
-        rng = self.make_rng('dropout')
+        if self.has_rng('dropout'):
+            rng = self.make_rng('dropout')
+        elif is_mc and not training:
+            # MC variants are active at inference, but plain predict()/
+            # export/quantize apply without rngs — fall back to a FIXED
+            # mask (one deterministic ensemble member) instead of
+            # crashing; `predict_mc` supplies real per-member rngs.
+            rng = jax.random.PRNGKey(0)
+        else:
+            rng = self.make_rng('dropout')   # raise flax's clear error
         if variant in ('gaussian', 'mcgaussiandrop'):
             # multiplicative 1-centred gaussian noise, keras semantics
             stddev = (self.rate / (1.0 - self.rate)) ** 0.5
@@ -383,7 +392,8 @@ class ConvNextBlock(nn.Module):
                 'gamma',
                 lambda k, s: self.layer_scale_init_value * jnp.ones(s),
                 (self.filters,))
-            y = gamma * y
+            # params live in f32; compute in the block dtype like nn.Conv
+            y = gamma.astype(y.dtype) * y
         if self.use_1x1conv:
             inp = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(inp)
         return inp + DropPath(self.drop_path)(y, training)
@@ -429,6 +439,7 @@ class _ConvLSTMCell(nn.Module):
         h_t, c_t = carry
         z = zx_t + nn.Conv(4 * self.filters, self.kernel_size, padding='SAME',
                            use_bias=False, dtype=self.dtype,
+                           kernel_init=nn.initializers.orthogonal(),
                            name='recurrent_conv')(h_t)
         zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
         i = _hard_sigmoid(zi)
@@ -439,21 +450,32 @@ class _ConvLSTMCell(nn.Module):
         return (h_new, c_new), h_new
 
 
+def _unit_forget_bias(key, shape, dtype=jnp.float32):
+    """Keras ConvLSTM2D unit_forget_bias=True: bias zeros except the
+    forget-gate quarter set to 1 (gate order i, f, c, o) — the forget gate
+    starts open (~hard_sigmoid(1) = 0.7) so early gradients flow through
+    the cell state."""
+    (n4,) = shape
+    f = n4 // 4
+    return jnp.zeros(shape, dtype).at[f:2 * f].set(1.0)
+
+
 class _ConvParamShim(nn.Module):
     """Creates conv kernel (+ optional bias) params at an nn.Conv-compatible
-    path and with nn.Conv's initializers, so the fused-Pallas whole-layer
+    path and with matching initializers, so the fused-Pallas whole-layer
     path shares checkpoints interchangeably with the step-wise XLA path
     (input_conv/{kernel,bias} and cell/recurrent_conv/kernel)."""
     shape: Tuple[int, int, int, int]                      # [kh, kw, Cin, Co]
     use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self):
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            self.shape)
+        kernel = self.param('kernel', self.kernel_init, self.shape)
         if not self.use_bias:
             return kernel, None
-        return kernel, self.param('bias', nn.initializers.zeros,
+        return kernel, self.param('bias', self.bias_init,
                                   (self.shape[-1],))
 
 
@@ -465,6 +487,7 @@ class _CellShim(nn.Module):
     @nn.compact
     def __call__(self):
         k, _ = _ConvParamShim(self.shape, use_bias=False,
+                              kernel_init=nn.initializers.orthogonal(),
                               name='recurrent_conv')()
         return k
 
@@ -472,6 +495,9 @@ class _CellShim(nn.Module):
 class ConvLSTM2D(nn.Module):
     """ConvLSTM over [B, T, H, W, C] returning sequences (reference backbone
     layer: dl4ds/models/blocks.py:350-355 uses keras ConvLSTM2D).
+
+    Keras-default initializers (glorot_uniform input kernel, orthogonal
+    recurrent kernel, unit_forget_bias) on both the fused and XLA paths.
 
     TPU-first structure: the input convolution is hoisted out of the
     recurrence and applied to the whole window at once (one big MXU conv over
@@ -516,8 +542,10 @@ class ConvLSTM2D(nn.Module):
         if use_pallas:
             from ..ops.pallas_convlstm import fused_convlstm
             kh, kw = self.kernel_size
-            wx, bxb = _ConvParamShim((kh, kw, cin, 4 * f), use_bias=True,
-                                     name='input_conv')()
+            wx, bxb = _ConvParamShim(
+                (kh, kw, cin, 4 * f), use_bias=True,
+                kernel_init=nn.initializers.glorot_uniform(),
+                bias_init=_unit_forget_bias, name='input_conv')()
             wh = _CellShim((kh, kw, f, 4 * f), name='cell')()
             # cast inputs like nn.Conv(dtype=...) would on the XLA path
             return fused_convlstm(x.astype(self.dtype),
@@ -528,7 +556,9 @@ class ConvLSTM2D(nn.Module):
         # one batch axis: XLA:TPU lowers rank-5 convs far slower than the
         # identical rank-4 program (see nets.py head note; measured ~25x).
         zx = nn.Conv(4 * f, self.kernel_size, padding='SAME',
-                     dtype=self.dtype, name='input_conv')(
+                     dtype=self.dtype,
+                     kernel_init=nn.initializers.glorot_uniform(),
+                     bias_init=_unit_forget_bias, name='input_conv')(
                          x.reshape(b * t, h, w, cin))
         zx = zx.reshape(b, t, h, w, 4 * f)                    # [B,T,H,W,4F]
         unroll = self.unroll
@@ -630,6 +660,9 @@ class SubpixelConvolutionBlock(nn.Module):
         return up(x, s)
 
 
+# keras.Resizing vocabulary -> interpolation.py engine modes. 'gaussian'
+# and 'mitchellcubic' are documented APPROXIMATIONS (nearest smooth
+# kernels the matmul engine implements); anything else raises.
 _RC_INTERP = {'bilinear': 'bilinear', 'nearest': 'nearest',
               'bicubic': 'bicubic', 'area': 'inter_area',
               'inter_area': 'inter_area', 'lanczos3': 'lanczos',
@@ -648,8 +681,12 @@ class ResizeConvolutionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[-3], x.shape[-2]
+        if self.interpolation not in _RC_INTERP:
+            raise ValueError(
+                f'unknown rc interpolation {self.interpolation!r}; one of '
+                f'{sorted(_RC_INTERP)}')
         y = resize2d(x, (int(h * self.scale), int(w * self.scale)),
-                     _RC_INTERP.get(self.interpolation, 'bilinear'))
+                     _RC_INTERP[self.interpolation])
         return nn.Conv(self.n_filters, (3, 3), padding='SAME',
                        dtype=self.dtype)(y.astype(x.dtype))
 
@@ -677,9 +714,16 @@ class DeconvolutionBlock(nn.Module):
             x = deconv(x, 2, 'deconv_1of2', False)
             return deconv(x, 2, 'deconv_2of2', True)
         if self.scale == 8:
+            # the reference REUSES its second deconv for the third stage
+            # (blocks.py:528-531 applies conv2dtranspose2 twice) — tie the
+            # weights so parameter counts and weight transplant match
             x = deconv(x, 2, 'deconv_1of3', False)
-            x = deconv(x, 2, 'deconv_2of3', True)
-            return deconv(x, 2, 'deconv_3of3', True)
+            stage23 = nn.ConvTranspose(self.n_filters, (9, 9),
+                                       strides=(2, 2), padding='SAME',
+                                       use_bias=False, dtype=self.dtype,
+                                       name='deconv_2of3')
+            x = act(stage23(x))
+            return act(stage23(x))
         return deconv(x, self.scale, f'deconv_x{self.scale}', True)
 
 

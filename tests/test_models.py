@@ -411,3 +411,53 @@ def test_convlstm_bf16_consistent_across_paths():
     assert y2.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(y, 'float32'),
                                np.asarray(y2, 'float32'), atol=1e-2)
+
+
+def test_mc_dropout_plain_predict_does_not_crash(rng):
+    """MC variants are active at inference; plain predict()/export apply
+    without rngs must fall back to a fixed mask, not crash."""
+    import dl4ds_tpu as dds
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(8, 8), n_filters=4, n_blocks=1,
+                    dropout_rate=0.3, dropout_variant='mcdrop')
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = rng.standard_normal((2, 8, 8, 1)).astype('float32')
+    y1 = dds.predict((model, variables), x, scale=2, array_in_hr=True)
+    y2 = dds.predict((model, variables), x, scale=2, array_in_hr=True)
+    np.testing.assert_array_equal(y1, y2)   # fixed fallback mask
+    # predict_mc draws real per-member rngs -> members differ
+    mean, std = dds.predict_mc((model, variables), x, scale=2, n_members=4,
+                               array_in_hr=True)
+    assert float(np.max(std)) > 0
+
+
+def test_deconv_scale8_ties_stages_like_reference(rng):
+    from dl4ds_tpu.models.blocks import DeconvolutionBlock
+    blk = DeconvolutionBlock(scale=8, n_filters=4)
+    v = blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4)))
+    names = sorted(v['params'].keys())
+    assert names == ['deconv_1of3', 'deconv_2of3']   # stage 3 reuses stage 2
+    y = blk.apply(v, jnp.zeros((1, 4, 4, 4)))
+    assert y.shape == (1, 32, 32, 4)
+
+
+def test_rc_unknown_interpolation_raises(rng):
+    from dl4ds_tpu.models.blocks import ResizeConvolutionBlock
+    blk = ResizeConvolutionBlock(2, 4, interpolation='bicubc')
+    with pytest.raises(ValueError, match='unknown rc interpolation'):
+        blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 1)))
+
+
+def test_convlstm_keras_default_inits():
+    """Unit forget bias + orthogonal recurrent kernel (keras parity)."""
+    from dl4ds_tpu.models.blocks import ConvLSTM2D
+    m = ConvLSTM2D(4, use_pallas=False)
+    v = m.init({'params': jax.random.PRNGKey(0)},
+               jnp.zeros((1, 2, 8, 8, 1)))
+    bias = np.asarray(v['params']['input_conv']['bias'])
+    np.testing.assert_array_equal(bias[4:8], 1.0)    # forget-gate quarter
+    np.testing.assert_array_equal(bias[:4], 0.0)
+    rk = np.asarray(v['params']['cell']['recurrent_conv']['kernel'])
+    flat = rk.reshape(-1, rk.shape[-1])              # orthogonal columns
+    gram = flat.T @ flat
+    np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-5)
