@@ -12,6 +12,7 @@ import os
 
 import numpy as np
 
+from .preprocessing import _to_numpy
 from .utils import checkarray_ndim, Timing
 from .ops.ssim import ssim as _ssim, psnr as _psnr
 
@@ -30,7 +31,10 @@ def compute_rmse(y, y_hat, over='time', squared=False, n_jobs=None):
     y_hat = np.asarray(y_hat)
     if over == 'time':
         mse_map = np.mean((y[..., 0] - y_hat[..., 0]) ** 2, axis=0)
-        return mse_map
+        # reference parity (dl4ds/metrics.py:36): pixels where the FIRST
+        # frame is exactly 0 (pre-masked land/sea points) are NaN, so the
+        # nanmean summary excludes them instead of averaging zeros in
+        return np.where(y[0, ..., 0] == 0, np.nan, mse_map)
     if over == 'space':
         axes = tuple(range(1, y.ndim))
         mse = np.mean((y - y_hat) ** 2, axis=axes)
@@ -39,7 +43,7 @@ def compute_rmse(y, y_hat, over='time', squared=False, n_jobs=None):
 
 
 def _rankdata(a, axis):
-    """Average-tie ranks along `axis` (scipy-free, vectorized)."""
+    """Average-tie ranks along `axis` (scipy, a declared dependency)."""
     from scipy.stats import rankdata
     return rankdata(a, axis=axis)
 
@@ -63,7 +67,8 @@ def compute_correlation(y, y_hat, over='time', mode='spearman', n_jobs=None):
         if mode == 'spearman':
             a = _rankdata(a, axis=0)
             b = _rankdata(b, axis=0)
-        return pearson(a, b, axis=0)
+        # reference parity: first-frame-zero (pre-masked) pixels are NaN
+        return np.where(y[0, ..., 0] == 0, np.nan, pearson(a, b, axis=0))
     if over == 'space':
         n = y.shape[0]
         a = y.reshape(n, -1)
@@ -87,8 +92,8 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     reference's ecubevis georeferenced panels."""
     timing = Timing()
 
-    y_test = np.asarray(_maybe_values(y_test), 'float32')
-    y_test_hat = np.asarray(_maybe_values(y_test_hat), 'float32')
+    y_test = np.asarray(_to_numpy(y_test), 'float32')
+    y_test_hat = np.asarray(_to_numpy(y_test_hat), 'float32')
     if y_test.ndim == 5:
         y_test = np.squeeze(y_test, -1)
         y_test_hat = np.squeeze(y_test_hat, -1)
@@ -103,7 +108,7 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
 
     mask_nan = None
     if mask is not None:
-        mask = np.asarray(_maybe_values(mask)).copy()
+        mask = np.asarray(_to_numpy(mask)).copy()
         if mask.ndim == 2:
             mask = np.expand_dims(mask, -1)
         y_test = y_test * mask
@@ -271,7 +276,7 @@ def _plot_violins(entries, save_path, dpi):
     plt.close(f)
 
 
-def _maybe_values(x):
+def _to_numpy(x):
     try:
         import xarray as xr
         if isinstance(x, xr.DataArray):

@@ -62,6 +62,8 @@ class MinMaxScaler(_BaseScaler):
         if hasattr(self, 'scale_'):
             del self.scale_, self.min_, self.data_min_, self.data_max_
             del self.data_range_
+        if hasattr(self, 'nan_mask'):
+            del self.nan_mask   # a stale mask would re-inject NaNs
         return self.partial_fit(X, y)
 
     def partial_fit(self, X, y=None):
@@ -120,6 +122,8 @@ class StandardScaler(_BaseScaler):
             del self.mean_
         if hasattr(self, 'std_'):
             del self.std_
+        if hasattr(self, 'nan_mask'):
+            del self.nan_mask   # a stale mask would re-inject NaNs
         return self.partial_fit(X, y)
 
     def partial_fit(self, X, y=None):

@@ -282,6 +282,12 @@ def crop_array(array, size, yx=None, position=False, exclude_borders=False,
         lo = 1 if exclude_borders else 0
         hi_y = ny - size - (1 if exclude_borders else 0)
         hi_x = nx - size - (1 if exclude_borders else 0)
+        if hi_y <= lo - 1 or hi_x <= lo - 1 or (exclude_borders
+                                                and (hi_y <= lo
+                                                     or hi_x <= lo)):
+            raise ValueError(
+                f'cannot crop size={size} from a {ny}x{nx} grid with '
+                f'exclude_borders={exclude_borders}')
         y = randint(lo, max(hi_y, lo + 1))
         x = randint(lo, max(hi_x, lo + 1))
     y0, y1 = int(y), int(y) + size
@@ -359,8 +365,10 @@ def plot_history(history, style='-', side=5, graphs_per_row=4,
     metrics = []
     for h in histories:
         for k in h:
-            if not k.startswith('val_') and k not in metrics:
-                metrics.append(k)
+            base = k[4:] if k.startswith('val_') else k
+            # val-only histories still plot (base drawn from val_<base>)
+            if base not in metrics:
+                metrics.append(base)
 
     def _draw_metric(axis, metric):
         for i, h in enumerate(histories):
@@ -369,6 +377,8 @@ def plot_history(history, style='-', side=5, graphs_per_row=4,
                 if key not in h:
                     continue
                 vals = np.asarray(h[key], dtype=float)[:n_epochs]
+                if not len(vals):
+                    continue   # dead run / max_epochs=0: nothing to plot
                 axis.plot(vals, style,
                           label=f'{prefix}{run} last: {vals[-1]:0.4f}')
                 if monitor is not None and key == monitor and len(vals):

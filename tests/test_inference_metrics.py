@@ -263,3 +263,16 @@ def test_predict_device_cpu_and_mesh_conflicts(rng):
     with pytest.raises(ValueError, match='not both'):
         dds.predict((model, variables), x, scale=2, array_in_hr=True,
                     mesh=make_mesh(), spatial_mesh=make_mesh())
+
+
+def test_rmse_map_excludes_premasked_pixels(rng):
+    """Reference parity: pixels whose first frame is exactly 0 (masked)
+    are NaN in the per-grid-point maps, so nanmean excludes them."""
+    from dl4ds_tpu.metrics import compute_rmse, compute_correlation
+    y = rng.standard_normal((6, 8, 8, 1)).astype('float32') + 3.0
+    yh = y + 0.1
+    y[:, :2, :, 0] = 0.0       # pre-masked band (first frame zero)
+    m = compute_rmse(y, yh, over='time')
+    assert np.isnan(m[:2]).all() and np.isfinite(m[2:]).all()
+    c = compute_correlation(y, yh, mode='pearson', over='time')
+    assert np.isnan(c[:2]).all()

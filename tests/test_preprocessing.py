@@ -73,3 +73,16 @@ def test_constant_feature_no_nan(rng):
     assert np.isfinite(y).all()
     y = StandardScaler().fit_transform(x)
     assert np.isfinite(y).all()
+
+
+def test_refit_clears_stale_nan_mask(rng):
+    from dl4ds_tpu.preprocessing import MinMaxScaler, StandardScaler
+    for cls in (MinMaxScaler, StandardScaler):
+        s = cls()
+        dirty = rng.standard_normal((4, 8, 8)).astype('float32')
+        dirty[0, 0, 0] = np.nan
+        s.fit(dirty)
+        clean = rng.standard_normal((4, 8, 8)).astype('float32')
+        s.fit(clean)
+        out = s.inverse_transform(s.transform(clean))
+        assert np.isfinite(out).all(), cls.__name__

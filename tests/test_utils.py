@@ -145,3 +145,20 @@ def test_crop_array_with_modern_generator():
     assert np.array_equal(out, arr[y:y + 8, x:x + 8])
     out2 = crop_array(arr, 8, rng=np.random.RandomState(0))
     assert out2.shape == (8, 8)
+
+
+def test_crop_exclude_borders_raises_when_impossible(rng):
+    from dl4ds_tpu.utils import crop_array
+    with pytest.raises(ValueError, match='cannot crop'):
+        crop_array(np.zeros((10, 10)), 9, exclude_borders=True)
+    # still fine without the border exclusion
+    out = crop_array(np.zeros((10, 10)), 9)
+    assert out.shape == (9, 9)
+
+
+def test_plot_history_val_only_and_empty(tmp_path):
+    from dl4ds_tpu.utils import plot_history
+    fig = plot_history({'val_loss': [0.5, 0.4]})
+    assert fig is not None
+    fig = plot_history({'loss': []})   # dead run: no crash
+    assert fig is not None
