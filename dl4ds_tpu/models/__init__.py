@@ -20,7 +20,7 @@ import flax.linen as nn
 from ..utils import (checkarg_backbone, checkarg_upsampling,
                      checkarg_dropout_variant)
 from .nets import (NetPostupsampling, NetPIN, UnetPIN, RecNetPostupsampling,
-                   RecNetPIN, ResidualDiscriminator)
+                   RecNetPIN, ResidualDiscriminator, _check_nblocks)
 from . import blocks
 
 __all__ = ['DSModel', 'net_postupsampling', 'net_pin', 'unet_pin',
@@ -138,6 +138,7 @@ def unet_pin(backbone_block, n_channels, n_aux_channels, hr_size,
     backbone_block = checkarg_backbone(backbone_block)
     dropout_variant = checkarg_dropout_variant(dropout_variant)
     h_hr, w_hr = hr_size
+    n_blocks = _check_nblocks((h_hr, w_hr), n_blocks)
     module = UnetPIN(
         backbone=backbone_block, n_channels_out=n_channels_out,
         n_filters=n_filters, n_blocks=n_blocks, activation=activation,
@@ -266,8 +267,15 @@ def save_model(model, variables, path):
         ocp.PyTreeCheckpointer().save(
             os.path.abspath(os.path.join(path, 'variables')), payload,
             force=True)
-    except Exception:  # noqa: BLE001 — orbax optional
+    except Exception as exc:  # noqa: BLE001 — orbax optional/failable
         import pickle
+        import shutil
+        import warnings
+        warnings.warn(
+            f'orbax save failed at {path!r} ({exc!r}); falling back to '
+            f'variables.pkl', RuntimeWarning)
+        # remove any partial orbax dir so load_model takes the pickle path
+        shutil.rmtree(os.path.join(path, 'variables'), ignore_errors=True)
         with open(os.path.join(path, 'variables.pkl'), 'wb') as fh:
             pickle.dump(payload, fh)
 
@@ -304,7 +312,10 @@ def build_model(backbone, upsampling, scale, n_channels, n_aux_channels,
     reference embeds in its trainers (dl4ds/training/supervised.py:271-317).
     """
     from .. import POSTUPSAMPLING_METHODS
+    from ..utils import check_compatibility_upsbackb
     spatiotemporal = time_window is not None and time_window > 1
+    check_compatibility_upsbackb(backbone, upsampling,
+                                 time_window if spatiotemporal else None)
     if upsampling in POSTUPSAMPLING_METHODS:
         if spatiotemporal:
             return recnet_postupsampling(

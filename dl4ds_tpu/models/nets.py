@@ -298,7 +298,11 @@ class UnetPIN(nn.Module):
 
     @nn.compact
     def __call__(self, x, aux=None, training: bool = False):
-        n_blocks = _check_nblocks((x.shape[-3], x.shape[-2]), self.n_blocks)
+        # depth is pinned at BUILD time by the factory (_check_nblocks on
+        # hr_size, like the reference's static Input shape) — recomputing
+        # it from the runtime input would change the parameter tree when a
+        # patch-trained model runs full-grid inference
+        n_blocks = self.n_blocks
         n_filters = self.n_filters
         skips, filt_list = [], []
         for i in range(n_blocks):
@@ -357,9 +361,17 @@ class UnetPIN(nn.Module):
 
 def _check_nblocks(shape, power):
     """Auto-shrink U-Net depth so the grid stays >= 2 px at the bottleneck
-    (reference: dl4ds/models/sp_preups.py:318-324)."""
+    (reference: dl4ds/models/sp_preups.py:318-324); warns like the
+    reference when shrinking."""
+    requested = power
     while shape[0] // 2 ** power < 2 or shape[1] // 2 ** power < 2:
         power -= 1
+    if power != requested:
+        import warnings
+        warnings.warn(
+            f'`n_blocks` of the U-Net encoder reduced {requested} -> '
+            f'{power} so the {shape} grid stays >= 2 px at the bottleneck',
+            RuntimeWarning)
     return power
 
 

@@ -461,3 +461,31 @@ def test_convlstm_keras_default_inits():
     flat = rk.reshape(-1, rk.shape[-1])              # orthogonal columns
     gram = flat.T @ flat
     np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-5)
+
+
+def test_unet_depth_pinned_at_build_time(rng):
+    """A patch-trained U-Net must run full-grid inference with the SAME
+    parameter tree (depth pinned from hr_size at build, like the
+    reference's static Input shape)."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        model = unet_pin('unet', n_channels=1, n_aux_channels=0,
+                         hr_size=(16, 16), n_filters=4, n_blocks=6)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    small = np.asarray(model.module.apply(
+        variables, jnp.zeros((1, 16, 16, 1)), None, training=False))
+    big = np.asarray(model.module.apply(
+        variables, jnp.zeros((1, 64, 64, 1)), None, training=False))
+    assert small.shape == (1, 16, 16, 1) and big.shape == (1, 64, 64, 1)
+
+
+def test_build_model_validates_combos():
+    from dl4ds_tpu.models import build_model
+    with pytest.raises(ValueError, match='unet'):
+        build_model('unet', 'spc', scale=4, n_channels=1, n_aux_channels=0,
+                    lr_size=(8, 8), hr_size=(32, 32))
+    with pytest.raises(ValueError):
+        build_model('convnext', 'spc', scale=4, n_channels=1,
+                    n_aux_channels=0, lr_size=(8, 8), hr_size=(32, 32),
+                    time_window=4)
