@@ -14,6 +14,7 @@ gt_mask — the same contract as the reference (dl4ds/app.py:111-116,
 """
 
 import importlib.util
+import os
 
 import numpy as np
 from absl import app, flags
@@ -110,7 +111,8 @@ flags.DEFINE_integer('patience', 6,
 flags.DEFINE_float('min_delta', 0.0,
                    'Minimum delta improvement for early stopping')
 flags.DEFINE_bool('show_plot', False,
-                  'Show the learning curve plot on finish')
+                  'Reference-compat no-op (plots render headlessly and are '
+                  'saved to save_path)')
 flags.DEFINE_bool('save_bestmodel', True,
                   'SupervisedTrainer - Whether to save the best model')
 flags.DEFINE_bool('verbose', True, 'Verbosity')
@@ -146,6 +148,9 @@ def dl4ds(argv):
     try:
         import jax
         if FLAGS.device == 'CPU':
+            # BOTH are needed before first backend use: a sitecustomize
+            # can pin JAX_PLATFORMS to an accelerator plugin
+            os.environ['JAX_PLATFORMS'] = 'cpu'
             jax.config.update('jax_platforms', 'cpu')
         running_on_first_worker = jax.process_index() == 0
     except Exception:  # noqa: BLE001
@@ -181,8 +186,9 @@ def dl4ds(argv):
         activation=FLAGS.activation,
         output_activation=FLAGS.output_activation,
         localcon_layer=FLAGS.localcon_layer)
-    if FLAGS.time_window is None or FLAGS.upsampling == 'pin':
-        architecture_params['n_blocks'] = FLAGS.n_blocks
+    # every model family takes n_blocks (the spatio-temporal factories
+    # default to 4; an explicit flag value applies everywhere)
+    architecture_params['n_blocks'] = FLAGS.n_blocks
     if FLAGS.upsampling != 'pin':
         architecture_params['rc_interpolation'] = FLAGS.rc_interpolation
     if FLAGS.backbone == 'unet' and FLAGS.upsampling == 'pin':
@@ -276,6 +282,11 @@ def dl4ds(argv):
         trainer.run()
 
     y_hat = None
+    if (FLAGS.test or FLAGS.metrics) and trainer is None \
+            and running_on_first_worker:
+        print('NOTE: --test/--metrics skipped — they run on the model '
+              'trained in this invocation (pass --train; the CLI has no '
+              'saved-model loading path, mirroring the reference app)')
     if FLAGS.test and trainer is not None and running_on_first_worker:
         print('\n' + '<' * 29, 'DL4DS Test phase', '>' * 29 + '\n')
         predictor = dds.Predictor(
@@ -295,17 +306,23 @@ def dl4ds(argv):
         y_hat = predictor.run()
 
         # netCDF export when xarray is available (reference: app.py:280-287)
-        try:
-            import xarray as xr
-            gt = DATA.gt_holdout_dataset
-            y_hat_da = xr.DataArray(
-                data=np.squeeze(y_hat), dims=('time', 'lat', 'lon'),
-                coords={'time': gt.time, 'lon': gt.lon, 'lat': gt.lat})
-            if FLAGS.save_path is not None:
-                y_hat_da.to_netcdf(f'{FLAGS.save_path}y_hat.nc')
-        except (ImportError, AttributeError):
-            if FLAGS.save_path is not None:
-                np.save(f'{FLAGS.save_path}y_hat_export.npy',
+        if FLAGS.save and FLAGS.save_path is not None:
+            os.makedirs(FLAGS.save_path, exist_ok=True)
+            try:
+                import xarray as xr
+                gt = DATA.gt_holdout_dataset
+                y = np.squeeze(np.asarray(y_hat))
+                # spatio-temporal predict windows the input: y has
+                # N - (time_window - 1) samples — align to the LAST
+                # timestamps (each window predicts its final step)
+                time = np.asarray(gt.time)[-y.shape[0]:]
+                y_hat_da = xr.DataArray(
+                    data=y, dims=('time', 'lat', 'lon'),
+                    coords={'time': time, 'lon': gt.lon, 'lat': gt.lat})
+                y_hat_da.to_netcdf(
+                    os.path.join(FLAGS.save_path, 'y_hat.nc'))
+            except (ImportError, AttributeError):
+                np.save(os.path.join(FLAGS.save_path, 'y_hat_export.npy'),
                         np.squeeze(np.asarray(y_hat)).astype('float32'))
 
     if FLAGS.metrics and y_hat is not None and running_on_first_worker:

@@ -44,6 +44,5 @@ def process_count():
 def global_mesh(axis_name='data'):
     """A 1-D data-parallel mesh over every device in the (multi-host) slice.
     Pass the result as `mesh=` to any trainer."""
-    import numpy as np
-    from jax.sharding import Mesh
-    return Mesh(np.array(jax.devices()), (axis_name,))
+    from .training.base import make_mesh
+    return make_mesh(axis_name=axis_name)

@@ -28,7 +28,11 @@ def make_mesh(devices=None, axis_name='data'):
 
 class Trainer(ABC):
     """Common training scaffolding: input validation, mesh setup, loss
-    resolution, scale checks, artifact saving."""
+    resolution, scale checks, artifact saving.
+
+    `show_plot` is accepted for reference API compatibility but is a
+    no-op: plots render headlessly (Agg) and are saved to disk by
+    `save_results`."""
 
     def __init__(self, backbone, upsampling, data_train, data_train_lr=None,
                  time_window=None, loss='mae', batch_size=64, patch_size=None,
@@ -93,18 +97,41 @@ class Trainer(ABC):
         self.running_on_first_worker = jax.process_index() == 0
 
         # scale-vs-grid checks (reference base.py:135-149)
-        imsize = (self.patch_size if self.patch_size is not None
-                  else self.data_train.shape[-2])
+        from .. import POSTUPSAMPLING_METHODS as _POSTUPS
+        if self.patch_size is not None:
+            sizes = (self.patch_size,)
+        elif self.upsampling in _POSTUPS:
+            # post-ups emits lr*scale outputs: BOTH grid axes must divide
+            # exactly or the outputs cannot match the HR targets (the
+            # reference checks only the width, base.py:135-140, and then
+            # fails deep inside the graph on non-square grids)
+            sizes = tuple(self.data_train.shape[-3:-1])   # (lat, lon)
+        else:
+            sizes = (self.data_train.shape[-2],)          # reference check
         if self.scale is not None:
-            if imsize % self.scale != 0:
+            if any(sz % self.scale for sz in sizes):
                 raise ValueError(
-                    'The image size must be divisible by `scale` (remainder '
-                    'must be zero). Crop the images or set `patch_size` '
-                    'accordingly')
+                    f'The image size {sizes} must be divisible by `scale` '
+                    f'(remainder must be zero). Crop the images or set '
+                    f'`patch_size` accordingly')
             if self.data_train_lr is not None:
-                scale_from_data = (self.data_train.shape[1]
-                                   / self.data_train_lr.shape[1])
-                if int(scale_from_data) != int(self.scale):
+                hr_yx = self.data_train.shape[-3:-1]
+                lr_yx = self.data_train_lr.shape[-3:-1]
+                from .. import POSTUPSAMPLING_METHODS
+                if self.upsampling in POSTUPSAMPLING_METHODS:
+                    # post-ups models upsample LR by exactly `scale`; a
+                    # loose ratio would emit outputs that cannot match the
+                    # HR targets (fails later inside jit with a shape error)
+                    if any(h != l * self.scale
+                           for h, l in zip(hr_yx, lr_yx)):
+                        raise ValueError(
+                            f'Wrong `scale` value: HR grid {tuple(hr_yx)} '
+                            f'is not exactly {self.scale}x the LR grid '
+                            f'{tuple(lr_yx)}')
+                elif int(hr_yx[0] / lr_yx[0]) != int(self.scale):
+                    # pin re-interpolates LR onto the HR grid, so any LR
+                    # size works — keep the reference's loose check
+                    # (reference base.py:141-149)
                     raise ValueError(
                         'Wrong `scale` value, check `data_train` and '
                         '`data_train_lr` grid sizes')
@@ -259,6 +286,6 @@ class Trainer(ABC):
             if getattr(self, 'test_loss', None) is not None:
                 np.savetxt(self.save_path + 'test_loss.txt',
                            [float(self.test_loss)], fmt='%0.6f')
-        if getattr(self, 'fithist', None):
+        if getattr(self, 'fithist', None) and self.running_on_first_worker:
             plot_history(self.fithist,
                          path=self.save_path + 'learning_curve.png')
