@@ -136,7 +136,9 @@ def resize_matrix(interpolation, in_size, out_size, area_generic=False):
             f'Received {interpolation}')
     if in_size == out_size and interpolation != 'nearest':
         # all kernels are interpolating at integer offsets -> identity
-        return np.eye(out_size, dtype=np.float32)
+        m = np.eye(out_size, dtype=np.float32)
+        m.flags.writeable = False
+        return m
     if interpolation == 'nearest':
         m = _nearest_matrix(out_size, in_size)
     elif interpolation == 'bilinear':
@@ -150,14 +152,16 @@ def resize_matrix(interpolation, in_size, out_size, area_generic=False):
     elif interpolation == 'inter_area':
         m = (_area_generic_matrix(out_size, in_size) if area_generic
              else _area_matrix(out_size, in_size))
-    return m.astype(np.float32)
+    m = m.astype(np.float32)
+    m.flags.writeable = False   # lru_cache shares this object: freeze it
+    return m
 
 
 # -----------------------------------------------------------------------------
 # Device-side application
 # -----------------------------------------------------------------------------
 
-def resize2d(x, out_hw, interpolation='inter_area', y_axis=None):
+def resize2d(x, out_hw, interpolation='inter_area'):
     """Resize the two spatial axes of `x` (any rank >= 2) to `out_hw` (H, W).
 
     Spatial axes default to the last two for rank-2 arrays and to
@@ -198,26 +202,30 @@ def resize_array(array, newsize, interpolation='inter_area', squeezed=True,
     numpy, so host pipelines can use it transparently; int/bool inputs are
     coerced to nearest-neighbour like the reference.
     """
-    is_np = isinstance(array, np.ndarray)
-    if np.issubdtype(np.asarray(array).dtype, np.integer) or \
-       np.asarray(array).dtype == bool:
-        array = np.asarray(array, 'int')
+    is_np = not isinstance(array, jnp.ndarray)
+    in_dtype = array.dtype                      # no host transfer needed
+    is_intlike = (np.issubdtype(in_dtype, np.integer)
+                  or in_dtype == bool)
+    if is_intlike:
+        # cv2 (the reference engine) preserves integer dtypes and selects
+        # nearest-neighbour for them; nearest only SELECTS input values,
+        # so the f32 round-trip below is exact
         interpolation = 'nearest'
     if array.ndim not in (2, 3, 4):
         raise RuntimeError(f'Wrong dimensions, got {array.ndim}')
     size_x, size_y = newsize
-    if array.ndim == 2:
-        out = resize2d(jnp.asarray(array, jnp.float32), (size_y, size_x),
-                       interpolation)
-    else:
-        # rank 3 [y,x,c] and rank 4 [t,y,x,c] both use (-3,-2) spatial axes
-        out = resize2d(jnp.asarray(array, jnp.float32), (size_y, size_x),
-                       interpolation)
-    out = np.asarray(out) if is_np or not isinstance(array, jnp.ndarray) else out
+    # rank 2 uses the last two axes; rank 3 [y,x,c] / rank 4 [t,y,x,c]
+    # both use the (-3,-2) spatial axes — same call either way
+    out = resize2d(jnp.asarray(array, jnp.float32), (size_y, size_x),
+                   interpolation)
     if squeezed:
-        out = np.squeeze(out) if isinstance(out, np.ndarray) else jnp.squeeze(out)
+        out = jnp.squeeze(out)
     if keep_dynamic_range:
-        lo, hi = np.asarray(array).min(), np.asarray(array).max()
-        out = np.clip(out, lo, hi) if isinstance(out, np.ndarray) else \
-            jnp.clip(out, lo, hi)
-    return out
+        out = jnp.clip(out, jnp.min(jnp.asarray(array, jnp.float32)),
+                       jnp.max(jnp.asarray(array, jnp.float32)))
+    if is_intlike:
+        out = jnp.rint(out).astype(in_dtype)
+    elif in_dtype != jnp.float32 and jnp.issubdtype(in_dtype, jnp.floating):
+        # the matmul engine computes in f32; hand back the caller's dtype
+        out = out.astype(in_dtype)
+    return np.asarray(out) if is_np else out

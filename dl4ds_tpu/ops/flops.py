@@ -31,7 +31,12 @@ def _conv_flops(eqn):
     # grouped/depthwise convs, so no division by feature_group_count needed
     k_spatial = math.prod(rhs[d] for d in dn.rhs_spec[2:])
     c_in = rhs[dn.rhs_spec[1]]
-    return 2.0 * math.prod(out) * k_spatial * c_in
+    # lhs-dilated (transposed) convs insert structural zeros between the
+    # real samples: on average only k/prod(lhs_dilation) taps touch data,
+    # so counting the full kernel would inflate mathematical FLOPs by the
+    # stride product (verified 4x on a stride-2 conv_transpose)
+    lhs_dil = math.prod(eqn.params.get('lhs_dilation') or (1,))
+    return 2.0 * math.prod(out) * k_spatial * c_in / lhs_dil
 
 
 def _dot_flops(eqn):
@@ -67,7 +72,14 @@ def jaxpr_flops(jaxpr):
             # the trip count and its band matmuls carry structural zeros)
             ce = eqn.params.get('cost_estimate')
             flops = getattr(ce, 'flops', None) if ce is not None else None
-            total += float(flops) if flops else 0.0
+            if flops:
+                total += float(flops)
+            else:
+                import warnings
+                warnings.warn(
+                    'pallas_call without a cost_estimate contributes 0 '
+                    'FLOPs to the count — attach one for honest MFU',
+                    RuntimeWarning, stacklevel=2)
         else:
             # generic recursion: pjit, closed_call, custom_jvp/vjp, remat...
             for v in eqn.params.values():

@@ -173,12 +173,8 @@ def _ssim_kernel(x1_ref, x2_ref, by_ref, bx_ref, cc_ref, ssim_ref, cs_ref):
 
 
 def _band_matrix(n, kernel1d):
-    import numpy as _np
-    k = kernel1d.shape[0]
-    m = _np.zeros((n - k + 1, n), dtype=_np.float32)
-    for i in range(n - k + 1):
-        m[i, i:i + k] = kernel1d
-    return m
+    from .ssim import band_matrix    # single shared builder
+    return band_matrix(kernel1d, n)
 
 
 def fused_ssim_per_image(img1, img2, max_val, filter_size=11,

@@ -31,17 +31,30 @@ def _gaussian_kernel1d(size, sigma):
     return (g / g.sum()).astype(np.float32)
 
 
+def band_matrix(kernel1d, n):
+    """(n-k+1, n) banded matrix applying a 1-D VALID filter — the shared
+    builder for the SSIM filters here and the fused-kernel variants in
+    ops/pallas_ops."""
+    k = kernel1d.shape[0]
+    m = np.zeros((n - k + 1, n), dtype=np.float32)
+    for i in range(n - k + 1):
+        m[i, i:i + k] = kernel1d
+    return m
+
+
 def _filter_valid(x, kernel1d):
     """Separable VALID 2D filtering over the (-3, -2) spatial axes of
     [..., H, W, C], via two windowed matmuls with static weight matrices."""
     k = kernel1d.shape[0]
     h, w = x.shape[-3], x.shape[-2]
+    if h < k or w < k:
+        raise ValueError(
+            f'image ({h}x{w}) is smaller than the {k}x{k} SSIM filter '
+            f'window (tf.image semantics; for MS-SSIM every scale must '
+            f'stay >= the window)')
 
     def band(n):
-        m = np.zeros((n - k + 1, n), dtype=np.float32)
-        for i in range(n - k + 1):
-            m[i, i:i + k] = kernel1d
-        return jnp.asarray(m)
+        return jnp.asarray(band_matrix(kernel1d, n))
 
     hp = jax.lax.Precision.HIGHEST
     y = jnp.tensordot(x, band(h), axes=[[-3], [1]], precision=hp)
