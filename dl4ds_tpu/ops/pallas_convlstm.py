@@ -336,14 +336,14 @@ def _pick_batch_tile(b, t, h, w, cin, f, kh, itemsize):
     return bt
 
 
-def _cost(b, t, h, w_pad, w_logical, wc, wf, kh, bwd, residuals=True):
+def _cost(b, t, h, w_pad, w_logical, wc, wf, kh, kw, bwd,
+          residuals=True):
     """Analytic LOGICAL cost of the fused layer (what an MFU numerator
     wants): SAME-conv FLOPs of the input + recurrent convs over the window
     at the TRUE width (wc/w_pad = Cin, wf/w_pad = F; lane-alignment padding
     is implementation detail), x2 for the backward (weight-grad +
     input-grad per conv). The band matmuls' structural zeros and the VMEM
     scratch traffic are likewise deliberately not counted."""
-    kw = kh
     cin = wc // w_pad
     f = wf // w_pad
     conv = 2 * b * t * h * w_logical * kh * kw * (cin + f) * 4 * f
@@ -365,7 +365,7 @@ def _dims_from(xp, bwx, f):
     return kh, w_pad, cin, bt
 
 
-def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
+def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical, kw,
                     save_residuals=True):
     """Run the forward kernel. With save_residuals=False (inference /
     no-grad) only ys is emitted — cs/zs exist purely as backward residuals
@@ -407,7 +407,7 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
             pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
             pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
         ],
-        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh,
+        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh, kw,
                             bwd=False, residuals=save_residuals),
         interpret=interpret,
     )(xp, bwx, bwh, bb)
@@ -415,7 +415,7 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
 
 
 def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
-                     w_logical):
+                     w_logical, kw):
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
@@ -461,7 +461,7 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
             pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
             pltpu.VMEM((bt, h + kh - 1, wf4), xp.dtype),
         ],
-        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh,
+        cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh, kw,
                             bwd=True),
         interpret=interpret,
     )(xp, zs, ys, cs, dys, bwxT, bwhT)
@@ -494,10 +494,11 @@ def _bsharded(mesh, b, ndim):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(f, interpret, w_logical, save_residuals):
+def _fwd_partitioned(f, interpret, w_logical, kw, save_residuals):
     @custom_partitioning
     def fwd(xp, bwx, bwh, bb):
         return _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
+                               kw,
                                save_residuals)
 
     def infer(mesh, arg_shapes, result_shape):
@@ -514,7 +515,7 @@ def _fwd_partitioned(f, interpret, w_logical, save_residuals):
 
         def lower(xp, bwx, bwh, bb):
             return _forward_pallas(xp, bwx, bwh, bb, f, interpret,
-                                   w_logical, save_residuals)
+                                   w_logical, kw, save_residuals)
 
         return mesh, lower, out_sh, arg_sh
 
@@ -528,11 +529,11 @@ def _fwd_partitioned(f, interpret, w_logical, save_residuals):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(f, interpret, w_logical):
+def _bwd_partitioned(f, interpret, w_logical, kw):
     @custom_partitioning
     def bwd(xp, zs, ys, cs, dys, bwx, bwh):
         return _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f,
-                                interpret, w_logical)
+                                interpret, w_logical, kw)
 
     def infer(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes)
@@ -547,7 +548,8 @@ def _bwd_partitioned(f, interpret, w_logical):
 
         def lower(xp, zs, ys, cs, dys, bwx, bwh):
             dx, dbwx, dbwh, dbb = _backward_pallas(
-                xp, bwx, bwh, zs, ys, cs, dys, f, interpret, w_logical)
+                xp, bwx, bwh, zs, ys, cs, dys, f, interpret, w_logical,
+                kw)
             if b is not None:
                 dbwx, dbwh, dbb = jax.lax.psum((dbwx, dbwh, dbb), b)
             return dx, dbwx, dbwh, dbb
@@ -580,7 +582,8 @@ def _fused(x, wx, bx, wh, interpret, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
-    ys = _fwd_partitioned(f, interpret, w_valid or w, False)(
+    ys = _fwd_partitioned(f, interpret, w_valid or w, wx.shape[1],
+                          False)(
         xp, bwx, bwh, bb)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
@@ -589,7 +592,8 @@ def _fused_fwd(x, wx, bx, wh, interpret, w_valid):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
-    ysp, csp, zsp = _fwd_partitioned(f, interpret, w_valid or w, True)(
+    ysp, csp, zsp = _fwd_partitioned(f, interpret, w_valid or w,
+                                     wx.shape[1], True)(
         xp, bwx, bwh, bb)
     meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
             jax.ShapeDtypeStruct(bx.shape, bx.dtype),
@@ -605,7 +609,8 @@ def _fused_bwd(interpret, w_valid, res, dys):
     f = wh_sd.shape[2]
     w = wc // cin
     dysp = dys.reshape(b, t, h, w * f)               # pure reshape
-    dx, dbwx, dbwh, dbb = _bwd_partitioned(f, interpret, w_valid or w)(
+    dx, dbwx, dbwh, dbb = _bwd_partitioned(f, interpret, w_valid or w,
+                                           kw)(
         xp, zsp, ysp, csp, dysp, bwx, bwh)
     dwx = _unband(dbwx, kh, kw, cin, f, w, w_valid).reshape(wx_sd.shape)
     dwh = _unband(dbwh, kh, kw, f, f, w, w_valid).reshape(wh_sd.shape)
@@ -630,10 +635,12 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     bias — Keras ConvLSTM2D layout, gate order i, f, c, o).
     Returns ys: [B, T, H, W, F].
 
-    Falls back to the XLA path for even kernels (asymmetric SAME padding
-    the band matrices don't model), when W*F is not lane-aligned (gate
-    slices must sit on 128-lane boundaries), or when the working set — in
-    particular the [W*C, 4*W*F] band matrices — cannot fit VMEM.
+    Falls back to the XLA path for even or mismatched wx/wh kernels
+    (asymmetric SAME padding the band matrices don't model), when the
+    working set — in particular the [W*C, 4*W*F] band matrices — cannot
+    fit VMEM, or when lane alignment would more than double the width
+    (unaligned W*F is PADDED up to the next 128-lane multiple with zeroed
+    band tails and runs fused; only w_pad > 2*w falls back).
 
     Multi-device meshes: the kernel carries an explicit
     custom_partitioning rule (batch dim sharded, weights/bands replicated,
@@ -646,6 +653,11 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     b, t, h, w, cin = x.shape
     kh, kw, _, f4 = wx.shape
     f = f4 // 4
+    if tuple(wh.shape[:2]) != (kh, kw):
+        # the band builders and both kernel loops assume ONE kernel size;
+        # a mismatched wh would silently drop taps — run the XLA reference
+        ys, _ = convlstm_reference(x, wx, bx, wh)
+        return ys
     # Gate slices must sit on 128-lane boundaries: pad W up to the smallest
     # width whose W*F is a multiple of 128, with band rows/cols beyond the
     # true width zeroed so the tail stays exactly zero (see _x_selector).

@@ -142,7 +142,7 @@ def fused_channel_attention(x, w1, b1, w2, b2, interpret=None):
 _SSIM_TILE = 8  # samples per program (sublane alignment)
 
 
-def _ssim_kernel(x1_ref, x2_ref, by_ref, bx_ref, cc_ref, ssim_ref, cs_ref):
+def _ssim_kernel(x1_ref, x2_ref, by_ref, bx_ref, cc_ref, ssim_ref):
     by = by_ref[:]                             # [Hv, H]
     bx = bx_ref[:]                             # [Wv, W]
     c1 = cc_ref[0, 0]
@@ -169,7 +169,6 @@ def _ssim_kernel(x1_ref, x2_ref, by_ref, bx_ref, cc_ref, ssim_ref, cs_ref):
         cs = (2.0 * (mu12 - mu1_mu2) + c2) / (mu11 - mu1_sq
                                               + mu22 - mu2_sq + c2)
         ssim_ref[j, :] = jnp.full((128,), jnp.mean(lum * cs), jnp.float32)
-        cs_ref[j, :] = jnp.full((128,), jnp.mean(cs), jnp.float32)
 
 
 def _band_matrix(n, kernel1d):
@@ -194,9 +193,18 @@ def fused_ssim_per_image(img1, img2, max_val, filter_size=11,
     SSIM evaluation; training losses keep the XLA formulation.
     """
     from .ssim import ssim as xla_ssim, _gaussian_kernel1d
+    if img1.ndim != 4:
+        # the XLA formulation handles [..., H, W, C]
+        return xla_ssim(img1, img2, max_val, filter_size, filter_sigma,
+                        k1, k2)
     b, h, w, c = img1.shape
-    per_sample = h * w * 4 * 2
-    if c != 1 or per_sample > _VMEM_LIMIT_BYTES or h < filter_size \
+    # a program holds a _SSIM_TILE-sample block of BOTH images plus ~5
+    # filtered f32 temporaries per unrolled sample and the two band
+    # matrices — budget the real working set, not one sample
+    per_program = (_SSIM_TILE * 2 * h * w * 4      # input blocks
+                   + 7 * h * w * 4                 # live temporaries
+                   + 2 * h * w * 4)                # band matrices (<= h*w)
+    if c != 1 or per_program > _VMEM_LIMIT_BYTES or h < filter_size \
             or w < filter_size:
         return xla_ssim(img1, img2, max_val, filter_size, filter_sigma,
                         k1, k2)
@@ -223,7 +231,7 @@ def fused_ssim_per_image(img1, img2, max_val, filter_size=11,
             pad = ((0, b_pad - b), (0, 0), (0, 0))
             x1p = jnp.pad(x1p, pad)
             x2p = jnp.pad(x2p, pad)
-        s, _ = pl.pallas_call(
+        s = pl.pallas_call(
             _ssim_kernel,
             grid=(b_pad // t,),
             in_specs=[
@@ -238,14 +246,9 @@ def fused_ssim_per_image(img1, img2, max_val, filter_size=11,
                 pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((t, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
-                       jax.ShapeDtypeStruct((b_pad, 128), jnp.float32)),
+            out_specs=pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
             interpret=interpret,
         )(x1p, x2p, by, bx, cc)
         return s[:b, 0]

@@ -286,3 +286,28 @@ def test_fused_convlstm_sharded_gradients(rng):
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4)
+
+
+def test_fused_convlstm_mismatched_wh_falls_back(rng):
+    """A wh kernel size differing from wx must take the XLA reference
+    (the band loops assume one kernel size; silent tap-dropping before)."""
+    from dl4ds_tpu.ops.pallas_convlstm import (fused_convlstm,
+                                               convlstm_reference)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 2)), jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((3, 3, 2, 16)), jnp.float32) * 0.1
+    bx = jnp.zeros((16,), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((5, 5, 4, 16)), jnp.float32) * 0.1
+    ys = fused_convlstm(x, wx, bx, wh)
+    ys_ref, _ = convlstm_reference(x, wx, bx, wh)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               atol=1e-5)
+
+
+def test_fused_ssim_rank5_falls_back(rng):
+    from dl4ds_tpu.ops.pallas_ops import fused_ssim_per_image
+    from dl4ds_tpu.ops.ssim import ssim as xla_ssim
+    a = jnp.asarray(rng.random((2, 3, 32, 32, 1)), jnp.float32)
+    b = jnp.asarray(rng.random((2, 3, 32, 32, 1)), jnp.float32)
+    got = fused_ssim_per_image(a, b, 1.0)
+    want = xla_ssim(a, b, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
