@@ -234,3 +234,32 @@ def test_host_streamer_memmap_disk_tier(tmp_path, rng):
         verbose=False, data_in_hbm=False)
     tr.run()
     assert np.isfinite(tr.test_loss)
+
+
+def test_native_bounds_validated(rng):
+    """The C kernels are raw memcpy loops: out-of-range indices must raise
+    (the numpy fallback raises too — same behavior either way)."""
+    from dl4ds_tpu import native
+    src = rng.standard_normal((10, 16, 16, 1)).astype('float32')
+    with pytest.raises(IndexError, match='out of bounds'):
+        native.gather_crop(src, np.array([8]), np.array([0]),
+                           np.array([0]), patch=8, time_window=4)
+    with pytest.raises(IndexError, match='crop origins'):
+        native.gather_crop(src, np.array([0]), np.array([12]),
+                           np.array([0]), patch=8)
+    if native.available():
+        with pytest.raises(IndexError):
+            native.gather_windows(src, np.array([9]), time_window=4)
+
+
+def test_numpy_fallback_gather_crop_matches_native(rng, monkeypatch):
+    from dl4ds_tpu import native
+    src = rng.standard_normal((10, 16, 16, 2)).astype('float32')
+    idx = np.array([0, 3, 5])
+    ys = np.array([1, 2, 0])
+    xs = np.array([4, 0, 8])
+    want = native.gather_crop(src, idx, ys, xs, patch=8, time_window=2)
+    monkeypatch.setattr(native, '_lib', None)
+    monkeypatch.setattr(native, '_tried', True)
+    got = native.gather_crop(src, idx, ys, xs, patch=8, time_window=2)
+    np.testing.assert_array_equal(got, want)
