@@ -26,6 +26,8 @@ measures 191 TF/s (97% of the v5e's 197 TF/s peak) under this scheme.
 
 import json
 import os
+
+import numpy as np
 import subprocess
 import sys
 import time
@@ -71,11 +73,45 @@ def slope_time(run_chunk, carry, k_lo=1, k_hi=3, repeats=2):
 
     _, carry = region(1, carry)  # warm the fetch path (compile already done)
     best = float('inf')
-    for _ in range(repeats):
+    attempts = 0
+    done = 0
+    while done < repeats and attempts < repeats + 4:
+        attempts += 1
         t_lo, carry = region(k_lo, carry)
         t_hi, carry = region(k_hi, carry)
-        best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
-    return max(best, 1e-9), carry
+        dt = (t_hi - t_lo) / (k_hi - k_lo)
+        if dt <= 0:
+            # a transient RPC backlog landed on the small region: the
+            # slope is meaningless — retry instead of clamping (a clamp
+            # would fabricate astronomic throughput samples)
+            continue
+        best = min(best, dt)
+        done += 1
+    if not np.isfinite(best) or best == float('inf'):
+        raise RuntimeError('slope_time: no positive slope in '
+                           f'{attempts} attempts (RPC backlog?)')
+    return best, carry
+
+
+def median_slope(chunk, carry, n=5, repeats=1):
+    """Median of n independent slope measurements (the tunneled chip's
+    run-to-run variance is ~±20%; see docs/ROOFLINE.md)."""
+    dts = []
+    for _ in range(n):
+        dt, carry = slope_time(chunk, carry, repeats=repeats)
+        dts.append(dt)
+    return float(np.median(dts)), carry
+
+
+def chained_forward(apply_fn):
+    """Wrap a forward so its output feeds a float chain scalar back into
+    the next call's input — slope_time regions can then never overlap or
+    be elided (float * 0.0 is NOT constant-folded by XLA; integer is)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda v, xb, t: (
+        lambda y: (y, jnp.mean(y).astype(jnp.float32) * 0.0))(
+            apply_fn(v, xb + t)))
 
 
 def build(trainer_mod, mesh=None):
@@ -132,11 +168,13 @@ def measure(steps, warmup, use_scan=True):
         dt = float(_np.median(dts))
     else:
         # per-step dispatch — faster for XLA:CPU, used for the CPU baseline
+        loss = None
         for i in range(warmup):
             key, k = jax.random.split(key)
             state, loss = tr._train_step(
                 state, jnp.asarray(idx[i], jnp.int32), k)
-        force(loss)
+        if loss is not None:
+            force(loss)
         t0 = time.perf_counter()
         for i in range(warmup, warmup + steps):
             key, k = jax.random.split(key)
@@ -144,7 +182,9 @@ def measure(steps, warmup, use_scan=True):
                 state, jnp.asarray(idx[i], jnp.int32), k)
         force(loss)
         dt = time.perf_counter() - t0
-    return steps * tr.global_batch_size / dt
+    # per-CHIP throughput: divide the aggregate by the device count so
+    # multi-device runs don't overstate the 'patches/sec/chip' metric
+    return steps * tr.global_batch_size / dt / tr.n_devices
 
 
 def cpu_probe():
@@ -253,8 +293,10 @@ def infer_bench():
         'value': per_batch[best],
         'unit': 'grids/sec/chip', 'vs_baseline': None,
         'batch': best,
-        'definition': 'best over the serving-batch sweep (earlier rounds '
-                      'recorded fixed batch 8 — compare per_batch["8"])',
+        'definition': ('best over the serving-batch sweep'
+                       + (' (earlier rounds recorded fixed batch 8 — '
+                          'compare per_batch["8"])'
+                          if 8 in per_batch else ' (smoke sweep)')),
         'per_batch': {str(k): v for k, v in per_batch.items()}}))
 
 
@@ -410,7 +452,12 @@ def main():
     if '--accuracy' in sys.argv:
         accuracy_bench(quick='--quick' in sys.argv)
         return
-    pps = measure(STEPS, WARMUP)
+    import jax
+    # scan-of-steps is the TPU path; XLA:CPU pays a ~25-60x per-wrapper
+    # scan cliff (CLAUDE.md) — use per-step dispatch there
+    on_cpu = jax.default_backend() == 'cpu'
+    pps = measure(STEPS if not on_cpu else CPU_STEPS, WARMUP,
+                  use_scan=not on_cpu)
     cpu_pps = cpu_baseline()
     vs = round(pps / cpu_pps, 3) if cpu_pps else None
     print(json.dumps({

@@ -13,9 +13,11 @@ benchmark config the baseline defines:
 """
 
 import json
+import os
 
 import numpy as np
 
+import bench
 from bench import force, slope_time
 
 # run-to-run variance on the tunneled chip is ~±20% (docs/ROOFLINE.md);
@@ -202,6 +204,7 @@ def measure_cgan(name, steps=20):
 def main(only=None):
     """Measure all configs, or with `--only key1,key2` just those, merging
     the re-measured entries into the existing BENCH_SUITE.json."""
+    bench._enable_compile_cache()
     rng = np.random.default_rng(1)
     statics = [rng.standard_normal((128, 128)).astype('float32')]
     preds = [rng.standard_normal((256, 128, 128, 1)).astype('float32')]
@@ -236,7 +239,7 @@ def main(only=None):
             raise SystemExit(f'unknown configs: {sorted(unknown)}; '
                              f'choose from {sorted(configs)}')
         try:
-            with open('BENCH_SUITE.json') as fh:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_SUITE.json')) as fh:
                 results = json.load(fh)
         except (OSError, ValueError):
             results = {}
@@ -245,7 +248,7 @@ def main(only=None):
     else:
         results = {key: run() for key, run in configs.items()}
 
-    with open('BENCH_SUITE.json', 'w') as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_SUITE.json'), 'w') as fh:
         json.dump(results, fh, indent=2)
     print('\nwrote BENCH_SUITE.json (patches/sec/chip + ms/step + MFU, bf16, '
           'batch 128, 64px HR patches)')
