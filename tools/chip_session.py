@@ -39,8 +39,21 @@ STEPS = {
 def run_step(name, cmd, timeout):
     t0 = time.time()
     try:
-        res = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                             timeout=timeout)
+        # own process group: a timeout must also kill grandchildren (e.g.
+        # bench.py's --cpu-probe subprocess) or they keep saturating the
+        # host during the NEXT steps' timings
+        proc = subprocess.Popen(cmd, cwd=ROOT, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                start_new_session=True)
+        try:
+            stdout, stderr = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            raise
+        res = subprocess.CompletedProcess(cmd, proc.returncode, stdout,
+                                          stderr)
         out = res.stdout.strip().splitlines()
         parsed = None
         for line in reversed(out):
@@ -49,11 +62,14 @@ def run_step(name, cmd, timeout):
                 break
             except ValueError:
                 continue
-        if parsed is None and name == 'suite':
-            # bench_suite.py reports via BENCH_SUITE.json, not stdout
+        if parsed is None and name == 'suite' and res.returncode == 0:
+            # bench_suite.py reports via BENCH_SUITE.json, not stdout;
+            # only trust the file when THIS run wrote it (rc 0 + fresh)
+            path = os.path.join(ROOT, 'BENCH_SUITE.json')
             try:
-                with open(os.path.join(ROOT, 'BENCH_SUITE.json')) as fh:
-                    parsed = json.load(fh)
+                if os.path.getmtime(path) >= t0:
+                    with open(path) as fh:
+                        parsed = json.load(fh)
             except (OSError, ValueError):
                 pass
         return {'ok': res.returncode == 0 and parsed is not None,

@@ -44,18 +44,24 @@ def measure(n_members, steps_per_chunk=10):
                             bootstrap=True)
     opt = es.init_opt(stacked)
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((BATCH, LR, LR, 1)).astype('float32')
-    y = rng.standard_normal((BATCH, LR * SCALE, LR * SCALE, 1)
-                            ).astype('float32')
+    import jax.numpy as jnp
+    # device-resident operands + pre-split keys: host numpy args would
+    # re-transfer ~2 MB per step INSIDE the timed region (scales with the
+    # region size, so slope_time cannot cancel it — it would bias the
+    # cost_vs_solo ratio toward fake savings)
+    x = jnp.asarray(rng.standard_normal(
+        (BATCH, LR, LR, 1)).astype('float32'))
+    y = jnp.asarray(rng.standard_normal(
+        (BATCH, LR * SCALE, LR * SCALE, 1)).astype('float32'))
+    keys = list(jax.random.split(jax.random.PRNGKey(0), steps_per_chunk))
 
     def chunk(carry):
-        v, o, key = carry
-        for _ in range(steps_per_chunk):
-            key, k = jax.random.split(key)
+        v, o = carry
+        for k in keys:
             v, o, losses = es.step(v, o, x, y, k)
-        return (v, o, key), losses
+        return (v, o), losses
 
-    carry = (stacked, opt, jax.random.PRNGKey(0))
+    carry = (stacked, opt)
     carry, _ = chunk(carry)  # compile
     sec_per_chunk, _ = slope_time(chunk, carry)
     ms = 1e3 * sec_per_chunk / steps_per_chunk

@@ -110,6 +110,7 @@ def _maxdiff(a, b):
 # ---------------------------------------------------------------------------
 
 def section_dataprep(ref):
+    _jax_cpu()   # the env var alone cannot override a sitecustomize pin
     import dl4ds_tpu.dataloader as mine
 
     rng = np.random.default_rng(7)
@@ -725,7 +726,6 @@ def section_throughput(ref, epochs=3):
         show_plot=False)
     # measure fit-loop epochs end-to-end (includes the reference's
     # host-side pair synthesis — its real bottleneck, supervised.py:397)
-    orig_run = tr.run
 
     def run_with_timer():
         tr.setup_datagen()
@@ -736,7 +736,6 @@ def section_throughput(ref, epochs=3):
         tr.model.fit(tr.ds_train, epochs=epochs, verbose=0,
                      callbacks=[EpochTimer()])
 
-    del orig_run
     run_with_timer()
     steps_per_epoch = len(tr.ds_train)
     # first epoch pays tf.function tracing; use the min of the rest
@@ -767,6 +766,13 @@ def main():
         with open(OUT) as fh:
             result = json.load(fh)
 
+    unknown = [n for n in sections
+               if f'section_{n}' not in globals()]
+    if unknown:
+        raise SystemExit(f'unknown sections {unknown}; available: '
+                         + ', '.join(sorted(
+                             n[len('section_'):] for n in globals()
+                             if n.startswith('section_'))))
     for name in sections:
         fn = globals()[f'section_{name}']
         print(f'[tf_parity] running {name}...', flush=True)
@@ -777,6 +783,8 @@ def main():
             result[name] = fn(ref)
         print(f'[tf_parity] {name} done in '
               f'{time.perf_counter() - t0:.1f}s', flush=True)
+        with open(OUT, 'w') as fh:   # persist per section: a later crash
+            json.dump(result, fh, indent=2, default=float)   # loses nothing
 
     result['meta'] = {
         'reference': '/root/reference/dl4ds (TF ' + __import_tf_version()
