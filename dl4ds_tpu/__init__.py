@@ -72,7 +72,9 @@ from .models import (net_postupsampling, net_pin, unet_pin,
                      residual_discriminator, build_model)
 from .training import Trainer, SupervisedTrainer, CGANTrainer, load_checkpoint
 from .inference import Predictor, predict, predict_mc
-from .metrics import compute_rmse, compute_correlation, compute_metrics
+from .metrics import (compute_rmse, compute_correlation, compute_metrics,
+                      crps_ensemble, spread_skill, rank_histogram,
+                      compute_prob_metrics)
 from .export import (export_forward, save_serving_artifact,
                      load_serving_artifact)
 from .quantization import quantize_forward

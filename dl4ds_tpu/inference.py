@@ -388,9 +388,12 @@ def _batched_apply(apply, variables, x, aux, batch_size, *extra,
     return np.concatenate(outs, axis=0)
 
 
-def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
+def predict_mc(trainer, array, scale, n_members=20, seed=0,
+               return_members=False, **kwargs):
     """Monte-Carlo-dropout ensemble inference: run `predict` n_members times
-    with different dropout streams and return (mean, std) over members.
+    with different dropout streams and return (mean, std) over members
+    (plus the raw member stack ``[M, N, H, W, C]`` as a third element with
+    ``return_members=True`` — input to `metrics.compute_prob_metrics`).
 
     Only meaningful for models built with an 'mc*' dropout variant
     (mcdrop / mcgaussiandrop / mcspatialdrop — active at inference, matching
@@ -439,4 +442,6 @@ def predict_mc(trainer, array, scale, n_members=20, seed=0, **kwargs):
             out = scaler.inverse_transform(out)
         members.append(out)
     stack = np.stack(members, axis=0)
+    if return_members:
+        return stack.mean(axis=0), stack.std(axis=0), stack
     return stack.mean(axis=0), stack.std(axis=0)

@@ -16,7 +16,9 @@ from .preprocessing import _to_numpy
 from .utils import checkarray_ndim, Timing
 from .ops.ssim import ssim as _ssim, psnr as _psnr
 
-__all__ = ['compute_rmse', 'compute_correlation', 'compute_metrics']
+__all__ = ['compute_rmse', 'compute_correlation', 'compute_metrics',
+           'crps_ensemble', 'spread_skill', 'rank_histogram',
+           'compute_prob_metrics']
 
 
 def compute_rmse(y, y_hat, over='time', squared=False, n_jobs=None):
@@ -232,6 +234,174 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
 
     timing.runtime()
     return temp_rmse_map, temp_pearson_corrmap, nmeanbias
+
+
+def _member_stack(members, y):
+    """Coerce `members` to a float64 [M, *y.shape] array (leading member
+    axis, the stacking convention of `parallel.predict_ensemble` /
+    `inference.predict_mc` with return_members=True)."""
+    members = np.asarray(_to_numpy(members), 'float64')
+    y = np.asarray(_to_numpy(y), 'float64')
+    if members.ndim != y.ndim + 1 or members.shape[1:] != y.shape:
+        raise ValueError(
+            f'members must be [M, *obs.shape]; got members '
+            f'{members.shape} vs obs {y.shape}')
+    if members.shape[0] < 1:
+        raise ValueError('need at least one ensemble member')
+    return members, y
+
+
+def crps_ensemble(y, members, fair=True):
+    """Continuous Ranked Probability Score of an ensemble forecast against
+    observations, per grid point: the standard kernel (energy) form
+
+        CRPS = E|X - y| - 1/2 E|X - X'|
+
+    estimated from the `M` members. With ``fair=True`` (default) the
+    second expectation uses the unbiased 1/(M(M-1)) normalization (the
+    "fair" CRPS, Ferro 2008), which estimates the score of the underlying
+    distribution rather than of the finite ensemble; ``fair=False`` gives
+    the classic 1/M^2 estimator. For M == 1 both reduce to the absolute
+    error |x - y| (CRPS of a point forecast).
+
+    The pairwise term is computed via the sorted-members identity
+    ``sum_{i,j} |x_i - x_j| = 2 * sum_k (2k - M + 1) x_(k)`` — O(M log M)
+    per grid point instead of O(M^2).
+
+    Parameters: `y` observations ``[...]``, `members` ensemble stack
+    ``[M, ...]`` (as returned by ``predict_ensemble(...,
+    return_members=True)`` / ``predict_mc(..., return_members=True)``).
+    Returns the CRPS field with the shape of `y` (beyond-reference;
+    the reference has no probabilistic verification).
+    """
+    members, y = _member_stack(members, y)
+    m = members.shape[0]
+    term1 = np.mean(np.abs(members - y[None]), axis=0)
+    if m == 1:
+        return term1
+    xs = np.sort(members, axis=0)
+    k = np.arange(m, dtype='float64').reshape((m,) + (1,) * y.ndim)
+    # sum_{i,j} |x_i - x_j| over ordered pairs (both orders)
+    pair_sum = 2.0 * np.sum((2.0 * k - m + 1.0) * xs, axis=0)
+    denom = m * (m - 1) if fair else m * m
+    return term1 - pair_sum / (2.0 * denom)
+
+
+def spread_skill(y, members, fair=True):
+    """Spread-skill diagnostics of an ensemble: returns
+    ``(spread, skill, ratio)`` where `skill` is the RMSE of the ensemble
+    mean, `spread` is the RMS ensemble standard deviation (ddof=1), and
+    `ratio = spread_corrected / skill` with the finite-ensemble correction
+    ``sqrt((M+1)/M)`` applied when ``fair=True`` (a statistically
+    calibrated ensemble satisfies E[MSE of the mean] = (M+1)/M * E[var],
+    so ratio ~= 1 <=> calibrated, < 1 under-dispersive, > 1
+    over-dispersive).
+    """
+    members, y = _member_stack(members, y)
+    m = members.shape[0]
+    if m < 2:
+        raise ValueError('spread_skill needs at least 2 members')
+    skill = float(np.sqrt(np.mean((members.mean(axis=0) - y) ** 2)))
+    mean_var = float(np.mean(members.var(axis=0, ddof=1)))
+    spread = float(np.sqrt(mean_var))
+    corr = np.sqrt((m + 1.0) / m) if fair else 1.0
+    ratio = spread * corr / skill if skill > 0 else np.inf
+    return spread, skill, float(ratio)
+
+
+def rank_histogram(y, members, seed=0):
+    """Rank (Talagrand) histogram: for every grid point, the rank of the
+    observation within the sorted ensemble (ties broken uniformly at
+    random with `seed`, the standard convention so that identical values
+    don't pile up in one bin). Returns integer counts of length M + 1.
+    A calibrated ensemble yields a flat histogram; U-shape =>
+    under-dispersive, dome => over-dispersive."""
+    members, y = _member_stack(members, y)
+    m = members.shape[0]
+    below = np.sum(members < y[None], axis=0)
+    ties = np.sum(members == y[None], axis=0)
+    rng = np.random.default_rng(seed)
+    rank = below + rng.integers(0, ties + 1)
+    return np.bincount(rank.ravel(), minlength=m + 1)
+
+
+def compute_prob_metrics(y_test, members, dpi=150, save_path=None,
+                         lats=None, lons=None, fair=True, seed=0,
+                         scaler=None):
+    """Probabilistic verification suite for ensemble forecasts
+    (deep ensembles via `parallel.predict_ensemble` or MC dropout via
+    `predict_mc`, both with ``return_members=True``): per-grid-point CRPS
+    map, ensemble-spread map, rank histogram, and the spread-skill ratio,
+    with plot/npy/txt artifacts in the `compute_metrics` style.
+
+    Beyond-reference capability: the reference's metrics module
+    (dl4ds/metrics.py) is deterministic-only.
+
+    Returns ``(crps_map, ss_ratio, rank_counts)``.
+    """
+    timing = Timing()
+    y_test = np.asarray(_to_numpy(y_test), 'float32')
+    members = np.asarray(_to_numpy(members), 'float32')
+    if y_test.ndim == 5:
+        y_test = np.squeeze(y_test, -1)
+        members = np.squeeze(members, -1)
+    y_test = checkarray_ndim(y_test, 4, -1)
+    members = checkarray_ndim(members, 5, -1)
+    if scaler is not None and hasattr(scaler, 'inverse_transform'):
+        y_test = scaler.inverse_transform(y_test)
+        members = np.stack([scaler.inverse_transform(mem)
+                            for mem in members], axis=0)
+
+    n_members = members.shape[0]
+    crps_field = crps_ensemble(y_test, members, fair=fair)   # [N, H, W, C]
+    crps_map = np.mean(crps_field, axis=0)[..., 0]
+    mean_crps = float(np.mean(crps_field))
+    spread_map = np.mean(np.std(members, axis=0, ddof=1), axis=0)[..., 0]
+    spread, skill, ratio = spread_skill(y_test, members, fair=fair)
+    counts = rank_histogram(y_test, members, seed=seed)
+
+    _plot_map(crps_map, f'CRPS map (mu = {mean_crps:.6f})', save_path,
+              'metrics_crps_map', dpi, cmap='viridis', lats=lats, lons=lons)
+    _plot_map(spread_map, f'Ensemble spread map (sigma_bar = {spread:.6f})',
+              save_path, 'metrics_spread_map', dpi, cmap='magma',
+              lats=lats, lons=lons)
+    _plot_rank_histogram(counts, save_path, dpi)
+
+    fh = (open(os.path.join(save_path, 'metrics_prob_summary.txt'), 'a')
+          if save_path is not None else None)
+    print(f'Probabilistic metrics ({n_members} members):\n', file=fh)
+    print(f'CRPS ({"fair" if fair else "plain"}) \tmu = {mean_crps}',
+          file=fh)
+    print(f'Ensemble-mean RMSE (skill) \t{skill}', file=fh)
+    print(f'Ensemble spread (RMS sigma) \t{spread}', file=fh)
+    print(f'Spread-skill ratio (1 = calibrated) \t{ratio}', file=fh)
+    if fh is not None:
+        fh.close()
+    timing.runtime()
+    return crps_map, ratio, counts
+
+
+def _plot_rank_histogram(counts, save_path, dpi):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=dpi)
+    n_bins = len(counts)
+    ax.bar(np.arange(n_bins), counts, color='skyblue', edgecolor='k',
+           linewidth=0.5)
+    ax.axhline(counts.sum() / n_bins, color='crimson', linestyle='--',
+               linewidth=1, label='uniform (calibrated)')
+    ax.set_xlabel('observation rank within ensemble')
+    ax.set_ylabel('count')
+    ax.set_title('Rank histogram')
+    ax.legend()
+    fig.tight_layout()
+    if save_path is not None:
+        np.save(os.path.join(save_path, 'metrics_rank_histogram.npy'),
+                counts)
+        fig.savefig(os.path.join(save_path, 'metrics_rank_histogram.png'),
+                    bbox_inches='tight')
+    plt.close(fig)
 
 
 def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis',

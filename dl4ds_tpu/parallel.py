@@ -580,12 +580,17 @@ def make_ensemble_step(model, mesh, tx=None, loss='mae',
 
 
 def predict_ensemble(model, stacked_variables, x, aux=None, mesh=None,
-                     member_axis='ensemble'):
+                     member_axis='ensemble', return_members=False):
     """Ensemble inference: run every member on `x` in one vmapped program
     (members sharded over `mesh`'s `member_axis` when given — shard_map,
     for the same exactness reason as `make_ensemble_step`) and return
     `(mean, std)` over members — the downscaled field and its epistemic
-    uncertainty map. Counterpart of `predict_mc` for stacked ensembles."""
+    uncertainty map. Counterpart of `predict_mc` for stacked ensembles.
+
+    With ``return_members=True`` the raw member stack ``[M, N, H, W, C]``
+    is returned as a third element — the input to the probabilistic
+    verification suite (`metrics.crps_ensemble` /
+    `metrics.compute_prob_metrics`)."""
     x = jnp.asarray(x, jnp.float32)
     # aux folded to zeros-shaped placeholder when absent so the shard_map'd
     # function takes no traced closures
@@ -620,5 +625,8 @@ def predict_ensemble(model, stacked_variables, x, aux=None, mesh=None,
                                    has_aux), make_fn)(
             stacked_variables, x, aux_j)
     outs = outs.astype(jnp.float32)
-    return (np.asarray(jnp.mean(outs, axis=0)),
-            np.asarray(jnp.std(outs, axis=0)))
+    mean = np.asarray(jnp.mean(outs, axis=0))
+    std = np.asarray(jnp.std(outs, axis=0))
+    if return_members:
+        return mean, std, np.asarray(outs)
+    return mean, std

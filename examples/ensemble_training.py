@@ -74,11 +74,21 @@ def main():
             print(f'step {step_i:4d}  member losses '
                   f'{np.round(arr, 4)}  (mean {arr.mean():.4f})')
 
-    mean, std = predict_ensemble(model, stacked, x, mesh=mesh)
+    mean, std, members = predict_ensemble(model, stacked, x, mesh=mesh,
+                                          return_members=True)
     rmse = float(np.sqrt(np.mean((mean - y) ** 2)))
     print(f'ensemble-mean RMSE vs truth: {rmse:.4f}')
     print(f'uncertainty map: mean sigma {std.mean():.4f}, '
           f'max sigma {std.max():.4f}')
+
+    # probabilistic verification: fair CRPS, spread-skill calibration,
+    # rank histogram (metrics.compute_prob_metrics writes the full
+    # plot/npy/txt artifact set when given save_path=...)
+    from dl4ds_tpu.metrics import crps_ensemble, spread_skill
+    crps = float(crps_ensemble(y, members).mean())
+    spread, skill, ratio = spread_skill(y, members)
+    print(f'fair CRPS {crps:.4f}; spread-skill ratio {ratio:.3f} '
+          f'(1 = calibrated, <1 under-dispersive)')
 
 
 if __name__ == '__main__':
