@@ -133,10 +133,26 @@ flags.DEFINE_integer('gradient_accumulation_steps', 1,
                      'Microbatches accumulated per optimizer update '
                      '(effective batch = k x batch_size at microbatch '
                      'memory cost)')
+flags.DEFINE_enum('lr_schedule', None, ['cosine', 'warmup_cosine'],
+                  'SupervisedTrainer - LR schedule over the full run '
+                  '(None keeps the reference piecewise/constant behavior)')
+flags.DEFINE_integer('warmup_steps', 0,
+                     'SupervisedTrainer - linear LR warmup steps for '
+                     'warmup_cosine (0 = auto, 5% of the run)')
+flags.DEFINE_float('ema_decay', 0.0,
+                   'Parameter EMA decay, 0 disables. Supervised: eval/'
+                   'best-checkpoint/serving use the averaged weights; '
+                   'CGAN: the averaged generator is evaluated and served')
 
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
                   'Whether the inference array is in high resolution')
+flags.DEFINE_integer('inference_mc_members', 0,
+                     'When > 0 and the model uses an mc* dropout variant, '
+                     'the test phase also runs an MC-dropout ensemble of '
+                     'this many members (saves mean/std maps) and the '
+                     'metrics phase adds the probabilistic suite (CRPS, '
+                     'spread-skill, rank histogram)')
 flags.DEFINE_string('inference_save_fname', None,
                     'Filename for saving the inference array')
 
@@ -239,6 +255,9 @@ def dl4ds(argv):
                 steps_per_execution=FLAGS.steps_per_execution,
                 gradient_accumulation_steps=(
                     FLAGS.gradient_accumulation_steps),
+                lr_schedule=FLAGS.lr_schedule,
+                warmup_steps=FLAGS.warmup_steps,
+                ema_decay=FLAGS.ema_decay,
                 dtype=(jnp.bfloat16 if FLAGS.dtype == 'bfloat16'
                        else jnp.float32),
                 **architecture_params)
@@ -278,10 +297,12 @@ def dl4ds(argv):
                 generator_params=architecture_params,
                 discriminator_params=discriminator_params,
                 gradient_accumulation_steps=(
-                    FLAGS.gradient_accumulation_steps))
+                    FLAGS.gradient_accumulation_steps),
+                ema_decay=FLAGS.ema_decay)
         trainer.run()
 
     y_hat = None
+    mc_members = None
     if (FLAGS.test or FLAGS.metrics) and trainer is None \
             and running_on_first_worker:
         print('NOTE: --test/--metrics skipped — they run on the model '
@@ -304,6 +325,32 @@ def dl4ds(argv):
             save_fname=FLAGS.inference_save_fname,
             device=FLAGS.device)
         y_hat = predictor.run()
+
+        if FLAGS.inference_mc_members > 0:
+            if not str(FLAGS.dropout_variant or '').startswith('mc'):
+                print('NOTE: --inference_mc_members ignored — the model was '
+                      'not built with an mc* dropout variant (dropout is '
+                      'inactive at inference, so all members would be '
+                      'identical)')
+            else:
+                mc_mean, mc_std, mc_members = dds.predict_mc(
+                    trainer, DATA.inference_data, scale=FLAGS.scale,
+                    n_members=FLAGS.inference_mc_members,
+                    return_members=True,
+                    array_in_hr=FLAGS.inference_array_in_hr,
+                    interpolation=FLAGS.interpolation,
+                    predictors=DATA.inference_predictors,
+                    static_vars=DATA.static_vars,
+                    time_window=FLAGS.time_window,
+                    batch_size=FLAGS.batch_size,
+                    scaler=DATA.inference_scaler,
+                    device=FLAGS.device)
+                if FLAGS.save_path is not None:
+                    os.makedirs(FLAGS.save_path, exist_ok=True)
+                    np.save(os.path.join(FLAGS.save_path,
+                                         'y_hat_mc_mean.npy'), mc_mean)
+                    np.save(os.path.join(FLAGS.save_path,
+                                         'y_hat_mc_std.npy'), mc_std)
 
         # netCDF export when xarray is available (reference: app.py:280-287)
         if FLAGS.save and FLAGS.save_path is not None:
@@ -339,6 +386,16 @@ def dl4ds(argv):
             mask=DATA.gt_mask,
             save_path=FLAGS.save_path,
             n_jobs=-1, lats=lats, lons=lons)
+        if mc_members is not None:
+            # probabilistic verification of the MC-dropout ensemble
+            # (CRPS / spread maps, rank histogram, spread-skill ratio);
+            # spatio-temporal predict windows the input — align the ground
+            # truth to the LAST n predicted samples (as the netCDF export
+            # does above)
+            gt_aligned = gt[-mc_members.shape[1]:]
+            dds.compute_prob_metrics(
+                gt_aligned, mc_members, dpi=300,
+                save_path=FLAGS.save_path, lats=lats, lons=lons)
 
 
 def main():

@@ -29,6 +29,15 @@ from .base import Trainer
 _EPS = 1e-7
 
 
+class GenTrainState(train_state.TrainState):
+    # exponential moving average of the GENERATOR params (standard GAN
+    # serving practice — the EMA generator is smoother than any single
+    # late-training iterate); maintained inside the jitted step when the
+    # trainer's ema_decay > 0, None otherwise. Initialized AT the initial
+    # params, so no zero-debiasing is needed.
+    ema_params: object = None
+
+
 def _bce(labels, probs):
     """Binary cross-entropy on probabilities (from_logits=False), matching
     tf.keras.losses.BinaryCrossentropy used by the reference."""
@@ -57,7 +66,8 @@ def discriminator_loss(disc_real_output, disc_generated_output):
 
 
 def train_step(gen_state, disc_state, batch, key, generator, discriminator,
-               gen_pxloss_function, lambda_scaling_factor=100):
+               gen_pxloss_function, lambda_scaling_factor=100,
+               ema_decay=0.0):
     """One fused G+D update on a (lr, hr[, aux]) batch — the pure, jittable
     counterpart of the reference's eager two-GradientTape `train_step`
     (cgan.py:575-639; the Horovod allreduce becomes XLA's all-reduce when the
@@ -96,6 +106,12 @@ def train_step(gen_state, disc_state, batch, key, generator, discriminator,
 
     gen_state = gen_state.apply_gradients(grads=g_grads)
     disc_state = disc_state.apply_gradients(grads=d_grads)
+    if ema_decay > 0:
+        # requires a GenTrainState (the trainer creates one when its
+        # ema_decay > 0); plain TrainStates keep the default path
+        gen_state = gen_state.replace(ema_params=jax.tree.map(
+            lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+            gen_state.ema_params, gen_state.params))
     return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
 
 
@@ -120,7 +136,7 @@ class CGANTrainer(Trainer):
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, resume_from_checkpoint=None,
                  data_in_hbm=True, terminate_on_nan=True,
-                 gradient_accumulation_steps=1):
+                 gradient_accumulation_steps=1, ema_decay=0.0):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -161,6 +177,14 @@ class CGANTrainer(Trainer):
             raise ValueError('`gradient_accumulation_steps` must be an '
                              'integer >= 1')
         self.gradient_accumulation_steps = gradient_accumulation_steps
+        # generator parameter EMA (beyond the reference; standard GAN
+        # practice): ema_decay > 0 maintains averaged G weights inside the
+        # jitted step — the test eval, `self.variables` (what predict()
+        # serves) and save_results then use the EMA generator; the raw
+        # iterate stays on `self.gen_state.params`
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError('`ema_decay` must be in [0, 1)')
+        self.ema_decay = float(ema_decay)
         # resume G/D params + optimizer states from a periodic checkpoint
         # saved by checkpoints_frequency (path to .../checkpoints/<name>)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -214,9 +238,11 @@ class CGANTrainer(Trainer):
         gen, disc, lossf = self.generator, self.discriminator, self.lossf
         synth = self.ds_train
 
+        ema_decay = self.ema_decay  # static: baked into the jitted programs
+
         def train_step_batch(gen_state, disc_state, batch, key):
             return train_step(gen_state, disc_state, batch, key, gen, disc,
-                              lossf)
+                              lossf, ema_decay=ema_decay)
 
         def train_step_indices(gen_state, disc_state, indices, key):
             skey, bkey = jax.random.split(key)
@@ -283,9 +309,11 @@ class CGANTrainer(Trainer):
                     tx, every_k_schedule=self.gradient_accumulation_steps)
             return tx
 
-        gen_state = train_state.TrainState.create(
+        gen_state = GenTrainState.create(
             apply_fn=self.generator.module.apply,
-            params=self.gen_vars['params'], tx=_tx(genlr))
+            params=self.gen_vars['params'], tx=_tx(genlr),
+            ema_params=(jax.tree.map(jnp.array, self.gen_vars['params'])
+                        if self.ema_decay > 0 else None))
         disc_state = train_state.TrainState.create(
             apply_fn=self.discriminator.module.apply,
             params=self.disc_vars['params'], tx=_tx(dislr))
@@ -382,7 +410,10 @@ class CGANTrainer(Trainer):
 
         self.gen_state = gen_state
         self.disc_state = disc_state
-        self.variables = {'params': gen_state.params}
+        # with EMA on, the served generator is the averaged one
+        self.variables = {'params': (gen_state.ema_params
+                                     if self.ema_decay > 0
+                                     else gen_state.params)}
         self.model = self.generator  # so Predictor can resolve it
 
         # test loss with the final generator (reference: cgan.py:390-440)
@@ -413,7 +444,7 @@ class CGANTrainer(Trainer):
                 idx = jnp.arange(i, min(i + eval_bs, n_test),
                                  dtype=jnp.int32)
                 batch = ds_test(idx, jax.random.fold_in(key0, i))
-                y_pred = apply({'params': gen_state.params}, batch['lr'],
+                y_pred = apply(self.variables, batch['lr'],
                                batch['aux'])
                 loss_sum += float(self.lossf(batch['hr'], y_pred)) * len(idx)
             self.test_loss = loss_sum / n_test
@@ -435,6 +466,8 @@ class CGANTrainer(Trainer):
             'discriminator_opt': jax.device_get(disc_state.opt_state),
             'step': int(gen_state.step),
         }
+        if getattr(gen_state, 'ema_params', None) is not None:
+            payload['generator_ema'] = jax.device_get(gen_state.ema_params)
         self._checkpoint_save(path, payload)
 
 
@@ -445,11 +478,17 @@ class CGANTrainer(Trainer):
                     'generator_opt': gen_state.opt_state,
                     'discriminator_opt': disc_state.opt_state,
                     'step': 0}
+        has_ema = getattr(gen_state, 'ema_params', None) is not None
+        if has_ema:
+            template['generator_ema'] = gen_state.ema_params
         payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
                                                    item=template)
         gen_state = gen_state.replace(params=payload['generator'],
                                       opt_state=payload['generator_opt'],
                                       step=payload['step'])
+        if has_ema:
+            gen_state = gen_state.replace(
+                ema_params=payload['generator_ema'])
         disc_state = disc_state.replace(
             params=payload['discriminator'],
             opt_state=payload['discriminator_opt'], step=payload['step'])

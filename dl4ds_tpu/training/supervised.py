@@ -35,6 +35,10 @@ from .base import Trainer
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # exponential moving average of `params` (maintained inside the jitted
+    # train step when the trainer's ema_decay > 0; None otherwise).
+    # Initialized AT the initial params, so no zero-debiasing is needed.
+    ema_params: Any = None
 
 
 class SupervisedTrainer(Trainer):
@@ -64,7 +68,8 @@ class SupervisedTrainer(Trainer):
                  data_in_hbm=True, steps_per_execution=None,
                  checkpoints_frequency=0, resume_from_checkpoint=None,
                  season_ids=None, time_metadata=None, terminate_on_nan=True,
-                 gradient_accumulation_steps=1, **architecture_params):
+                 gradient_accumulation_steps=1, lr_schedule=None,
+                 warmup_steps=0, ema_decay=0.0, **architecture_params):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -106,6 +111,30 @@ class SupervisedTrainer(Trainer):
         self.test_steps = test_steps
         self.learning_rate = learning_rate
         self.lr_decay_after = lr_decay_after
+        # LR schedule (beyond the reference's piecewise-constant decay):
+        # None keeps the reference behavior (constant, or piecewise when
+        # `learning_rate` is a 2-tuple); 'cosine' decays lr[0] -> lr[1]
+        # (or to 0 for a scalar lr) over the full run; 'warmup_cosine'
+        # adds a linear warmup over `warmup_steps` optimizer steps (0 =
+        # auto, 5% of the run). A callable is used verbatim as an optax
+        # schedule (step -> lr; DP LR scaling is then the caller's call).
+        if lr_schedule not in (None, 'cosine', 'warmup_cosine') \
+                and not callable(lr_schedule):
+            raise ValueError(
+                f"`lr_schedule` must be None, 'cosine', 'warmup_cosine' or "
+                f"a callable schedule, got {lr_schedule!r}")
+        if warmup_steps < 0:
+            raise ValueError('`warmup_steps` must be >= 0')
+        self.lr_schedule = lr_schedule
+        self.warmup_steps = warmup_steps
+        # parameter EMA (beyond the reference): ema_decay > 0 maintains an
+        # exponential moving average of the parameters inside the jitted
+        # step; validation/test/early-stopping, the best-model checkpoint
+        # and the final `self.variables` then use the EMA weights (the
+        # weights one serves), while `self.state.params` keeps the raw ones.
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError('`ema_decay` must be in [0, 1)')
+        self.ema_decay = float(ema_decay)
         self.early_stopping = early_stopping
         self.patience = patience
         self.min_delta = min_delta
@@ -249,7 +278,27 @@ class SupervisedTrainer(Trainer):
     def _build_optimizer(self):
         lr = self.learning_rate
         scale_by = self.n_devices  # Goyal et al. linear LR scaling
-        if isinstance(lr, (tuple, list)) and len(lr) > 1:
+        if callable(self.lr_schedule):
+            # user-supplied optax schedule, used verbatim (documented: the
+            # caller owns DP LR scaling in this case)
+            self._lr = self.lr_schedule
+        elif self.lr_schedule is not None:
+            lr0, lr1 = ((lr[0], lr[1]) if isinstance(lr, (tuple, list))
+                        and len(lr) > 1 else (float(np.ravel([lr])[0]), 0.0))
+            steps = (self.steps_per_epoch if self.steps_per_epoch is not None
+                     else max(self.ds_train.n // self.global_batch_size, 1))
+            total = max(steps * self.epochs, 1)
+            if self.lr_schedule == 'cosine':
+                self._lr = optax.cosine_decay_schedule(
+                    init_value=lr0 * scale_by, decay_steps=total,
+                    alpha=lr1 / lr0)
+            else:  # 'warmup_cosine'
+                warmup = self.warmup_steps or max(total // 20, 1)
+                self._lr = optax.warmup_cosine_decay_schedule(
+                    init_value=0.0, peak_value=lr0 * scale_by,
+                    warmup_steps=warmup, decay_steps=total,
+                    end_value=lr1 * scale_by)
+        elif isinstance(lr, (tuple, list)) and len(lr) > 1:
             schedule = optax.piecewise_constant_schedule(
                 init_value=lr[0] * scale_by,
                 boundaries_and_scales={int(self.lr_decay_after):
@@ -276,6 +325,7 @@ class SupervisedTrainer(Trainer):
         model, lossf = self.model, self.lossf
         synth_train, synth_val = self.ds_train, self.ds_val
         has_bn = self.variables is not None and 'batch_stats' in self.variables
+        ema_decay = self.ema_decay  # static: baked into the jitted programs
 
         def forward(params, batch_stats, batch, key, training):
             variables = {'params': params}
@@ -300,6 +350,10 @@ class SupervisedTrainer(Trainer):
             (loss, new_bs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+            if ema_decay > 0:
+                state = state.replace(ema_params=jax.tree.map(
+                    lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                    state.ema_params, state.params))
             return state, loss
 
         def train_step(state, indices, key):
@@ -334,7 +388,11 @@ class SupervisedTrainer(Trainer):
         def eval_step(state, indices, key, synth_consts):
             skey, dkey = jax.random.split(key)
             batch = synth_consts._make_batch(indices, skey)
-            out, _ = forward(state.params, state.batch_stats, batch, dkey,
+            # with EMA on, validation/test (and hence early stopping and
+            # the best-model checkpoint) score the averaged weights — the
+            # weights that will be served
+            params = state.ema_params if ema_decay > 0 else state.params
+            out, _ = forward(params, state.batch_stats, batch, dkey,
                              False)
             return lossf(batch['hr'], out)
 
@@ -361,7 +419,9 @@ class SupervisedTrainer(Trainer):
         tx = self._build_optimizer()
         state = TrainState.create(
             apply_fn=self.model.module.apply, params=self.variables['params'],
-            tx=tx, batch_stats=self.variables.get('batch_stats'))
+            tx=tx, batch_stats=self.variables.get('batch_stats'),
+            ema_params=(jax.tree.map(jnp.array, self.variables['params'])
+                        if self.ema_decay > 0 else None))
         if self.resume_from_checkpoint is not None:
             state, self.trained_epochs = self._restore_checkpoint(
                 state, self.resume_from_checkpoint)
@@ -515,7 +575,10 @@ class SupervisedTrainer(Trainer):
 
         self.fithist = history
         self.state = state
-        self.variables = {'params': state.params}
+        # with EMA on, the trainer's public weights are the averaged ones
+        # (what predict()/save_results serve); raw params stay on the state
+        self.variables = {'params': (state.ema_params if self.ema_decay > 0
+                                     else state.params)}
         if state.batch_stats is not None:
             self.variables['batch_stats'] = state.batch_stats
 
@@ -564,7 +627,10 @@ class SupervisedTrainer(Trainer):
     def _save_checkpoint(self, state, name):
         import os
         path = os.path.abspath(os.path.join(self.savecheckpoint_path, name))
-        payload = {'params': jax.device_get(state.params)}
+        # the best-model checkpoint stores the weights that were scored
+        # (EMA when enabled) — it is what load_model/predict will serve
+        params = state.ema_params if self.ema_decay > 0 else state.params
+        payload = {'params': jax.device_get(params)}
         if state.batch_stats is not None:
             payload['batch_stats'] = jax.device_get(state.batch_stats)
         self._checkpoint_save(path, payload)
@@ -582,6 +648,8 @@ class SupervisedTrainer(Trainer):
                    'step': int(state.step), 'epoch': epoch}
         if state.batch_stats is not None:
             payload['batch_stats'] = jax.device_get(state.batch_stats)
+        if state.ema_params is not None:
+            payload['ema_params'] = jax.device_get(state.ema_params)
         self._checkpoint_save(path, payload)
 
     def _restore_checkpoint(self, state, path):
@@ -591,10 +659,13 @@ class SupervisedTrainer(Trainer):
                     'step': 0, 'epoch': 0}
         if state.batch_stats is not None:
             template['batch_stats'] = state.batch_stats
+        if state.ema_params is not None:
+            template['ema_params'] = state.ema_params
         payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
                                                    item=template)
         state = state.replace(
             params=payload['params'], opt_state=payload['opt_state'],
             step=payload['step'],
-            batch_stats=payload.get('batch_stats', state.batch_stats))
+            batch_stats=payload.get('batch_stats', state.batch_stats),
+            ema_params=payload.get('ema_params', state.ema_params))
         return state, int(payload['epoch'])

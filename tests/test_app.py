@@ -41,8 +41,13 @@ def test_app_debug_run(tmp_path):
         --batch_size=2
         --n_filters=4
         --n_blocks=1
-        --dropout_rate=0
+        --dropout_rate=0.1
+        --dropout_variant=mcdrop
+        --inference_mc_members=3
         --gradient_accumulation_steps=2
+        --lr_schedule=warmup_cosine
+        --warmup_steps=2
+        --ema_decay=0.9
         --save_path={save_path}
         --inference_array_in_hr
         --inference_save_fname=y_hat.npy
@@ -61,6 +66,12 @@ def test_app_debug_run(tmp_path):
     assert os.path.exists(save_path + 'metrics_summary.txt')
     y_hat = np.load(save_path + 'y_hat.npy')
     assert y_hat.shape == (10, 16, 16, 1)
+    # MC-dropout ensemble + probabilistic verification artifacts
+    mc_std = np.load(save_path + 'y_hat_mc_std.npy')
+    assert mc_std.shape == y_hat.shape and float(mc_std.max()) > 0
+    assert os.path.exists(save_path + 'metrics_crps_map.npy')
+    assert os.path.exists(save_path + 'metrics_rank_histogram.npy')
+    assert os.path.exists(save_path + 'metrics_prob_summary.txt')
 
 
 def test_app_cgan_debug_run(tmp_path):
