@@ -69,7 +69,8 @@ from .dataloader import (create_pair_hr_lr, create_batch_hr_lr, DataGenerator,
                          BatchSynthesizer, _get_season_, _get_season_array_)
 from .models import (net_postupsampling, net_pin, unet_pin,
                      recnet_postupsampling, recnet_pin,
-                     residual_discriminator, build_model)
+                     residual_discriminator, build_model, save_model,
+                     load_model)
 from .training import Trainer, SupervisedTrainer, CGANTrainer, load_checkpoint
 from .inference import Predictor, predict, predict_mc
 from .metrics import (compute_rmse, compute_correlation, compute_metrics,

@@ -147,6 +147,13 @@ flags.DEFINE_float('ema_decay', 0.0,
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
                   'Whether the inference array is in high resolution')
+flags.DEFINE_string('trained_model_path', None,
+                    'Run the test/metrics phases on a model saved by a '
+                    'previous --train --save run (path to the '
+                    '<save_path>/<backbone>_<upsampling>/ folder written '
+                    'by save_results) — no retraining needed. Beyond the '
+                    'reference app, which can only evaluate the model '
+                    'trained in the same invocation')
 flags.DEFINE_integer('inference_mc_members', 0,
                      'When > 0 and the model uses an mc* dropout variant, '
                      'the test phase also runs an MC-dropout ensemble of '
@@ -304,10 +311,19 @@ def dl4ds(argv):
     y_hat = None
     mc_members = None
     if (FLAGS.test or FLAGS.metrics) and trainer is None \
+            and FLAGS.trained_model_path:
+        # evaluate a previously-saved model without retraining: load_model
+        # returns a (model, variables) pair, which Predictor/predict_mc
+        # accept wherever a trainer is expected
+        trainer = dds.load_model(FLAGS.trained_model_path)
+        if running_on_first_worker:
+            print(f'Loaded trained model from {FLAGS.trained_model_path} '
+                  f'({trainer[0].name})')
+    if (FLAGS.test or FLAGS.metrics) and trainer is None \
             and running_on_first_worker:
         print('NOTE: --test/--metrics skipped — they run on the model '
-              'trained in this invocation (pass --train; the CLI has no '
-              'saved-model loading path, mirroring the reference app)')
+              'trained in this invocation (pass --train, or point '
+              '--trained_model_path at a saved model folder)')
     if FLAGS.test and trainer is not None and running_on_first_worker:
         print('\n' + '<' * 29, 'DL4DS Test phase', '>' * 29 + '\n')
         predictor = dds.Predictor(

@@ -74,6 +74,71 @@ def test_app_debug_run(tmp_path):
     assert os.path.exists(save_path + 'metrics_prob_summary.txt')
 
 
+def test_app_saved_model_eval(tmp_path):
+    """Two invocations: train+save, then --notrain --trained_model_path
+    runs the test/metrics phases on the saved model (beyond the reference
+    app, which can only evaluate the model it just trained)."""
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((60, 16, 16, 1)).astype('float32')
+        data_train = _all[:40]
+        data_val = _all[40:50]
+        data_test = _all[50:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[50:]
+        inference_scaler = None
+        inference_predictors = None
+        gt_holdout_dataset = _all[50:]
+        gt_mask = None
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    os.makedirs(save_path, exist_ok=True)
+    common = textwrap.dedent(f"""
+        --debug
+        --device=CPU
+        --data_module={data_file}
+        --backbone=convnet
+        --upsampling=pin
+        --scale=4
+        --batch_size=2
+        --n_filters=4
+        --n_blocks=1
+        --dropout_rate=0
+        --save_path={save_path}
+        --inference_array_in_hr
+        --noshow_plot
+    """)
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # phase 1: train + save, no eval
+    cfg1 = tmp_path / 'train.cfg'
+    cfg1.write_text(common + '--notest\n--nometrics\n--save\n')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg1}'],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert res.returncode == 0, res.stderr[-3000:]
+    model_dir = save_path + 'convnet_pin/'
+    assert os.path.exists(model_dir + 'model_config.json')
+    # phase 2: evaluate the saved model in a FRESH process
+    cfg2 = tmp_path / 'eval.cfg'
+    cfg2.write_text(common + '--notrain\n--test\n--metrics\n'
+                    f'--trained_model_path={model_dir}\n'
+                    '--inference_save_fname=y_hat_eval.npy\n')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg2}'],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert res.returncode == 0, res.stderr[-3000:]
+    y_hat = np.load(save_path + 'y_hat_eval.npy')
+    assert y_hat.shape == (10, 16, 16, 1)
+    assert os.path.exists(save_path + 'metrics_summary.txt')
+
+
 def test_app_cgan_debug_run(tmp_path):
     data_file = tmp_path / 'data_module.py'
     data_file.write_text(textwrap.dedent("""
