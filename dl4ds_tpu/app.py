@@ -134,11 +134,12 @@ flags.DEFINE_integer('gradient_accumulation_steps', 1,
                      '(effective batch = k x batch_size at microbatch '
                      'memory cost)')
 flags.DEFINE_enum('lr_schedule', None, ['cosine', 'warmup_cosine'],
-                  'SupervisedTrainer - LR schedule over the full run '
-                  '(None keeps the reference piecewise/constant behavior)')
+                  'LR schedule over the full run (None keeps the reference '
+                  'piecewise/constant behavior); CGAN applies it to both '
+                  'the G and D optimizers')
 flags.DEFINE_integer('warmup_steps', 0,
-                     'SupervisedTrainer - linear LR warmup steps for '
-                     'warmup_cosine (0 = auto, 5% of the run)')
+                     'Linear LR warmup steps for warmup_cosine '
+                     '(0 = auto, 5% of the run)')
 flags.DEFINE_float('ema_decay', 0.0,
                    'Parameter EMA decay, 0 disables. Supervised: eval/'
                    'best-checkpoint/serving use the averaged weights; '
@@ -305,6 +306,8 @@ def dl4ds(argv):
                 discriminator_params=discriminator_params,
                 gradient_accumulation_steps=(
                     FLAGS.gradient_accumulation_steps),
+                lr_schedule=FLAGS.lr_schedule,
+                warmup_steps=FLAGS.warmup_steps,
                 ema_decay=FLAGS.ema_decay)
         trainer.run()
 

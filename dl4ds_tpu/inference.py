@@ -35,7 +35,8 @@ class Predictor:
                  batch_size=64, scaler=None, save_path=None,
                  save_fname='y_hat.npy', return_lr=False, device='TPU',
                  mesh=None, pad_to_multiple=None, tile=None, halo=32,
-                 spatial_mesh=None, quantize=None, calibration_quantile=None):
+                 spatial_mesh=None, quantize=None, calibration_quantile=None,
+                 calibration=None, calibration_aux=None):
         self.trainer = trainer
         self.array = array
         self.scale = scale
@@ -58,6 +59,8 @@ class Predictor:
         self.spatial_mesh = spatial_mesh
         self.quantize = quantize
         self.calibration_quantile = calibration_quantile
+        self.calibration = calibration
+        self.calibration_aux = calibration_aux
 
     def run(self):
         return predict(
@@ -72,7 +75,9 @@ class Predictor:
             pad_to_multiple=self.pad_to_multiple, tile=self.tile,
             halo=self.halo, spatial_mesh=self.spatial_mesh,
             quantize=self.quantize,
-            calibration_quantile=self.calibration_quantile)
+            calibration_quantile=self.calibration_quantile,
+            calibration=self.calibration,
+            calibration_aux=self.calibration_aux)
 
 
 def _resolve_model(trainer):
@@ -180,7 +185,8 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
             save_path=None, save_fname='y_hat.npy', return_lr=False,
             device='TPU', mesh=None, pad_to_multiple=None, tile=None,
             halo=32, spatial_mesh=None, quantize=None,
-            calibration_quantile=None):
+            calibration_quantile=None, calibration=None,
+            calibration_aux=None):
     """Super-resolve/downscale `array` with a trained model
     (reference: dl4ds/inference.py:109-255). With `mesh`, samples are
     processed in global batches of `batch_size * mesh.size` sharded over the
@@ -209,15 +215,29 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     output_attention=False`); spatial models only.
 
     Int8 serving: `quantize='int8'` (or 'weight-only') runs the forward
-    through `quantization.quantize_forward`, calibrated on the first
-    device batch of THIS input (optionally with `calibration_quantile`) —
-    every conv executes s8 x s8 -> s32 on the MXU. Plain batched path
-    only (not combinable with mesh/tile/spatial_mesh)."""
+    through `quantization.quantize_forward` — every conv executes
+    s8 x s8 -> s32 on the MXU. Plain batched path only (not combinable
+    with mesh/tile/spatial_mesh). Activation ranges are calibrated on
+    `calibration` when given — a MODEL-READY input batch (the tensor the
+    model consumes: scaled LR values with any static/predictor/season
+    channels already stacked, e.g. assembled training inputs or the `x`
+    of a prior full-precision predict), with `calibration_aux` for
+    models taking an HR-aux branch. Default (calibration=None) falls
+    back to the first `batch_size` samples of THIS input — fine for
+    representative inputs, mis-scaled if the first batch is skewed.
+    Only the first `batch_size` calibration samples are used (the
+    quantized program is pinned to the serving batch shape); fewer are
+    cycled up to `batch_size`. `calibration_quantile` selects
+    quantile-clipped instead of absmax ranges either way."""
     timing = Timing()
     if quantize is not None and (mesh is not None or tile is not None
                                  or spatial_mesh is not None):
         raise ValueError('quantize= is only supported on the plain batched '
                          'path (without mesh/tile/spatial_mesh)')
+    if quantize is None and (calibration is not None
+                             or calibration_aux is not None):
+        raise ValueError('`calibration`/`calibration_aux` only apply to '
+                         'quantized inference; pass quantize= as well')
     if spatial_mesh is not None and mesh is not None:
         raise ValueError('pass either spatial_mesh (one grid sharded over '
                          'its height) or mesh (samples sharded over the '
@@ -265,10 +285,33 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
         from .quantization import quantize_forward
         n = x.shape[0]
         bs = min(batch_size, n)
-        calib = x[:bs]          # bs = min(batch_size, n) <= n by design
+
+        def _pin_batch(c, like, nm):
+            """First `bs` samples (cycled if fewer) — the quantized
+            program replays at the serving batch shape."""
+            c = jnp.asarray(c, jnp.float32)
+            if c.ndim != like.ndim or c.shape[1:] != like.shape[1:]:
+                raise ValueError(
+                    f'`{nm}` must be a model-ready batch matching the '
+                    f'assembled input layout {("N",) + like.shape[1:]}; '
+                    f'got {c.shape}')
+            return c[jnp.arange(bs) % c.shape[0]]
+
+        if calibration is not None:
+            calib = _pin_batch(calibration, x, 'calibration')
+            if aux is not None:
+                if calibration_aux is None:
+                    raise ValueError('this model takes an HR-aux input; '
+                                     'pass `calibration_aux` alongside '
+                                     '`calibration`')
+                caux = _pin_batch(calibration_aux, aux, 'calibration_aux')
+            else:
+                caux = None
+        else:
+            calib = x[:bs]      # bs = min(batch_size, n) <= n by design
+            caux = aux[:bs] if aux is not None else None
         qf = quantize_forward(
-            model, variables, calib,
-            calibration_aux=(aux[:bs] if aux is not None else None),
+            model, variables, calib, calibration_aux=caux,
             mode=quantize, calibration_quantile=calibration_quantile)
         # the trained weights are jaxpr constants inside qf — jit only
         # (xb, ab) so dispatches skip flattening the variables pytree

@@ -444,13 +444,3 @@ def _plot_violins(entries, save_path, dpi):
     if save_path is not None:
         plt.savefig(os.path.join(save_path, 'metrics_violin_plots.png'))
     plt.close(f)
-
-
-def _to_numpy(x):
-    try:
-        import xarray as xr
-        if isinstance(x, xr.DataArray):
-            return x.values
-    except ImportError:
-        pass
-    return x

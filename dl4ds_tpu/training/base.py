@@ -26,6 +26,25 @@ def make_mesh(devices=None, axis_name='data'):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def ema_update(ema_params, params, decay, opt_state):
+    """One parameter-EMA step, gated on the optimizer COMMIT under gradient
+    accumulation. With `optax.MultiSteps(k)` the params change only every
+    k-th microbatch; updating the EMA every microbatch would decay it toward
+    UNCHANGED params k-1 extra times (effective decay = decay**k). Gating on
+    `mini_step == 0` (MultiSteps wraps it back to 0 on commit) keeps the
+    `ema_decay` a user sets meaning the same averaging horizon at every k.
+    Without accumulation (plain opt state) this is the unconditional EMA."""
+    import optax
+    import jax.numpy as jnp
+    new = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                       ema_params, params)
+    if isinstance(opt_state, optax.MultiStepsState):
+        committed = opt_state.mini_step == 0
+        new = jax.tree.map(lambda n, e: jnp.where(committed, n, e),
+                           new, ema_params)
+    return new
+
+
 class Trainer(ABC):
     """Common training scaffolding: input validation, mesh setup, loss
     resolution, scale checks, artifact saving.

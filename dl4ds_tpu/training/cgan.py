@@ -108,10 +108,13 @@ def train_step(gen_state, disc_state, batch, key, generator, discriminator,
     disc_state = disc_state.apply_gradients(grads=d_grads)
     if ema_decay > 0:
         # requires a GenTrainState (the trainer creates one when its
-        # ema_decay > 0); plain TrainStates keep the default path
-        gen_state = gen_state.replace(ema_params=jax.tree.map(
-            lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-            gen_state.ema_params, gen_state.params))
+        # ema_decay > 0); plain TrainStates keep the default path.
+        # EMA advances only on the MultiSteps COMMIT under gradient
+        # accumulation — see training.base.ema_update
+        from .base import ema_update
+        gen_state = gen_state.replace(ema_params=ema_update(
+            gen_state.ema_params, gen_state.params, ema_decay,
+            gen_state.opt_state))
     return gen_state, disc_state, (g_total, g_gan, g_px, d_loss)
 
 
@@ -136,7 +139,8 @@ class CGANTrainer(Trainer):
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, resume_from_checkpoint=None,
                  data_in_hbm=True, terminate_on_nan=True,
-                 gradient_accumulation_steps=1, ema_decay=0.0):
+                 gradient_accumulation_steps=1, ema_decay=0.0,
+                 lr_schedule=None, warmup_steps=0):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -185,6 +189,21 @@ class CGANTrainer(Trainer):
         if not 0.0 <= ema_decay < 1.0:
             raise ValueError('`ema_decay` must be in [0, 1)')
         self.ema_decay = float(ema_decay)
+        # LR schedules for BOTH optimizers (knob parity with
+        # SupervisedTrainer — beyond the reference's fixed Adam,
+        # cgan.py:277-278): None = constant; 'cosine' decays each LR -> 0
+        # over the run; 'warmup_cosine' adds a linear warmup over
+        # `warmup_steps` G/D steps (0 = auto, 5% of the run); a callable
+        # is used verbatim as an optax schedule for both G and D.
+        if lr_schedule not in (None, 'cosine', 'warmup_cosine') \
+                and not callable(lr_schedule):
+            raise ValueError(
+                f"`lr_schedule` must be None, 'cosine', 'warmup_cosine' or "
+                f"a callable schedule, got {lr_schedule!r}")
+        if warmup_steps < 0:
+            raise ValueError('`warmup_steps` must be >= 0')
+        self.lr_schedule = lr_schedule
+        self.warmup_steps = warmup_steps
         # resume G/D params + optimizer states from a periodic checkpoint
         # saved by checkpoints_frequency (path to .../checkpoints/<name>)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -295,15 +314,47 @@ class CGANTrainer(Trainer):
                 predictors=self.predictors_train)
         self.setup_model()
 
+        n = self.ds_train.n
+        steps = (self.steps_per_epoch if self.steps_per_epoch is not None
+                 else int(n / self.global_batch_size))
+        if steps < 1:
+            raise ValueError(
+                f'data_train yields no full global batch (n={n}, '
+                f'global_batch_size={self.global_batch_size}); reduce '
+                f'batch_size, use fewer devices, or set steps_per_epoch')
+
         lrs = self.learning_rates
         if isinstance(lrs, (tuple, list)) and len(lrs) > 1:
             genlr, dislr = lrs[0], lrs[1]
         else:
             genlr = dislr = lrs[0] if isinstance(lrs, (tuple, list)) else lrs
-        def _tx(lr):
+
+        def _sched(lr0):
+            """Constant LR, or the trainer's schedule peaked at lr0 (same
+            horizon bookkeeping as SupervisedTrainer._build_optimizer: the
+            schedule is indexed by OPTIMIZER step, so under gradient
+            accumulation it stretches over k x more microbatches)."""
+            if callable(self.lr_schedule):
+                return self.lr_schedule
+            if self.lr_schedule is None:
+                return lr0
+            total = max(steps * self.epochs, 1)
+            if self.lr_schedule == 'cosine':
+                return optax.cosine_decay_schedule(
+                    init_value=lr0, decay_steps=total, alpha=0.0)
+            warmup = self.warmup_steps or max(total // 20, 1)
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr0, warmup_steps=warmup,
+                decay_steps=total, end_value=0.0)
+
+        # kept for introspection/tests (what each optimizer actually uses)
+        self._gen_lr = _sched(genlr)
+        self._disc_lr = _sched(dislr)
+
+        def _tx(lr_or_sched):
             # flatten: one fused update over the concatenated params
             # instead of a 20-50 us op per leaf (see supervised.py)
-            tx = optax.flatten(optax.adam(lr, b1=0.5))
+            tx = optax.flatten(optax.adam(lr_or_sched, b1=0.5))
             if self.gradient_accumulation_steps > 1:
                 tx = optax.MultiSteps(
                     tx, every_k_schedule=self.gradient_accumulation_steps)
@@ -311,12 +362,12 @@ class CGANTrainer(Trainer):
 
         gen_state = GenTrainState.create(
             apply_fn=self.generator.module.apply,
-            params=self.gen_vars['params'], tx=_tx(genlr),
+            params=self.gen_vars['params'], tx=_tx(self._gen_lr),
             ema_params=(jax.tree.map(jnp.array, self.gen_vars['params'])
                         if self.ema_decay > 0 else None))
         disc_state = train_state.TrainState.create(
             apply_fn=self.discriminator.module.apply,
-            params=self.disc_vars['params'], tx=_tx(dislr))
+            params=self.disc_vars['params'], tx=_tx(self._disc_lr))
         if self.resume_from_checkpoint is not None:
             gen_state, disc_state = self._restore_gan_checkpoint(
                 gen_state, disc_state, self.resume_from_checkpoint)
@@ -326,14 +377,6 @@ class CGANTrainer(Trainer):
         disc_state = jax.device_put(disc_state, self.replicated_sharding)
         self._make_step()
 
-        n = self.ds_train.n
-        steps = (self.steps_per_epoch if self.steps_per_epoch is not None
-                 else int(n / self.global_batch_size))
-        if steps < 1:
-            raise ValueError(
-                f'data_train yields no full global batch (n={n}, '
-                f'global_batch_size={self.global_batch_size}); reduce '
-                f'batch_size, use fewer devices, or set steps_per_epoch')
         key = jax.random.PRNGKey(self.seed)
 
         from jax.sharding import NamedSharding, PartitionSpec as P

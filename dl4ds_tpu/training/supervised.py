@@ -132,6 +132,9 @@ class SupervisedTrainer(Trainer):
         # step; validation/test/early-stopping, the best-model checkpoint
         # and the final `self.variables` then use the EMA weights (the
         # weights one serves), while `self.state.params` keeps the raw ones.
+        # The EMA ticks once per OPTIMIZER update: with
+        # gradient_accumulation_steps=k it advances only on the MultiSteps
+        # commit, so `ema_decay` keeps the same averaging horizon at any k.
         if not 0.0 <= ema_decay < 1.0:
             raise ValueError('`ema_decay` must be in [0, 1)')
         self.ema_decay = float(ema_decay)
@@ -351,9 +354,12 @@ class SupervisedTrainer(Trainer):
                 loss_fn, has_aux=True)(state.params)
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
             if ema_decay > 0:
-                state = state.replace(ema_params=jax.tree.map(
-                    lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                    state.ema_params, state.params))
+                # gated on the MultiSteps commit under grad accumulation —
+                # see training.base.ema_update
+                from .base import ema_update
+                state = state.replace(ema_params=ema_update(
+                    state.ema_params, state.params, ema_decay,
+                    state.opt_state))
             return state, loss
 
         def train_step(state, indices, key):

@@ -213,3 +213,72 @@ def test_predict_quantize_kwarg(rng):
     with pytest.raises(ValueError, match='plain batched path'):
         dds.predict((model, variables), x, scale=2, array_in_hr=False,
                     quantize='int8', tile=8)
+
+
+def test_predict_explicit_calibration_fixes_skewed_first_batch(rng):
+    """VERDICT r3 #5: the default first-batch calibration mis-scales when
+    that batch is unrepresentative; `calibration=` (a model-ready batch)
+    restores accuracy on the clean samples."""
+    import dl4ds_tpu as dds
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(64, 64), n_filters=8, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=4)
+    x = rng.standard_normal((8, 64, 64, 1)).astype('float32')
+    x[:4] *= 60.0        # skewed FIRST batch: absmax scales blow up
+    clean_ref = rng.standard_normal((4, 64, 64, 1)).astype('float32')
+
+    y_f32 = dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                        batch_size=4, interpolation='nearest')
+    y_default = dds.predict((model, variables), x, scale=1,
+                            array_in_hr=True, batch_size=4,
+                            interpolation='nearest', quantize='int8')
+    y_calib = dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                          batch_size=4, interpolation='nearest',
+                          quantize='int8', calibration=clean_ref)
+    # on the CLEAN tail samples the explicit calibration must beat the
+    # skewed default by a wide margin and sit close to full precision
+    e_default = _rel_err(y_default[4:], y_f32[4:])
+    e_calib = _rel_err(y_calib[4:], y_f32[4:])
+    assert e_calib < 0.1
+    assert e_calib < 0.5 * e_default
+
+    # fewer calibration samples than batch_size are cycled up
+    y_small = dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                          batch_size=4, interpolation='nearest',
+                          quantize='int8', calibration=clean_ref[:2])
+    assert _rel_err(y_small[4:], y_f32[4:]) < 0.15
+
+    # guard rails
+    with pytest.raises(ValueError, match='calibration'):
+        dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                    calibration=clean_ref)       # no quantize=
+    with pytest.raises(ValueError, match='model-ready'):
+        dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                    quantize='int8',
+                    calibration=clean_ref[..., :0])  # wrong channels
+
+
+def test_predict_calibration_aux_required_and_used(rng):
+    """Models with an HR-aux branch require calibration_aux alongside
+    calibration; passing both runs the quantized forward end to end."""
+    import dl4ds_tpu as dds
+    model = unet_pin('unet', n_channels=2, n_aux_channels=1,
+                     hr_size=(16, 16), n_filters=8, n_blocks=2)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=4)
+    x = rng.standard_normal((4, 16, 16, 1)).astype('float32')
+    static = [rng.standard_normal((16, 16)).astype('float32')]
+    calib = rng.standard_normal((4, 16, 16, 2)).astype('float32')
+    calib_aux = rng.standard_normal((4, 16, 16, 1)).astype('float32')
+
+    with pytest.raises(ValueError, match='calibration_aux'):
+        dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                    static_vars=static, interpolation='nearest',
+                    batch_size=4, quantize='int8', calibration=calib)
+    y_f32 = dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                        static_vars=static, interpolation='nearest',
+                        batch_size=4)
+    y_q = dds.predict((model, variables), x, scale=1, array_in_hr=True,
+                      static_vars=static, interpolation='nearest',
+                      batch_size=4, quantize='int8', calibration=calib,
+                      calibration_aux=calib_aux)
+    assert y_q.shape == y_f32.shape

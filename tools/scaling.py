@@ -77,12 +77,15 @@ def measure(n_devices, per_device_batch=8, steps=8):
 def main():
     rows = [measure(n) for n in (1, 2, 4, 8)]
     out = {
-        'note': 'weak scaling (fixed per-device batch 8, resnet_spc 4x '
-                'patch32) over VIRTUAL CPU devices sharing one host\'s '
-                'cores: validates that the sharded train step compiles and '
-                'executes at every mesh size and that throughput grows '
-                'with devices; absolute step times are NOT ICI evidence '
-                '(no multi-chip hardware in this environment).',
+        'note': 'sharded-train-step check over VIRTUAL CPU devices (fixed '
+                'per-device batch 8, resnet_spc 4x patch32): the ONLY claim '
+                'is that the SPMD step compiles and executes with a finite '
+                'loss at every mesh size 1/2/4/8. step_ms / patches_per_sec '
+                'are informational and say nothing about scaling: all '
+                '"devices" share one host\'s cores, so the rows are '
+                'non-monotonic by construction; real ICI scaling needs a '
+                'multi-chip slice (see MULTICHIP artifacts for the 8-device '
+                'sharding dryrun).',
         'rows': rows,
     }
     path = os.path.join(REPO, 'SCALING.json')
