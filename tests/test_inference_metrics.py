@@ -21,12 +21,14 @@ def trained():
     return tr, data
 
 
+@pytest.mark.smoke
 def test_predict_hr_input(trained):
     tr, data = trained
     y = dds.predict(tr, data[32:], scale=4, array_in_hr=True)
     assert y.shape == (8, 16, 16, 1)
 
 
+@pytest.mark.smoke
 def test_predict_lr_input(trained):
     tr, data = trained
     lr = np.asarray(
@@ -54,6 +56,7 @@ def test_predict_return_lr(trained):
     assert lr.shape == (8, 4, 4, 1)
 
 
+@pytest.mark.smoke
 def test_predict_infers_upsampling_from_name(trained):
     tr, _ = trained
     assert tr.model.name == 'resnet_spc'
@@ -145,6 +148,7 @@ def test_correlation_matches_scipy(rng):
     np.testing.assert_allclose(cm[1, 1], ref, atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_compute_metrics_artifacts(rng, tmp_path):
     y = rng.random((10, 16, 16, 1)).astype('float32')
     y_hat = np.clip(y + 0.05 * rng.standard_normal(y.shape), 0,
@@ -173,6 +177,7 @@ def test_predict_spatiotemporal_collapse(rng):
     assert y.shape == (5, 16, 16, 1)
 
 
+@pytest.mark.smoke
 def test_predict_sharded_over_mesh(trained):
     from dl4ds_tpu.training.base import make_mesh
     tr, data = trained

@@ -8,6 +8,8 @@ import numpy as np
 import cv2
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from dl4ds_tpu.interpolation import resize2d, resize_array, resize_matrix
 
 CV2_MODES = {

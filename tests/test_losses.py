@@ -6,6 +6,8 @@ Wang et al. 2004 formulas with an 11x11 Gaussian window)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from dl4ds_tpu import losses
 from dl4ds_tpu.ops.ssim import ssim, ssim_multiscale, psnr
 

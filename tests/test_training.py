@@ -21,6 +21,7 @@ def _splits(data):
                 data_test=data[32:])
 
 
+@pytest.mark.smoke
 def test_supervised_pin_loss_decreases():
     # learnable smooth field (random noise has no LR->HR signal to learn)
     t = np.arange(40)
@@ -37,6 +38,7 @@ def test_supervised_pin_loss_decreases():
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.smoke
 def test_supervised_spc_patches(data):
     tr = dds.SupervisedTrainer(
         backbone='resnet', upsampling='spc', **_splits(data), scale=4,
@@ -58,6 +60,7 @@ def test_supervised_batchnorm(data):
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.smoke
 def test_supervised_spatiotemporal(data):
     tr = dds.SupervisedTrainer(
         backbone='resnet', upsampling='spc', **_splits(data), scale=4,
@@ -192,6 +195,7 @@ def test_supervised_explicit_pairs(rng):
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.smoke
 def test_cgan_trainer(data, tmp_path):
     tr = dds.CGANTrainer(
         backbone='resnet', upsampling='spc', data_train=data[:28],
