@@ -37,6 +37,25 @@ __all__ = ['ConvBlock', 'ResidualBlock', 'DenseBlock', 'TransitionBlock',
 
 Dtype = Any
 
+# Keras parity: the reference's Conv2D / Conv2DTranspose / Dense layers all
+# use the Keras default `glorot_uniform` kernel initializer
+# (dl4ds/models/blocks.py passes no kernel_initializer anywhere), while
+# Flax's default is `lecun_normal`. Keras and jax.nn.initializers compute
+# the same fans for conv kernels (receptive_field * channels), and glorot is
+# symmetric in fan_in/fan_out, so these subclasses make the *distribution of
+# initial weights* match the reference exactly. The class names are kept as
+# 'Conv'/'ConvTranspose' so Flax auto-naming (param tree keys 'Conv_0', ...)
+# is identical to using nn.Conv directly.
+_GLOROT = nn.initializers.glorot_uniform()
+
+
+class Conv(nn.Conv):
+    kernel_init: Any = _GLOROT
+
+
+class ConvTranspose(nn.ConvTranspose):
+    kernel_init: Any = _GLOROT
+
 
 def get_activation(name):
     """Resolve an activation name to a jax.nn function ('relu', 'gelu', ...).
@@ -184,9 +203,11 @@ class ChannelAttention2D(nn.Module):
                                       channel_attention_reference)
         c = x.shape[-1]
         cr = max(int(self.nf / self.r), 1)
-        w1 = self.param('w1', nn.initializers.lecun_normal(), (c, cr))
+        # Keras parity: the reference implements these as 1x1 Conv2D layers
+        # with the default glorot_uniform initializer (ref blocks.py:542).
+        w1 = self.param('w1', _GLOROT, (c, cr))
         b1 = self.param('b1', nn.initializers.zeros, (cr,))
-        w2 = self.param('w2', nn.initializers.lecun_normal(), (cr, self.nf))
+        w2 = self.param('w2', _GLOROT, (cr, self.nf))
         b2 = self.param('b2', nn.initializers.zeros, (self.nf,))
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -203,7 +224,7 @@ def _conv(filters, ks, strides=1, use_bias=True, separable=False,
           dtype=jnp.float32, name=None):
     if separable:
         return _SeparableConv(filters, ks, strides, use_bias, dtype, name=name)
-    return nn.Conv(filters, ks if isinstance(ks, tuple) else (ks, ks),
+    return Conv(filters, ks if isinstance(ks, tuple) else (ks, ks),
                    strides=(strides, strides), padding='SAME',
                    use_bias=use_bias, dtype=dtype, name=name)
 
@@ -220,10 +241,10 @@ class _SeparableConv(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         ks = self.ks if isinstance(self.ks, tuple) else (self.ks, self.ks)
-        x = nn.Conv(cin, ks, strides=(self.strides, self.strides),
+        x = Conv(cin, ks, strides=(self.strides, self.strides),
                     padding='SAME', feature_group_count=cin, use_bias=False,
                     dtype=self.dtype)(x)
-        return nn.Conv(self.filters, (1, 1), use_bias=self.use_bias,
+        return Conv(self.filters, (1, 1), use_bias=self.use_bias,
                        dtype=self.dtype)(x)
 
 
@@ -292,7 +313,7 @@ class ResidualBlock(nn.Module):
         if self.attention:
             y = ChannelAttention2D(self.filters, dtype=self.dtype)(y)
         if self.use_1x1conv:
-            x = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x)
+            x = Conv(self.filters, (1, 1), dtype=self.dtype)(x)
         return act(y + x)
 
 
@@ -339,8 +360,8 @@ class TransitionBlock(nn.Module):
         if self.normalization == 'bn':
             y = _Norm('bn', self.dtype)(x, training)
             y = act(y)
-            return nn.Conv(self.filters, (1, 1), dtype=self.dtype)(y)
-        y = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x)
+            return Conv(self.filters, (1, 1), dtype=self.dtype)(y)
+        y = Conv(self.filters, (1, 1), dtype=self.dtype)(x)
         return act(y)
 
 
@@ -377,7 +398,7 @@ class ConvNextBlock(nn.Module):
         act = get_activation(self.activation)
         inp = x
         cin = x.shape[-1]
-        y = nn.Conv(cin, (7, 7), padding='SAME', feature_group_count=cin,
+        y = Conv(cin, (7, 7), padding='SAME', feature_group_count=cin,
                     dtype=self.dtype)(x)
         norm = self.normalization or 'ln'
         if norm == 'bn':
@@ -395,7 +416,7 @@ class ConvNextBlock(nn.Module):
             # params live in f32; compute in the block dtype like nn.Conv
             y = gamma.astype(y.dtype) * y
         if self.use_1x1conv:
-            inp = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(inp)
+            inp = Conv(self.filters, (1, 1), dtype=self.dtype)(inp)
         return inp + DropPath(self.drop_path)(y, training)
 
 
@@ -414,8 +435,13 @@ class LocalizedConvBlock(nn.Module):
     def __call__(self, x, training: bool = False):
         y = TransitionBlock(self.filters, dtype=self.dtype)(x, training)
         h, w, cin = y.shape[-3], y.shape[-2], y.shape[-1]
-        kernel = self.param('local_kernel', nn.initializers.lecun_normal(),
-                            (h, w, cin, self.filters))
+        # Per-position glorot (fans = cin/filters, h*w treated as batch):
+        # matches the per-position Dense semantics of the reference's 1x1
+        # LocallyConnected2D (ref blocks.py:321-327, glorot_uniform default).
+        kernel = self.param(
+            'local_kernel',
+            nn.initializers.glorot_uniform(batch_axis=(0, 1)),
+            (h, w, cin, self.filters))
         out = jnp.einsum('...hwc,hwcf->...hwf', y,
                          kernel.astype(y.dtype),
                          precision=jax.lax.Precision.HIGHEST)
@@ -437,7 +463,7 @@ class _ConvLSTMCell(nn.Module):
     @nn.compact
     def __call__(self, carry, zx_t):
         h_t, c_t = carry
-        z = zx_t + nn.Conv(4 * self.filters, self.kernel_size, padding='SAME',
+        z = zx_t + Conv(4 * self.filters, self.kernel_size, padding='SAME',
                            use_bias=False, dtype=self.dtype,
                            kernel_init=nn.initializers.orthogonal(),
                            name='recurrent_conv')(h_t)
@@ -467,7 +493,7 @@ class _ConvParamShim(nn.Module):
     (input_conv/{kernel,bias} and cell/recurrent_conv/kernel)."""
     shape: Tuple[int, int, int, int]                      # [kh, kw, Cin, Co]
     use_bias: bool = False
-    kernel_init: Any = nn.initializers.lecun_normal()
+    kernel_init: Any = _GLOROT
     bias_init: Any = nn.initializers.zeros
 
     @nn.compact
@@ -547,7 +573,7 @@ class ConvLSTM2D(nn.Module):
                 kernel_init=nn.initializers.glorot_uniform(),
                 bias_init=_unit_forget_bias, name='input_conv')()
             wh = _CellShim((kh, kw, f, 4 * f), name='cell')()
-            # cast inputs like nn.Conv(dtype=...) would on the XLA path
+            # cast inputs like Conv(dtype=...) would on the XLA path
             return fused_convlstm(x.astype(self.dtype),
                                   wx.astype(self.dtype),
                                   bxb.astype(self.dtype),
@@ -555,7 +581,7 @@ class ConvLSTM2D(nn.Module):
         # Input conv over the whole window at once, with [B, T] flattened to
         # one batch axis: XLA:TPU lowers rank-5 convs far slower than the
         # identical rank-4 program (see nets.py head note; measured ~25x).
-        zx = nn.Conv(4 * f, self.kernel_size, padding='SAME',
+        zx = Conv(4 * f, self.kernel_size, padding='SAME',
                      dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform(),
                      bias_init=_unit_forget_bias, name='input_conv')(
@@ -630,9 +656,9 @@ class SubpixelConvolutionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         # single module instances, reused -> tied params (ref blocks.py:415)
-        conv2x = nn.Conv(self.n_filters * 4, (3, 3), padding='SAME',
+        conv2x = Conv(self.n_filters * 4, (3, 3), padding='SAME',
                          dtype=self.dtype, name='conv2x')
-        conv5x = nn.Conv(self.n_filters * 25, (3, 3), padding='SAME',
+        conv5x = Conv(self.n_filters * 25, (3, 3), padding='SAME',
                          dtype=self.dtype, name='conv5x')
 
         def up(x, factor):
@@ -641,7 +667,7 @@ class SubpixelConvolutionBlock(nn.Module):
             elif factor == 5:
                 y = conv5x(x)
             else:
-                y = nn.Conv(self.n_filters * factor ** 2, (3, 3),
+                y = Conv(self.n_filters * factor ** 2, (3, 3),
                             padding='SAME', dtype=self.dtype,
                             name='convNx')(x)
             return depth_to_space(y, factor)
@@ -687,7 +713,7 @@ class ResizeConvolutionBlock(nn.Module):
                 f'{sorted(_RC_INTERP)}')
         y = resize2d(x, (int(h * self.scale), int(w * self.scale)),
                      _RC_INTERP[self.interpolation])
-        return nn.Conv(self.n_filters, (3, 3), padding='SAME',
+        return Conv(self.n_filters, (3, 3), padding='SAME',
                        dtype=self.dtype)(y.astype(x.dtype))
 
 
@@ -704,7 +730,7 @@ class DeconvolutionBlock(nn.Module):
         act = get_activation(self.output_activation)
 
         def deconv(x, stride, name, activate):
-            y = nn.ConvTranspose(self.n_filters, (9, 9),
+            y = ConvTranspose(self.n_filters, (9, 9),
                                  strides=(stride, stride), padding='SAME',
                                  use_bias=False, dtype=self.dtype,
                                  name=name)(x)
@@ -718,7 +744,7 @@ class DeconvolutionBlock(nn.Module):
             # (blocks.py:528-531 applies conv2dtranspose2 twice) — tie the
             # weights so parameter counts and weight transplant match
             x = deconv(x, 2, 'deconv_1of3', False)
-            stage23 = nn.ConvTranspose(self.n_filters, (9, 9),
+            stage23 = ConvTranspose(self.n_filters, (9, 9),
                                        strides=(2, 2), padding='SAME',
                                        use_bias=False, dtype=self.dtype,
                                        name='deconv_2of3')

@@ -23,7 +23,7 @@ from .blocks import (ConvBlock, ResidualBlock, DenseBlock, TransitionBlock,
                      ConvNextBlock, LocalizedConvBlock, RecurrentConvBlock,
                      SubpixelConvolutionBlock, ResizeConvolutionBlock,
                      DeconvolutionBlock, EncoderBlock, Dropout, pad_concat,
-                     get_activation)
+                     get_activation, Conv)
 from ..interpolation import resize2d
 
 Dtype = Any
@@ -55,7 +55,7 @@ class _Backbone(nn.Module):
             wrap(ConvBlock), wrap(ResidualBlock), wrap(DenseBlock),
             wrap(ConvNextBlock))
         ks = (7, 7) if bb == 'convnext' else (3, 3)
-        stem = nn.Conv(f0, ks, padding='SAME', dtype=self.dtype,
+        stem = Conv(f0, ks, padding='SAME', dtype=self.dtype,
                        name='stem')(x)
         b = stem
         n_filters = f0
@@ -100,7 +100,7 @@ class _Backbone(nn.Module):
                                     name=f'Transition{i + 1}')(b, training)
             else:
                 raise ValueError(f'unsupported backbone {bb}')
-        b = nn.Conv(n_filters, ks, padding='SAME', dtype=self.dtype,
+        b = Conv(n_filters, ks, padding='SAME', dtype=self.dtype,
                     name='backbone_out_conv')(b)
         b = get_activation(self.activation)(b)
         b = Dropout(self.dropout_rate, self.dropout_variant)(b, training)
@@ -591,15 +591,15 @@ class ResidualDiscriminator(nn.Module):
             x1 = b = x1.reshape(bt[0] * bt[1], *x1.shape[2:])
             x_ref = x_ref.reshape(bt[0] * bt[1], *x_ref.shape[2:])
         else:
-            x1 = b = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x)
+            x1 = b = Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x)
         for i in range(self.n_res_blocks):
             b = ResidualBlock(f, normalization=self.normalization,
                               attention=self.attention, dtype=self.dtype,
                               name=f'ResidualBlock{i + 1}_branch1')(b, training)
-        b = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(b)
+        b = Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(b)
         x1 = x1 + b
         # branch 2: HR reference or generated candidate
-        x2 = c = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x_ref)
+        x2 = c = Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(x_ref)
         for i in range(self.n_res_blocks):
             c = ResidualBlock(f, normalization=self.normalization,
                               attention=self.attention, dtype=self.dtype,
@@ -607,20 +607,20 @@ class ResidualDiscriminator(nn.Module):
         from .. import POSTUPSAMPLING_METHODS
         if self.upsampling in POSTUPSAMPLING_METHODS:
             if self.scale == 4:
-                c = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
+                c = Conv(f, (3, 3), strides=(2, 2), padding='SAME',
                             dtype=self.dtype)(c)
-                x2 = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
+                x2 = Conv(f, (3, 3), strides=(2, 2), padding='SAME',
                              dtype=self.dtype)(c)
             elif self.scale == 5 and self._valid_chain_fits(c.shape):
-                c = nn.Conv(f, (3, 3), strides=(2, 2), padding='VALID',
+                c = Conv(f, (3, 3), strides=(2, 2), padding='VALID',
                             dtype=self.dtype)(c)
-                x2 = nn.Conv(f, (3, 3), strides=(2, 2), padding='VALID',
+                x2 = Conv(f, (3, 3), strides=(2, 2), padding='VALID',
                              dtype=self.dtype)(c)
                 x2 = x2[..., :-1, :-1, :]  # Cropping2D ((0,1),(0,1))
             else:
                 x2 = resize2d(c, self.lr_size, 'bilinear').astype(c.dtype)
         else:  # pin
-            c = nn.Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(c)
+            c = Conv(f, (3, 3), padding='SAME', dtype=self.dtype)(c)
             x2 = x2 + c
         x = jnp.concatenate([x1, x2], axis=-1)
         x = ResidualBlock(x.shape[-1], normalization=self.normalization,

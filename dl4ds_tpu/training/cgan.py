@@ -354,7 +354,9 @@ class CGANTrainer(Trainer):
         def _tx(lr_or_sched):
             # flatten: one fused update over the concatenated params
             # instead of a 20-50 us op per leaf (see supervised.py)
-            tx = optax.flatten(optax.adam(lr_or_sched, b1=0.5))
+            # b1=0.5 like the reference (cgan.py:277-278); eps=1e-7 is the
+            # Keras Adam default (optax defaults to 1e-8).
+            tx = optax.flatten(optax.adam(lr_or_sched, b1=0.5, eps=1e-7))
             if self.gradient_accumulation_steps > 1:
                 tx = optax.MultiSteps(
                     tx, every_k_schedule=self.gradient_accumulation_steps)

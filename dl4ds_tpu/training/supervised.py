@@ -318,7 +318,10 @@ class SupervisedTrainer(Trainer):
         # ~0.3 ms/step of the headline config. The flattened update is a
         # few elementwise kernels over [n_params] regardless of leaf
         # count, and is element-for-element the same math.
-        tx = optax.flatten(optax.adam(self._lr))
+        # eps=1e-7: the Keras Adam default the reference trains with
+        # (tf.keras.optimizers.Adam, ref supervised.py:353); optax's default
+        # is 1e-8 — a real training-dynamics difference at small gradients.
+        tx = optax.flatten(optax.adam(self._lr, eps=1e-7))
         if self.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(
                 tx, every_k_schedule=self.gradient_accumulation_steps)

@@ -651,7 +651,11 @@ def _rmse_ssim(truth, pred):
     return rmse, s
 
 
-def section_train(ref, epochs=40):
+def section_train(ref, epochs=40, seeds=5):
+    """Trained-accuracy parity, MULTI-SEED: `seeds` independent runs per
+    framework (init + shuffle seed varied together), so seed noise is
+    distinguishable from a systematic gap. Single-seed r3 data could not
+    (VERDICT r3 weak #1)."""
     jax = _jax_cpu()
     import dl4ds_tpu as dds
 
@@ -664,36 +668,65 @@ def section_train(ref, epochs=40):
                   interpolation='inter_area', batch_size=16, loss='mae',
                   epochs=epochs, learning_rate=(1e-3, 1e-4),
                   n_filters=16, n_blocks=3, save=False, verbose=False)
-
-    t0 = time.perf_counter()
-    tf_tr = ref.SupervisedTrainer(device='CPU', show_plot=False, **common)
-    tf_tr.run()
-    tf_secs = time.perf_counter() - t0
-    y_tf = ref.predict(tf_tr.model, data[i2:], scale=scale,
-                       array_in_hr=True, interpolation='inter_area',
-                       device='CPU')
-
-    t0 = time.perf_counter()
-    jx_tr = dds.SupervisedTrainer(seed=0, **common)
-    jx_tr.run()
-    jx_secs = time.perf_counter() - t0
-    y_jx = dds.predict(jx_tr, data[i2:], scale=scale, array_in_hr=True,
-                       interpolation='inter_area')
-
     truth = data[i2:]
-    tf_rmse, tf_ssim = _rmse_ssim(truth, y_tf)
-    jx_rmse, jx_ssim = _rmse_ssim(truth, y_jx)
+
+    def run_tf(seed):
+        import tensorflow as tf
+        tf.keras.utils.set_random_seed(seed)   # python/np/tf init + shuffle
+        t0 = time.perf_counter()
+        tr = ref.SupervisedTrainer(device='CPU', show_plot=False, **common)
+        tr.run()
+        secs = time.perf_counter() - t0
+        y = ref.predict(tr.model, data[i2:], scale=scale, array_in_hr=True,
+                        interpolation='inter_area', device='CPU')
+        rmse, ssim = _rmse_ssim(truth, y)
+        return {'seed': seed, 'rmse': rmse, 'ssim': ssim,
+                'test_loss': float(tr.test_loss),
+                'train_secs': round(secs, 1)}
+
+    def run_jax(seed):
+        t0 = time.perf_counter()
+        tr = dds.SupervisedTrainer(seed=seed, **common)
+        tr.run()
+        secs = time.perf_counter() - t0
+        y = dds.predict(tr, data[i2:], scale=scale, array_in_hr=True,
+                        interpolation='inter_area')
+        rmse, ssim = _rmse_ssim(truth, y)
+        return {'seed': seed, 'rmse': rmse, 'ssim': ssim,
+                'test_loss': float(tr.test_loss),
+                'train_secs': round(secs, 1)}
+
+    tf_runs, jax_runs = [], []
+    for s in range(seeds):
+        print(f'[tf_parity]   train seed {s}: tf...', flush=True)
+        tf_runs.append(run_tf(s))
+        print(f'[tf_parity]   train seed {s}: jax...', flush=True)
+        jax_runs.append(run_jax(s))
+
+    def agg(runs):
+        out = {}
+        for k in ('rmse', 'ssim', 'test_loss'):
+            v = np.array([r[k] for r in runs], dtype='float64')
+            out[k] = {'per_seed': [round(float(x), 6) for x in v],
+                      'mean': float(v.mean()), 'std': float(v.std(ddof=1))}
+        out['train_secs'] = [r['train_secs'] for r in runs]
+        return out
+
+    tf_a, jx_a = agg(tf_runs), agg(jax_runs)
+    # overlap test: do the per-seed distributions overlap within 1 pooled std?
+    gap = abs(tf_a['rmse']['mean'] - jx_a['rmse']['mean'])
+    pooled = float(np.sqrt((tf_a['rmse']['std'] ** 2
+                            + jx_a['rmse']['std'] ** 2) / 2.0))
     return {
         'workload': f'convnet_pin 4x tutorial toy grid ({n}x{size}px, '
-                    f'{epochs} epochs, mae)',
-        'tf': {'rmse': tf_rmse, 'ssim': tf_ssim,
-               'test_loss': float(tf_tr.test_loss),
-               'train_secs': round(tf_secs, 1)},
-        'jax': {'rmse': jx_rmse, 'ssim': jx_ssim,
-                'test_loss': float(jx_tr.test_loss),
-                'train_secs': round(jx_secs, 1)},
-        'rmse_delta': abs(tf_rmse - jx_rmse),
-        'ssim_delta': abs(tf_ssim - jx_ssim),
+                    f'{epochs} epochs, mae), {seeds} seeds per framework '
+                    '(init + shuffle varied together)',
+        'tf': tf_a, 'jax': jx_a,
+        'rmse_gap_of_means': gap,
+        'rmse_pooled_std': pooled,
+        'rmse_gap_in_stds': (gap / pooled) if pooled > 0 else None,
+        'ssim_gap_of_means': abs(tf_a['ssim']['mean']
+                                 - jx_a['ssim']['mean']),
     }
 
 
@@ -757,6 +790,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--sections', default='dataprep,losses,transplant')
     ap.add_argument('--epochs', type=int, default=40)
+    ap.add_argument('--seeds', type=int, default=5,
+                    help='independent runs per framework in --sections train')
     args = ap.parse_args()
     sections = [s for s in args.sections.split(',') if s]
 
@@ -778,7 +813,7 @@ def main():
         print(f'[tf_parity] running {name}...', flush=True)
         t0 = time.perf_counter()
         if name in ('train',):
-            result[name] = fn(ref, epochs=args.epochs)
+            result[name] = fn(ref, epochs=args.epochs, seeds=args.seeds)
         else:
             result[name] = fn(ref)
         print(f'[tf_parity] {name} done in '
