@@ -266,7 +266,11 @@ def _grids_per_sec(apply_fn, variables, batch, lr=128, reps=4):
     for _ in range(5):   # median of 5 against chip run-to-run variance
         dt, t0c = slope_time(chunk, t0c, repeats=1)
         dts.append(dt)
-    return reps * batch / float(np.median(dts))
+    gps = sorted(reps * batch / d for d in dts)
+    spread = {'n_runs': len(gps), 'gps_min': round(gps[0], 2),
+              'gps_p25': round(gps[1], 2), 'gps_median': round(gps[2], 2),
+              'gps_p75': round(gps[3], 2), 'gps_max': round(gps[4], 2)}
+    return reps * batch / float(np.median(dts)), spread
 
 
 def infer_bench():
@@ -281,14 +285,35 @@ def infer_bench():
     apply = jax.jit(lambda v, xb, t: (
         lambda y: (y, jnp.mean(y).astype(jnp.float32) * 0.0))(
             model.module.apply(v, xb + t, None, training=False)))
-    per_batch = {}
-    batches = (2, 4) if os.environ.get('DDS_BENCH_SMOKE') else (8, 32, 64)
+    per_batch, spreads = {}, {}
+    smoke = bool(os.environ.get('DDS_BENCH_SMOKE'))
+    batches = (2, 4) if smoke else (8, 32, 64)
     for batch in batches:
-        per_batch[batch] = round(
-            _grids_per_sec(apply, variables, batch, lr), 2)
+        gps, spread = _grids_per_sec(apply, variables, batch, lr)
+        per_batch[batch] = round(gps, 2)
+        spreads[batch] = spread
         print(f'# batch {batch}: {per_batch[batch]} grids/sec', flush=True)
     best = max(per_batch, key=per_batch.get)
-    print(json.dumps({
+
+    # int8 PTQ at the same width/grid: the model-level serving speedup the
+    # README quotes, measured here so the artifact carries it with spread
+    int8 = None
+    if not smoke:
+        import numpy as np
+        from dl4ds_tpu.quantization import quantize_forward
+        calib = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (best, lr, lr, 1)), jnp.float32)
+        qf = quantize_forward(model, variables, calib)
+        qapply = jax.jit(lambda v, xb, t: (
+            lambda y: (y, jnp.mean(y).astype(jnp.float32) * 0.0))(
+                qf(xb + t)))
+        q_gps, q_spread = _grids_per_sec(qapply, variables, best, lr)
+        int8 = {'gps': round(q_gps, 2), 'spread': q_spread,
+                'speedup_vs_bf16': round(q_gps / per_batch[best], 3)}
+        print(f'# int8 batch {best}: {int8["gps"]} grids/sec '
+              f'({int8["speedup_vs_bf16"]}x)', flush=True)
+
+    artifact = {
         'metric': 'infer_throughput_resnet_spc_4x_grid512',
         'value': per_batch[best],
         'unit': 'grids/sec/chip', 'vs_baseline': None,
@@ -297,7 +322,16 @@ def infer_bench():
                        + (' (earlier rounds recorded fixed batch 8 — '
                           'compare per_batch["8"])'
                           if 8 in per_batch else ' (smoke sweep)')),
-        'per_batch': {str(k): v for k, v in per_batch.items()}}))
+        'per_batch': {str(k): v for k, v in per_batch.items()},
+        'spread_per_batch': {str(k): v for k, v in spreads.items()},
+        'int8_at_best_batch': int8,
+        'backend': jax.default_backend(),
+    }
+    if not smoke:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'INFER.json'), 'w') as fh:
+            json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact))
 
 
 def serve_bench():
@@ -319,13 +353,21 @@ def serve_bench():
             model.module.apply(v, xb + t, None, training=False)))
     frozen = jax.jit(lambda v, xb, t: (
         lambda y: (y, jnp.mean(y).astype(jnp.float32) * 0.0))(call(xb + t)))
-    live_gps = _grids_per_sec(live, variables, batch, lr)
-    frozen_gps = _grids_per_sec(frozen, variables, batch, lr)
-    print(json.dumps({
+    live_gps, live_spread = _grids_per_sec(live, variables, batch, lr)
+    frozen_gps, frozen_spread = _grids_per_sec(frozen, variables, batch, lr)
+    artifact = {
         'metric': 'serve_throughput_frozen_stablehlo_grid512',
         'value': round(frozen_gps, 2), 'unit': 'grids/sec/chip',
         'vs_baseline': None, 'live_apply_gps': round(live_gps, 2),
-        'artifact_bytes': nbytes, 'batch': batch}))
+        'frozen_spread': frozen_spread, 'live_spread': live_spread,
+        'artifact_bytes': nbytes, 'batch': batch,
+        'backend': jax.default_backend(),
+    }
+    if not os.environ.get('DDS_BENCH_SMOKE'):
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'SERVE.json'), 'w') as fh:
+            json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact))
 
 
 def accuracy_bench(quick=False):

@@ -63,6 +63,7 @@ from .utils import (crop_array, checkarray_ndim, Timing,
                         checkarg_backbone, checkarg_dropout_variant,
                         checkarg_loss, checkarg_interpolation, list_devices,
                         plot_history)
+from .viz import interactive_panel, plot_projected
 from .preprocessing import MinMaxScaler, StandardScaler
 from . import losses
 from .dataloader import (create_pair_hr_lr, create_batch_hr_lr, DataGenerator,

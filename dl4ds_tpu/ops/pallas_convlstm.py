@@ -31,10 +31,15 @@ ideas make this fast on the TPU's (8, 128) tiling:
    input conv is folded into the kernel, no input tensor ever needs that
    gate-major order materialized in HBM.
 
-The backward pass is the mirrored BPTT kernel: gates are recomputed from the
-saved states (h from the forward's ys output, c from its cs output), the
-band-matrix gradients accumulate on-chip in f32, and the per-tap kernel
-gradients are folded out of the bands afterwards in XLA.
+Both passes split into a sequential half and a T-parallel half. Forward:
+the input conv (no sequential dependency) runs for the whole window as kh
+T-batched matmuls before the loop; only the recurrent conv + gates iterate.
+Backward: the BPTT loop carries just the dh/dc chain — gate derivatives
+(pure VPU math on the SAVED pre-activations zs; nothing is recomputed) plus
+the kh recurrent-band matmuls — while dx, the band-matrix gradients and the
+bias gradient are emitted after the loop as kh T-batched contractions each
+(f32 accumulation); the per-tap kernel gradients are folded out of the
+bands afterwards in XLA.
 
 Gate semantics match models/blocks.py:_ConvLSTMCell exactly (Keras
 ConvLSTM2D defaults; reference layer: dl4ds/models/blocks.py:350-355):
@@ -183,22 +188,55 @@ def _band_conv(src_ref, bw_ref, kh, h):
     return acc
 
 
+def _band_conv_bt(xp_ref, bw_ref, kh, h):
+    """Batched-over-T band conv: xp_ref is [Bt, T, H+kh-1, W*C] (per-timestep
+    H padding), bw_ref is [kh, W*C, N]. The whole window contracts as kh
+    matmuls with M = Bt*T*H rows — T-fold larger MXU ops than the per-step
+    version, possible exactly because the input conv has no sequential
+    dependency. Returns [Bt*T*H, N] f32."""
+    bt, t, _, _ = xp_ref.shape
+    acc = None
+    for dy in range(kh):
+        sl = xp_ref[:, :, dy:dy + h, :]
+        part = jnp.dot(sl.reshape(bt * t * h, -1), bw_ref[dy],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
-                ys_ref, cs_ref=None, zs_ref=None, xp_ref=None, hp_ref=None):
+                ys_ref, cs_ref=None, zs_ref=None, xp_ref=None, hp_ref=None,
+                zx_ref=None):
+    """Forward = one T-batched input conv + a sequential recurrence.
+
+    Phase 1 computes zx = conv(x, wx) + bx for ALL timesteps as kh matmuls
+    with M = Bt*T*H (the input conv has no sequential dependency — hoisting
+    it out of the loop cuts the per-step matmul count from 2*kh to kh and
+    makes the hoisted ones T-fold larger). The result lands in zs_ref (the
+    backward residual, when training) or the zx_ref scratch (inference).
+    Phase 2 runs only the inherently sequential work per step: the
+    recurrent band conv + gate algebra.
+    """
     bt, _, h, _ = x_ref.shape
     wf = ys_ref.shape[-1]
     ph = (kh - 1) // 2
     dt = x_ref.dtype
     xp_ref[:] = jnp.zeros_like(xp_ref)
     hp_ref[:] = jnp.zeros_like(hp_ref)
+    zbuf = zs_ref if zs_ref is not None else zx_ref
+
+    xp_ref[:, :, ph:ph + h, :] = x_ref[:]
+    zx = _band_conv_bt(xp_ref, bwx_ref, kh, h)          # [Bt*T*H, 4WF] f32
+    # bias folded in here (matches convlstm_reference, which also forms
+    # zx = conv + bias before the recurrence)
+    zbuf[:] = (zx.astype(dt) + bb_ref[0]).reshape(zbuf.shape)
 
     def step(i, cc):
-        xp_ref[:, ph:ph + h, :] = x_ref[:, pl.ds(i, 1)][:, 0]
         # gate algebra in the model dtype — matches the XLA recurrence
         # (which also runs bf16 for bf16 models) and doubles VPU throughput
-        z = (_band_conv(xp_ref, bwx_ref, kh, h)
-             + _band_conv(hp_ref, bwh_ref, kh, h)).astype(dt) \
-            .reshape(bt, h, 4 * wf) + bb_ref[0]
+        z = zbuf[:, pl.ds(i, 1)][:, 0] \
+            + _band_conv(hp_ref, bwh_ref, kh, h).astype(dt) \
+            .reshape(bt, h, 4 * wf)
         if zs_ref is not None:
             zs_ref[:, pl.ds(i, 1)] = z[:, None]
         zi = z[..., :wf]
@@ -219,9 +257,22 @@ def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
 def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
                 cs_ref, dys_ref, bwxT_ref, bwhT_ref,
                 dx_ref, dbwx_ref, dbwh_ref, dbb_ref, xp_ref, hp_ref,
-                dzp_ref):
-    """Mirrored BPTT: recompute the gates from the saved pre-activations,
-    emit dx and this program's partial band-matrix/bias gradients."""
+                dzs_ref):
+    """Mirrored BPTT, split into its sequential and T-parallel halves.
+
+    The LOOP carries only what is inherently sequential: the dh/dc chain —
+    gate derivatives (VPU) plus the kh recurrent-band matmuls that push dh
+    into step i-1. Each step's dz lands in the dzs_ref scratch
+    ([Bt, T, H+kh-1, 4WF], per-timestep H padding).
+
+    Everything with no sequential dependency — dx (input dgrad), dBWx and
+    dBWh (weight grads), and the bias grad — is then computed AFTER the
+    loop as kh T-batched matmuls each (M = Bt*T*H rows), instead of 3*kh
+    small matmuls with VMEM read-modify-write accumulators inside every
+    step. Same FLOPs, 4x fewer sequential MXU ops, T-fold larger hoisted
+    ones. (dBWh batches because h_prev comes from the SAVED ys, not from
+    the loop carry.)
+    """
     bt, _, h, _ = x_ref.shape
     wf = ys_ref.shape[-1]
     wf4 = 4 * wf
@@ -229,10 +280,7 @@ def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
     dt = x_ref.dtype
     xp_ref[:] = jnp.zeros_like(xp_ref)
     hp_ref[:] = jnp.zeros_like(hp_ref)
-    dzp_ref[:] = jnp.zeros_like(dzp_ref)
-    dbwx_ref[0] = jnp.zeros_like(dbwx_ref[0])
-    dbwh_ref[0] = jnp.zeros_like(dbwh_ref[0])
-    dbb_ref[0] = jnp.zeros_like(dbb_ref[0])
+    dzs_ref[:] = jnp.zeros_like(dzs_ref)
     zero_state = jnp.zeros((bt, h, wf), dt)
 
     def step(j, carry):
@@ -244,8 +292,7 @@ def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
                            ys_ref[:, pl.ds(i_prev, 1)][:, 0])
         c_prev = jnp.where(first, zero_state,
                            cs_ref[:, pl.ds(i_prev, 1)][:, 0])
-        xp_ref[:, ph:ph + h, :] = x_ref[:, pl.ds(i, 1)][:, 0]
-        hp_ref[:, ph:ph + h, :] = h_prev
+        hp_ref[:, pl.ds(i, 1), ph:ph + h, :] = h_prev[:, None]
         z = zs_ref[:, pl.ds(i, 1)][:, 0]
         zi = z[..., :wf]
         zf = z[..., wf:2 * wf]
@@ -266,39 +313,45 @@ def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
         dzc = dc * gi * (one - gg * gg)
         dzo = do * _d_hard_sigmoid(zo)
         dz = jnp.concatenate([dzi, dzf, dzc, dzo], axis=-1)  # [Bt,H,4WF]
-        dz_flat = dz.reshape(bt * h, wf4)
-        dbb_ref[0] = dbb_ref[0] + jnp.sum(dz_flat.astype(jnp.float32),
-                                          axis=0, keepdims=True)
-        # band-matrix grads: dBW[dy] += src_pad[:, dy:dy+H]^T @ dz
-        for dy in range(kh):
-            slx = xp_ref[:, dy:dy + h, :]
-            dbwx_ref[0, dy] = dbwx_ref[0, dy] + jax.lax.dot_general(
-                slx.reshape(bt * h, -1), dz_flat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            slh = hp_ref[:, dy:dy + h, :]
-            dbwh_ref[0, dy] = dbwh_ref[0, dy] + jax.lax.dot_general(
-                slh.reshape(bt * h, -1), dz_flat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        # upstream grads: correlate dz with the transposed bands
-        dzp_ref[:, ph:ph + h, :] = dz
+        dzs_ref[:, pl.ds(i, 1), ph:ph + h, :] = dz[:, None]
+        # sequential half of the dgrad: dh_{i-1} through the recurrent band
         acc_h = None
-        acc_x = None
         for dy in range(kh):
             off = kh - 1 - dy
-            sl = dzp_ref[:, off:off + h, :].reshape(bt * h, wf4)
-            ph_part = jnp.dot(sl, bwhT_ref[dy],
-                              preferred_element_type=jnp.float32)
-            px_part = jnp.dot(sl, bwxT_ref[dy],
-                              preferred_element_type=jnp.float32)
-            acc_h = ph_part if acc_h is None else acc_h + ph_part
-            acc_x = px_part if acc_x is None else acc_x + px_part
-        dx_ref[:, pl.ds(i, 1)] = acc_x.astype(dt).reshape(
-            bt, h, -1)[:, None]
+            sl = dzs_ref[:, pl.ds(i, 1), off:off + h, :][:, 0] \
+                .reshape(bt * h, wf4)
+            part = jnp.dot(sl, bwhT_ref[dy],
+                           preferred_element_type=jnp.float32)
+            acc_h = part if acc_h is None else acc_h + part
         return acc_h.astype(dt).reshape(bt, h, wf), dc * gf
 
     jax.lax.fori_loop(0, t_steps, step, (zero_state, zero_state))
+
+    # ---- T-parallel half: everything below batches over the whole window
+    xp_ref[:, :, ph:ph + h, :] = x_ref[:]
+    # dx[y] = sum_dy dz_pad[y + (kh-1-dy)] @ BWx[dy]^T
+    acc_x = None
+    for dy in range(kh):
+        off = kh - 1 - dy
+        sl = dzs_ref[:, :, off:off + h, :].reshape(bt * t_steps * h, wf4)
+        part = jnp.dot(sl, bwxT_ref[dy],
+                       preferred_element_type=jnp.float32)
+        acc_x = part if acc_x is None else acc_x + part
+    dx_ref[:] = acc_x.astype(dt).reshape(dx_ref.shape)
+    # weight/bias grads: one contraction over (Bt*T*H) per tap
+    dz_all = dzs_ref[:, :, ph:ph + h, :].reshape(bt * t_steps * h, wf4)
+    dbb_ref[0] = jnp.sum(dz_all.astype(jnp.float32), axis=0, keepdims=True)
+    for dy in range(kh):
+        slx = xp_ref[:, :, dy:dy + h, :]
+        dbwx_ref[0, dy] = jax.lax.dot_general(
+            slx.reshape(bt * t_steps * h, -1), dz_all,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        slh = hp_ref[:, :, dy:dy + h, :]
+        dbwh_ref[0, dy] = jax.lax.dot_general(
+            slh.reshape(bt * t_steps * h, -1), dz_all,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -318,8 +371,11 @@ def _budget(bt, t, h, w, cin, f, kh, itemsize):
     hp = h + kh - 1
     blocks = bt * t * h * (2 * wc + 3 * wf + 2 * wf4) * itemsize
     bands = kh * (w * cin + w * f) * (4 * w * f) * 4 * 3
-    scratch = bt * hp * (wc + wf + wf4) * itemsize
-    stack = bt * h * (6 * wf4 + 6 * wf) * 4
+    # whole-window scratch (xp_all + hp_all + dzs, per-timestep H padding)
+    scratch = bt * t * hp * (wc + wf + wf4) * itemsize
+    # loop-body temporaries + the post-loop T-batched f32 accumulators
+    # (acc_x [Bt*T*H, wc] and the f32 view of dz_all for the bias grad)
+    stack = bt * h * (6 * wf4 + 6 * wf) * 4 + bt * t * h * (wc + wf4) * 4
     return blocks + bands + scratch + stack
 
 
@@ -377,6 +433,10 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical, kw,
     state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     state_shape = jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype)
+    scratch = [
+        pltpu.VMEM((bt, t, h + kh - 1, wc), xp.dtype),   # xp_all
+        pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),      # hp (per step)
+    ]
     if save_residuals:
         kern = functools.partial(_fwd_kernel, t, kh)
         out_specs = (state_spec, state_spec,
@@ -385,12 +445,16 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical, kw,
         out_shape = (state_shape, state_shape,
                      jax.ShapeDtypeStruct((b, t, h, 4 * wf), xp.dtype))
     else:
-        def kern(x_ref, bwx_ref, bwh_ref, bb_ref, ys_ref, xp_ref, hp_ref):
+        def kern(x_ref, bwx_ref, bwh_ref, bb_ref, ys_ref, xp_ref, hp_ref,
+                 zx_ref):
             _fwd_kernel(t, kh, x_ref, bwx_ref, bwh_ref, bb_ref, ys_ref,
                         cs_ref=None, zs_ref=None, xp_ref=xp_ref,
-                        hp_ref=hp_ref)
+                        hp_ref=hp_ref, zx_ref=zx_ref)
         out_specs = state_spec
         out_shape = state_shape
+        # zx buffer: in training mode the zs residual output serves this
+        # role; inference needs its own scratch
+        scratch.append(pltpu.VMEM((bt, t, h, 4 * wf), xp.dtype))
     band_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -403,10 +467,7 @@ def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical, kw,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
-            pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh, kw,
                             bwd=False, residuals=save_residuals),
         interpret=interpret,
@@ -457,9 +518,9 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
             jax.ShapeDtypeStruct((nprog, 1, wf4), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bt, h + kh - 1, wc), xp.dtype),
-            pltpu.VMEM((bt, h + kh - 1, wf), xp.dtype),
-            pltpu.VMEM((bt, h + kh - 1, wf4), xp.dtype),
+            pltpu.VMEM((bt, t, h + kh - 1, wc), xp.dtype),    # xp_all
+            pltpu.VMEM((bt, t, h + kh - 1, wf), xp.dtype),    # hp_all
+            pltpu.VMEM((bt, t, h + kh - 1, wf4), xp.dtype),   # dzs
         ],
         cost_estimate=_cost(b, t, h, wf // f, w_logical, wc, wf, kh, kw,
                             bwd=True),

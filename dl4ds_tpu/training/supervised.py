@@ -148,10 +148,11 @@ class SupervisedTrainer(Trainer):
         self.seed = seed
         self.save_logs = save_logs
         self.profile = profile
-        # data_in_hbm=False streams the training split from host RAM (or a
-        # read-only np.memmap) through the native gather/crop kernels — for
-        # datasets larger than HBM; full feature matrix (explicit/implicit
-        # pairs, predictors, statics, season).
+        # data_in_hbm=False streams ALL THREE splits (train, val, test)
+        # from host RAM (or read-only np.memmaps) through the native
+        # gather/crop kernels — it bounds TOTAL memory, not just the train
+        # split; full feature matrix (explicit/implicit pairs, predictors,
+        # statics, season).
         self.data_in_hbm = data_in_hbm
         # steps executed per host dispatch (lax.scan chunk); None = whole
         # epoch in one XLA program (TPU-idiomatic: no per-step host latency)
@@ -246,12 +247,37 @@ class SupervisedTrainer(Trainer):
             # one transfer per batch: emit straight onto the batch sharding
             # (the loop's device_put then matches and is a no-op)
             self.ds_train.sharding = self.batch_sharding
-        self.ds_val = BatchSynthesizer(
-            self.data_val, self.data_val_lr,
-            predictors=self.predictors_val, season_ids=season[1], **common)
-        self.ds_test = BatchSynthesizer(
-            self.data_test, self.data_test_lr,
-            predictors=self.predictors_test, season_ids=season[2], **common)
+        if self.data_in_hbm:
+            self.ds_val = BatchSynthesizer(
+                self.data_val, self.data_val_lr,
+                predictors=self.predictors_val, season_ids=season[1],
+                **common)
+            self.ds_test = BatchSynthesizer(
+                self.data_test, self.data_test_lr,
+                predictors=self.predictors_test, season_ids=season[2],
+                **common)
+        else:
+            # data_in_hbm=False bounds TOTAL device/host memory: val/test
+            # stream through the same host tier as training (so e.g. a
+            # memmapped eval split never loads into RAM either), one jitted
+            # eval step per host batch.
+            from ..dataloader import HostStreamer
+            stream_common = dict(
+                upsampling=self.upsampling, scale=self.scale,
+                batch_size=self.global_batch_size,
+                patch_size=self.patch_size, time_window=self.time_window,
+                interpolation=self.interpolation, seed=self.seed,
+                static_vars=self.static_vars)
+            self.ds_val = HostStreamer(
+                self.data_val, array_lr=self.data_val_lr,
+                predictors=self.predictors_val, season_ids=season[1],
+                **stream_common)
+            self.ds_val.sharding = self.batch_sharding
+            self.ds_test = HostStreamer(
+                self.data_test, array_lr=self.data_test_lr,
+                predictors=self.predictors_test, season_ids=season[2],
+                **stream_common)
+            self.ds_test.sharding = self.batch_sharding
 
     def setup_model(self):
         """Channel bookkeeping + model construction
@@ -394,29 +420,33 @@ class SupervisedTrainer(Trainer):
             _, losses = jax.lax.scan(body, None, (idx_mat, keys))
             return losses
 
-        def eval_step(state, indices, key, synth_consts):
-            skey, dkey = jax.random.split(key)
-            batch = synth_consts._make_batch(indices, skey)
+        def eval_batch(state, batch, key):
             # with EMA on, validation/test (and hence early stopping and
             # the best-model checkpoint) score the averaged weights — the
             # weights that will be served
             params = state.ema_params if ema_decay > 0 else state.params
-            out, _ = forward(params, state.batch_stats, batch, dkey,
-                             False)
+            out, _ = forward(params, state.batch_stats, batch, key, False)
             return lossf(batch['hr'], out)
+
+        def eval_step(state, indices, key, synth_consts):
+            skey, dkey = jax.random.split(key)
+            batch = synth_consts._make_batch(indices, skey)
+            return eval_batch(state, batch, dkey)
 
         self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0)
         if self.data_in_hbm:
             self._train_step = jax.jit(train_step, donate_argnums=0)
             self._train_many = jax.jit(train_many, donate_argnums=0)
-        self._eval_step_val = jax.jit(
-            lambda s, i, k: eval_step(s, i, k, synth_val))
-        self._eval_step_test = jax.jit(
-            lambda s, i, k: eval_step(s, i, k, self.ds_test))
-        self._eval_many_val = jax.jit(
-            lambda s, m, k: eval_many(s, m, k, synth_val))
-        self._eval_many_test = jax.jit(
-            lambda s, m, k: eval_many(s, m, k, self.ds_test))
+            self._eval_step_val = jax.jit(
+                lambda s, i, k: eval_step(s, i, k, synth_val))
+            self._eval_step_test = jax.jit(
+                lambda s, i, k: eval_step(s, i, k, self.ds_test))
+            self._eval_many_val = jax.jit(
+                lambda s, m, k: eval_many(s, m, k, synth_val))
+            self._eval_many_test = jax.jit(
+                lambda s, m, k: eval_many(s, m, k, self.ds_test))
+        else:
+            self._eval_step_streaming = jax.jit(eval_batch)
 
     # ------------------------------------------------------------------
     def run(self):
@@ -535,12 +565,16 @@ class SupervisedTrainer(Trainer):
 
             # validation — one dispatch (per-step on CPU, see above)
             key, vkey, skey = jax.random.split(key, 3)
-            vidx_np = np.asarray(
-                self.ds_val.epoch_indices(vkey, steps=val_steps))
-            val_loss, key = self._eval_epoch(
-                state, vidx_np, key, skey, per_step_dispatch,
-                self._eval_step_val, self._eval_many_val,
-                idx_row_sharding, idx_mat_sharding)
+            if self.data_in_hbm:
+                vidx_np = np.asarray(
+                    self.ds_val.epoch_indices(vkey, steps=val_steps))
+                val_loss, key = self._eval_epoch(
+                    state, vidx_np, key, skey, per_step_dispatch,
+                    self._eval_step_val, self._eval_many_val,
+                    idx_row_sharding, idx_mat_sharding)
+            else:
+                val_loss, key = self._eval_epoch_streaming(
+                    state, self.ds_val, val_steps, key)
 
             history['loss'].append(train_loss)
             history['val_loss'].append(val_loss)
@@ -600,12 +634,16 @@ class SupervisedTrainer(Trainer):
         test_steps = (self.test_steps if self.test_steps is not None
                       else max(test_batches, 1))
         key, tkey, skey = jax.random.split(key, 3)
-        tidx_np = np.asarray(
-            self.ds_test.epoch_indices(tkey, steps=test_steps))
-        self.test_loss, key = self._eval_epoch(
-            state, tidx_np, key, skey, per_step_dispatch,
-            self._eval_step_test, self._eval_many_test,
-            idx_row_sharding, idx_mat_sharding)
+        if self.data_in_hbm:
+            tidx_np = np.asarray(
+                self.ds_test.epoch_indices(tkey, steps=test_steps))
+            self.test_loss, key = self._eval_epoch(
+                state, tidx_np, key, skey, per_step_dispatch,
+                self._eval_step_test, self._eval_many_test,
+                idx_row_sharding, idx_mat_sharding)
+        else:
+            self.test_loss, key = self._eval_epoch_streaming(
+                state, self.ds_test, test_steps, key)
         if self.running_on_first_worker:
             if self.verbose:
                 print(f'\nScore on the test set: {self.test_loss}')
@@ -632,6 +670,20 @@ class SupervisedTrainer(Trainer):
                              idx_mat_sharding)
         return float(np.mean(jax.device_get(
             eval_many(state, idx, skey)))), key
+
+    def _eval_epoch_streaming(self, state, streamer, steps, key):
+        """Mean eval loss over `steps` host-streamed batches (the
+        data_in_hbm=False tier): one jitted eval step per batch, batches
+        gathered/cropped by the native host pipeline — so a memmapped eval
+        split never materializes beyond `steps * batch` patches."""
+        ls = []
+        for batch in streamer.epochs(n_epochs=1, steps=steps):
+            key, dkey = jax.random.split(key)
+            batch = {k: (jax.device_put(v, self.batch_sharding)
+                         if v is not None else None)
+                     for k, v in batch.items()}
+            ls.append(self._eval_step_streaming(state, batch, dkey))
+        return float(np.mean(jax.device_get(ls))), key
 
     def _save_checkpoint(self, state, name):
         import os

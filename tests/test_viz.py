@@ -1,0 +1,69 @@
+"""Interactive + projected visualization (the ecubevis counterpart,
+reference: dl4ds/dataloader.py:260-289 and metrics.py:202-218 render
+through `ecubevis`; dl4ds_tpu renders through `viz.py` with no extra
+dependencies)."""
+
+import numpy as np
+import pytest
+
+from dl4ds_tpu.viz import interactive_panel, plot_projected
+
+
+@pytest.mark.smoke
+def test_interactive_panel_self_contained_html(tmp_path, rng):
+    data = rng.standard_normal((3, 12, 16, 2)).astype('float32')
+    lats = np.linspace(50, 40, 12)
+    lons = np.linspace(0, 15, 16)
+    path = interactive_panel(data, lats=lats, lons=lons,
+                             save_path=str(tmp_path / 'p.html'))
+    html = open(path).read()
+    # self-contained: canvas + embedded quantized data + coords + palette
+    assert '<canvas' in html and 'atob(' in html
+    assert 'http://' not in html and 'https://' not in html
+    assert f'T={data.shape[0]}, H={data.shape[1]}, W={data.shape[2]}' in html
+    assert '50.0' in html and '15.0' in html          # lat/lon embedded
+    # exact range recorded (display quantization error <= range/65535)
+    assert f'{float(data.min()):.4g}' in html
+    assert f'{float(data.max()):.4g}' in html
+    # payload size: T*H*W*C uint16 values, base64 (4/3 expansion)
+    n = data.size * 2
+    assert len(html) > n * 4 // 3
+
+
+def test_interactive_panel_shapes_and_validation(tmp_path, rng):
+    # 2-D and 3-D inputs are promoted
+    p2 = interactive_panel(rng.standard_normal((8, 8)),
+                           save_path=str(tmp_path / 'a.html'))
+    assert 'T=1, H=8, W=8, C=1' in open(p2).read()
+    with pytest.raises(ValueError, match=r'\[H,W\]'):
+        interactive_panel(rng.standard_normal((2, 2, 2, 2, 2)))
+    with pytest.raises(ValueError, match='length H'):
+        interactive_panel(rng.standard_normal((4, 4)), lats=np.arange(3),
+                          save_path=str(tmp_path / 'b.html'))
+    with pytest.raises(ValueError, match='finite'):
+        interactive_panel(np.full((4, 4), np.nan),
+                          save_path=str(tmp_path / 'c.html'))
+
+
+def test_interactive_panel_nan_tolerant(tmp_path, rng):
+    data = rng.standard_normal((4, 4)).astype('float32')
+    data[0, 0] = np.nan
+    path = interactive_panel(data, save_path=str(tmp_path / 'n.html'))
+    assert 'NaN' not in open(path).read().split('<script>')[1][:200]
+
+
+def test_plot_projected_geographic(tmp_path, rng):
+    data = rng.standard_normal((10, 20)).astype('float32')
+    lats = np.linspace(80, -80, 10)
+    lons = np.linspace(0, 342, 20)         # 0..360 convention: must wrap
+    out = plot_projected(data, lats, lons, projection='mollweide',
+                         save_fname=str(tmp_path / 'm.png'))
+    import os
+    assert os.path.getsize(out) > 5000
+    # panel mode + a second projection
+    out2 = plot_projected(rng.standard_normal((2, 10, 20)), lats, lons,
+                          projection='hammer',
+                          save_fname=str(tmp_path / 'h.png'))
+    assert os.path.getsize(out2) > 5000
+    with pytest.raises(ValueError, match='match the field'):
+        plot_projected(data, lats[:-1], lons)
