@@ -37,10 +37,22 @@ def plot_ndarray(data, plot_title=None, subplot_titles=None, dpi=100,
 
     `data`: one 2-D array, a [N, H, W] stack, or a tuple/list of 2-D
     arrays. With `lats`/`lons` (1-D coordinate vectors) the panels are
-    drawn on the geographic extent with degree axis labels. `interactive`
-    is accepted for signature compatibility and ignored (no holoviews in
-    this environment). Returns the matplotlib figure.
+    drawn on the geographic extent with degree axis labels.
+    `interactive=True` writes a self-contained interactive HTML viewer
+    (time slider + hover value/lat-lon readout — viz.interactive_panel,
+    the ecubevis interactive-mode counterpart) to `save_fname` (or
+    'panel.html') and returns its path. Otherwise returns the matplotlib
+    figure.
     """
+    if interactive:
+        from .viz import interactive_panel
+        stack = ([np.squeeze(np.asarray(d)) for d in data]
+                 if isinstance(data, (tuple, list)) else data)
+        return interactive_panel(
+            np.stack(stack) if isinstance(stack, list) else stack,
+            lats=lats, lons=lons,
+            save_path=save_fname or 'panel.html',
+            title=plot_title or 'dl4ds_tpu interactive panel')
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt

@@ -67,3 +67,15 @@ def test_plot_projected_geographic(tmp_path, rng):
     assert os.path.getsize(out2) > 5000
     with pytest.raises(ValueError, match='match the field'):
         plot_projected(data, lats[:-1], lons)
+
+
+@pytest.mark.smoke
+def test_plot_ndarray_interactive_routes_to_viewer(tmp_path, rng):
+    """utils.plot_ndarray(interactive=True) — the reference's ecubevis
+    interactive mode — writes the self-contained HTML viewer."""
+    from dl4ds_tpu.utils import plot_ndarray
+    out = plot_ndarray(rng.standard_normal((2, 8, 8)), interactive=True,
+                       save_fname=str(tmp_path / 'v.html'),
+                       lats=np.linspace(10, 0, 8), lons=np.arange(8.0))
+    html = open(out).read()
+    assert '<canvas' in html and 'T=2, H=8, W=8' in html
