@@ -301,6 +301,9 @@ def infer_bench():
     if not smoke:
         import numpy as np
         from dl4ds_tpu.quantization import quantize_forward
+        # calibration must be the serving batch shape (the quantized
+        # replay is pinned to the traced shapes); the eager walk frees
+        # dead intermediates, so batch-64 512px calibration fits HBM
         calib = jnp.asarray(np.random.default_rng(1).standard_normal(
             (best, lr, lr, 1)), jnp.float32)
         qf = quantize_forward(model, variables, calib)

@@ -78,6 +78,18 @@ def _walk(jaxpr, consts, args, on_conv):
     convs inside remat/pjit bodies are found too; site numbering is the
     traversal order, shared between calibration and quantized replay."""
     env = {}
+    # last-use index per var: eager replay would otherwise keep EVERY
+    # intermediate activation alive for the whole walk (OOMs on large
+    # serving batches); vars are SSA so a var read for the last time at
+    # eqn i can be dropped right after it executes
+    last_use = {}
+    for i, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.invars:
+            if not isinstance(v, jcore.Literal):
+                last_use[v] = i
+    for v in jaxpr.outvars:
+        if not isinstance(v, jcore.Literal):
+            last_use[v] = len(jaxpr.eqns)
 
     def read(v):
         return v.val if isinstance(v, jcore.Literal) else env[v]
@@ -87,7 +99,10 @@ def _walk(jaxpr, consts, args, on_conv):
 
     _safe_map(write, jaxpr.constvars, consts)
     _safe_map(write, jaxpr.invars, args)
-    for eqn in jaxpr.eqns:
+    for v in list(env):
+        if v not in last_use:
+            del env[v]
+    for i, eqn in enumerate(jaxpr.eqns):
         invals = _safe_map(read, eqn.invars)
         sub, sub_consts = _subjaxprs(eqn)
         if eqn.primitive.name == _CONV:
@@ -100,6 +115,12 @@ def _walk(jaxpr, consts, args, on_conv):
             if not eqn.primitive.multiple_results:
                 outvals = [outvals]
         _safe_map(write, eqn.outvars, outvals)
+        for v in eqn.invars:
+            if not isinstance(v, jcore.Literal) and last_use.get(v) == i:
+                env.pop(v, None)
+        for v in eqn.outvars:
+            if v not in last_use:
+                env.pop(v, None)
     return _safe_map(read, jaxpr.outvars)
 
 
