@@ -1,0 +1,231 @@
+"""Minimal production HTTP server for frozen serving artifacts.
+
+The reference's deployment story ends at a Keras SavedModel on disk
+(reference: dl4ds/training/base.py:162-187 `save_results`), leaving the
+serving process to TF-Serving. The TPU-native equivalent ships in the
+package: `export.save_serving_artifact` freezes the forward as a
+StableHLO blob, and this module serves that blob over HTTP with nothing
+beyond the Python standard library — suitable as a sidecar container
+entrypoint or a smoke-test harness for a real deployment.
+
+    python -m dl4ds_tpu.serve --artifact /path/to/artifact --port 8000
+
+Endpoints
+---------
+- ``GET /healthz`` — liveness + request counters (JSON).
+- ``GET /meta`` — the artifact's ``serving_meta.json``.
+- ``POST /predict`` — run the frozen forward. Three body encodings:
+    * ``application/x-npy``: one ``.npy`` array (the model input batch);
+      response is ``.npy`` bytes of the prediction.
+    * ``application/x-npz``: ``np.savez`` archive with array ``data``
+      and, for models with an HR-aux branch, ``aux``; response is npy.
+    * ``application/json``: ``{"data": nested-list[, "aux": ...]}``;
+      response is JSON ``{"prediction": nested-list, "shape": [...]}``.
+
+Batching: artifacts exported with a symbolic batch (``batch='poly'``,
+the default) accept any request batch as-is. Batch-pinned artifacts
+(e.g. spatio-temporal models serving the fused ConvLSTM kernel) are
+padded/chunked server-side to the pinned batch, so clients never see
+the constraint. Device work is serialized under a lock (one chip, one
+program at a time); IO threads overlap via ThreadingHTTPServer.
+"""
+
+import argparse
+import io
+import json
+import threading
+import time
+
+import numpy as np
+
+__all__ = ['ModelServer', 'serve_forever', 'main']
+
+
+class ModelServer:
+    """Loads a serving artifact and answers prediction requests.
+
+    Framework-independent of the HTTP layer: `predict(data, aux=None)`
+    takes/returns numpy arrays and can back any transport.
+    """
+
+    def __init__(self, artifact_dir, warmup=True):
+        from .export import load_serving_artifact
+        self.call, self.meta = load_serving_artifact(artifact_dir)
+        self.artifact_dir = artifact_dir
+        self.batch = self.meta.get('batch')
+        self.lock = threading.Lock()
+        self.started = time.time()
+        self.n_requests = 0
+        self.n_samples = 0
+        if warmup:
+            self._warmup()
+
+    # -- core ------------------------------------------------------------
+    def _warmup(self):
+        """Compile the frozen program before the first request lands."""
+        b = self.batch if isinstance(self.batch, int) else 1
+        x = np.zeros([b] + list(self.meta['input_shape'])[-3:], 'float32')
+        aux = None
+        if self.meta.get('aux_shape') is not None:
+            aux = np.zeros([b] + list(self.meta['aux_shape']), 'float32')
+        np.asarray(self._call(x, aux))
+
+    def _call(self, x, aux):
+        if aux is not None:
+            return self.call(x, aux)
+        return self.call(x)
+
+    def predict(self, data, aux=None):
+        """Run the frozen forward on a [N, H, W, C] (or model-rank) batch.
+
+        Pads/chunks to the artifact's pinned batch when it has one; a
+        symbolic-batch artifact runs the request in one call.
+        """
+        data = np.asarray(data, 'float32')
+        if len(data) == 0:
+            raise ValueError('empty batch')
+        if aux is not None:
+            aux = np.asarray(aux, 'float32')
+            if aux.ndim == len(self.meta['aux_shape']):
+                aux = np.broadcast_to(aux[None], (len(data),) + aux.shape)
+        with self.lock:
+            self.n_requests += 1
+            self.n_samples += len(data)
+            if not isinstance(self.batch, int):
+                return np.asarray(self._call(data, aux))
+            bs = self.batch
+            outs = []
+            for i in range(0, len(data), bs):
+                xb = data[i:i + bs]
+                ab = aux[i:i + bs] if aux is not None else None
+                pad = bs - len(xb)
+                if pad:
+                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                    if ab is not None:
+                        ab = np.concatenate(
+                            [ab, np.repeat(ab[-1:], pad, 0)])
+                yb = np.asarray(self._call(xb, ab))
+                outs.append(yb[:bs - pad] if pad else yb)
+            return np.concatenate(outs)
+
+    def health(self):
+        return {
+            'status': 'ok',
+            'artifact': self.artifact_dir,
+            'model': self.meta.get('name'),
+            'batch': self.batch,
+            'uptime_s': round(time.time() - self.started, 1),
+            'requests': self.n_requests,
+            'samples': self.n_samples,
+        }
+
+
+def _parse_body(body, ctype):
+    """Request body -> (data, aux, json_mode)."""
+    if ctype.startswith('application/json'):
+        payload = json.loads(body.decode())
+        data = np.asarray(payload['data'], 'float32')
+        aux = payload.get('aux')
+        return data, (np.asarray(aux, 'float32')
+                      if aux is not None else None), True
+    if ctype.startswith('application/x-npz'):
+        with np.load(io.BytesIO(body)) as z:
+            if 'data' not in z:
+                raise ValueError("npz body must contain array 'data'")
+            return z['data'], (z['aux'] if 'aux' in z else None), False
+    # default: a single .npy array
+    return np.load(io.BytesIO(body), allow_pickle=False), None, False
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr, 'float32'), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _make_handler(server):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload, ctype):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _send_json(self, code, obj):
+            self._send(code, json.dumps(obj).encode(), 'application/json')
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                return self._send_json(200, server.health())
+            if self.path == '/meta':
+                return self._send_json(200, server.meta)
+            return self._send_json(404, {'error': f'no route {self.path}'})
+
+        def do_POST(self):
+            if self.path != '/predict':
+                return self._send_json(404,
+                                       {'error': f'no route {self.path}'})
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(n)
+                ctype = self.headers.get('Content-Type',
+                                         'application/x-npy')
+                data, aux, json_mode = _parse_body(body, ctype)
+                y = server.predict(data, aux=aux)
+            except Exception as exc:  # surface the cause to the client
+                return self._send_json(400,
+                                       {'error': f'{type(exc).__name__}: '
+                                                 f'{exc}'})
+            if json_mode:
+                return self._send_json(200, {
+                    'prediction': y.tolist(), 'shape': list(y.shape)})
+            return self._send(200, _npy_bytes(y), 'application/x-npy')
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def make_http_server(artifact_dir, host='127.0.0.1', port=8000,
+                     warmup=True):
+    """Build (ThreadingHTTPServer, ModelServer) without starting it —
+    the test harness drives the returned server on an ephemeral port."""
+    from http.server import ThreadingHTTPServer
+    model = ModelServer(artifact_dir, warmup=warmup)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(model))
+    return httpd, model
+
+
+def serve_forever(artifact_dir, host='0.0.0.0', port=8000):
+    httpd, model = make_http_server(artifact_dir, host=host, port=port)
+    print(f'dl4ds_tpu.serve: {model.meta.get("name")} on '
+          f'http://{host}:{port} (batch={model.batch})', flush=True)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description='Serve a dl4ds_tpu frozen artifact over HTTP')
+    ap.add_argument('--artifact', required=True,
+                    help='directory written by save_serving_artifact')
+    ap.add_argument('--host', default='0.0.0.0')
+    ap.add_argument('--port', type=int, default=8000)
+    ap.add_argument('--platform', default=None,
+                    help="force the JAX backend (e.g. 'cpu', 'tpu') — "
+                         'must match a platform the artifact was '
+                         'exported for')
+    args = ap.parse_args(argv)
+    if args.platform:
+        import os as _os
+        _os.environ['JAX_PLATFORMS'] = args.platform
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    serve_forever(args.artifact, host=args.host, port=args.port)
+
+
+if __name__ == '__main__':
+    main()

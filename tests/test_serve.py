@@ -1,0 +1,137 @@
+"""HTTP serving tests: `dl4ds_tpu.serve` drives a frozen StableHLO
+artifact end-to-end over a real (loopback, ephemeral-port) HTTP server —
+the deployment front the reference leaves to TF-Serving
+(reference: dl4ds/training/base.py:162-187 saves a Keras model only)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from dl4ds_tpu import save_serving_artifact
+from dl4ds_tpu.models import net_postupsampling
+from dl4ds_tpu.serve import ModelServer, make_http_server, _npy_bytes
+
+
+def _artifact(tmp_path, batch='poly', aux=False):
+    model = net_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                               n_aux_channels=(1 if aux else 0),
+                               lr_size=(8, 8), n_filters=4, n_blocks=1,
+                               attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    path = str(tmp_path / 'artifact')
+    save_serving_artifact(model, variables, path, batch=batch)
+    return model, variables, path
+
+
+@pytest.fixture()
+def served(tmp_path):
+    _, _, path = _artifact(tmp_path)
+    httpd, model = make_http_server(path, port=0)   # ephemeral port
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    base = f'http://127.0.0.1:{httpd.server_address[1]}'
+    try:
+        yield base, model
+    finally:
+        httpd.shutdown()
+        th.join(timeout=5)
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method='POST',
+                                 headers={'Content-Type': ctype})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.headers.get('Content-Type'), resp.read()
+
+
+@pytest.mark.smoke
+def test_http_predict_npy_roundtrip(served, rng):
+    base, model = served
+    x = rng.standard_normal((3, 8, 8, 1)).astype('float32')
+    ctype, raw = _post(base + '/predict', _npy_bytes(x),
+                       'application/x-npy')
+    assert ctype == 'application/x-npy'
+    import io
+    y = np.load(io.BytesIO(raw))
+    assert y.shape == (3, 32, 32, 1)
+    # byte-identical with the in-process ModelServer path
+    np.testing.assert_array_equal(y, model.predict(x))
+
+
+def test_http_predict_json(served, rng):
+    base, _ = served
+    x = rng.standard_normal((2, 8, 8, 1)).astype('float32')
+    body = json.dumps({'data': x.tolist()}).encode()
+    ctype, raw = _post(base + '/predict', body, 'application/json')
+    assert ctype == 'application/json'
+    out = json.loads(raw)
+    assert out['shape'] == [2, 32, 32, 1]
+    assert np.isfinite(np.asarray(out['prediction'])).all()
+
+
+def test_http_healthz_and_meta(served):
+    base, _ = served
+    with urllib.request.urlopen(base + '/healthz', timeout=30) as resp:
+        h = json.loads(resp.read())
+    assert h['status'] == 'ok' and h['requests'] >= 0
+    with urllib.request.urlopen(base + '/meta', timeout=30) as resp:
+        meta = json.loads(resp.read())
+    assert meta['batch'] == 'poly'
+
+
+def test_http_bad_body_is_400_not_crash(served):
+    base, _ = served
+    req = urllib.request.Request(
+        base + '/predict', data=b'not an npy', method='POST',
+        headers={'Content-Type': 'application/x-npy'})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, 'expected HTTP 400'
+    except urllib.error.HTTPError as err:
+        assert err.code == 400
+        assert 'error' in json.loads(err.read())
+
+
+def test_pinned_batch_pads_and_chunks(tmp_path, rng):
+    """A batch-pinned artifact serves ANY request size: 5 samples through
+    a batch-2 artifact = 3 chunks, last one padded, results exact."""
+    model, variables, path = _artifact(tmp_path, batch=2)
+    srv = ModelServer(path)
+    x = rng.standard_normal((5, 8, 8, 1)).astype('float32')
+    y = srv.predict(x)
+    assert y.shape == (5, 32, 32, 1)
+    import jax.numpy as jnp
+    y_direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), None, training=False))
+    np.testing.assert_allclose(y, y_direct, atol=1e-6)
+
+
+def test_npz_with_aux(tmp_path, rng):
+    """Models with an HR-aux branch serve through the npz encoding."""
+    model, variables, path = _artifact(tmp_path, aux=True)
+    httpd, srv = make_http_server(path, port=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        x = rng.standard_normal((2, 8, 8, 1)).astype('float32')
+        aux = rng.standard_normal(
+            (2,) + tuple(srv.meta['aux_shape'])).astype('float32')
+        import io
+        buf = io.BytesIO()
+        np.savez(buf, data=x, aux=aux)
+        ctype, raw = _post(
+            f'http://127.0.0.1:{httpd.server_address[1]}/predict',
+            buf.getvalue(), 'application/x-npz')
+        y = np.load(io.BytesIO(raw))
+        assert y.shape == (2, 32, 32, 1)
+        import jax.numpy as jnp
+        y_direct = np.asarray(model.module.apply(
+            variables, jnp.asarray(x), jnp.asarray(aux), training=False))
+        np.testing.assert_allclose(y, y_direct, atol=1e-6)
+    finally:
+        httpd.shutdown()
+        th.join(timeout=5)
