@@ -30,7 +30,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ['predict_tiled', 'predict_spatial_sharded',
            'make_spatial_sharded_step', 'receptive_field_radius',
-           'init_ensemble', 'make_ensemble_step', 'predict_ensemble']
+           'init_ensemble', 'make_ensemble_step', 'predict_ensemble',
+           'tensor_param_shardings', 'make_tensor_sharded_step']
 
 
 def _output_scale(model):
@@ -630,3 +631,172 @@ def predict_ensemble(model, stacked_variables, x, aux=None, mesh=None,
     if return_members:
         return mean, std, np.asarray(outs)
     return mean, std
+
+
+# --------------------------------------------------------------------------
+# Tensor (channel) parallelism — weights sharded over a 'model' mesh axis
+# --------------------------------------------------------------------------
+
+TensorShardedStep = collections.namedtuple(
+    'TensorShardedStep', 'step loss_and_grads init_opt param_shardings')
+
+
+def tensor_param_shardings(params, mesh, model_axis='model',
+                           min_channels=None):
+    """PartitionSpec tree for Megatron-style channel sharding of a conv
+    model: every rank>=2 kernel whose OUTPUT-channel (minor) dim is
+    divisible by the `model_axis` size and at least `min_channels` wide is
+    sharded over that dim; everything else (biases, narrow kernels,
+    attention vectors) is replicated. Covers Conv HWIO kernels and the
+    attention/localized dense kernels alike — the sharded dim is always
+    the output-feature dim.
+
+    `min_channels` (default `2 * axis_size`) keeps sub-lane-width shards
+    from fragmenting tiny kernels; the zoo's reference-width (8..48)
+    layers shard at n=2..4 while the [3,3,C,1] output conv stays
+    replicated.
+    """
+    n = mesh.shape[model_axis]
+    min_c = (2 * n) if min_channels is None else min_channels
+
+    def spec(leaf):
+        if (hasattr(leaf, 'ndim') and leaf.ndim >= 2
+                and leaf.shape[-1] % n == 0 and leaf.shape[-1] >= min_c):
+            return P(*((None,) * (leaf.ndim - 1) + (model_axis,)))
+        return P()
+
+    return jax.tree.map(spec, params)
+
+
+def make_tensor_sharded_step(model, mesh, tx=None, loss='mae',
+                             model_axis='model', data_axis='data',
+                             min_channels=None):
+    """Build a TRAIN step whose WEIGHTS (and optimizer moments) are
+    sharded channel-wise over the mesh's `model_axis` — tensor
+    parallelism for production-width models whose parameters + Adam state
+    + activation working set exceed one chip's HBM (no reference feature;
+    the reference is single-GPU Keras).
+
+    TPU-idiomatic formulation: rather than hand-writing the Megatron
+    column/row conv pair with explicit psums, the step ANNOTATES the
+    shardings — conv kernels sharded on their output-feature dim
+    (`tensor_param_shardings`), batch sharded over `data_axis` when the
+    mesh has one — and jits the whole step with them, letting XLA's SPMD
+    partitioner place the collectives on ICI (all-gathers of channel
+    shards where a full activation is consumed, reduce-scatters in the
+    backward). The numerics are the unsharded step's: GSPMD partitions
+    the SAME program, asserted by
+    tests/test_parallel.py::test_tensor_sharded_step_matches_unsharded.
+
+    2-D TP x DP: a mesh with both axes shards weights over `model_axis`
+    and the batch over `data_axis`; the data-axis gradient all-reduce is
+    likewise inserted by XLA.
+
+    Args:
+      model: a DSModel (factory output); parameter-only models (no
+        batch-norm statistics), like the other parallel helpers.
+      mesh: `Mesh` with a `model_axis` axis (optionally + `data_axis`).
+      tx: optax transform (default `optax.adam(1e-4)`). Use a PER-LEAF
+        transform (plain adam) — `optax.flatten` would concatenate
+        leaves and destroy the per-channel sharding.
+      loss: any registry loss name or callable (no decomposability
+        constraint — GSPMD sees the full logical activations).
+      min_channels: see `tensor_param_shardings`.
+
+    Returns a `TensorShardedStep` namedtuple:
+      init_opt(params) -> sharded optimizer state
+      step(params, opt_state, x, y, key[, aux]) -> (params, opt_state,
+                                                    loss)
+      loss_and_grads(params, x, y, key[, aux]) -> (loss, grads)
+      param_shardings: NamedSharding tree — place params with
+        `jax.device_put(params, param_shardings)`.
+    """
+    import optax
+
+    from .utils import checkarg_loss
+
+    lossf = checkarg_loss(loss)
+    if model_axis not in mesh.axis_names:
+        raise ValueError(f'mesh has no {model_axis!r} axis: '
+                         f'{mesh.axis_names}')
+    has_data = data_axis in mesh.axis_names
+    tx = tx if tx is not None else optax.adam(1e-4)
+    needs_aux = model.aux_shape is not None
+
+    variables0 = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    if 'batch_stats' in variables0:
+        raise ValueError('tensor-sharded training supports parameter-only '
+                         'models (batch-norm statistics are mutable '
+                         'state); build the model without batch norm')
+    params0 = variables0['params']
+    spec_tree = tensor_param_shardings(params0, mesh, model_axis,
+                                       min_channels)
+    p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                        is_leaf=lambda s: isinstance(s, P))
+    x_sh = NamedSharding(mesh, P(data_axis) if has_data else P())
+    rep = NamedSharding(mesh, P())
+    treedef = jax.tree.structure(params0)
+
+    def _same_tree(obj):
+        try:
+            return jax.tree.structure(obj) == treedef
+        except Exception:
+            return False
+
+    def _state_sharding(opt_state):
+        """Mirror the param shardings onto every param-shaped subtree of
+        the optax state (Adam mu/nu), replicating scalars/counters."""
+        if _same_tree(opt_state):
+            return p_sh
+        if isinstance(opt_state, tuple) and type(opt_state) is not tuple:
+            # NamedTuple optax states: rebuild field-wise
+            return type(opt_state)(*(_state_sharding(c)
+                                     for c in opt_state))
+        if isinstance(opt_state, tuple):
+            return tuple(_state_sharding(c) for c in opt_state)
+        if isinstance(opt_state, list):
+            return [_state_sharding(c) for c in opt_state]
+        return rep
+
+    st_sh = _state_sharding(jax.eval_shape(tx.init, params0))
+
+    def _loss_fn(params, x, y, aux, key):
+        out = model.module.apply({'params': params}, x,
+                                 aux if needs_aux else None,
+                                 training=True, rngs={'dropout': key})
+        return lossf(y, out.astype(jnp.float32))
+
+    def _step(params, opt_state, x, y, key, aux):
+        l, g = jax.value_and_grad(_loss_fn)(params, x, y, aux, key)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    def _lag(params, x, y, key, aux):
+        return jax.value_and_grad(_loss_fn)(params, x, y, aux, key)
+
+    aux_sh = x_sh if needs_aux else rep
+    step_j = jax.jit(_step,
+                     in_shardings=(p_sh, st_sh, x_sh, x_sh, rep, aux_sh),
+                     out_shardings=(p_sh, st_sh, rep))
+    lag_j = jax.jit(_lag,
+                    in_shardings=(p_sh, x_sh, x_sh, rep, aux_sh),
+                    out_shardings=(rep, p_sh))
+
+    def _aux_arg(aux):
+        if needs_aux:
+            if aux is None:
+                raise ValueError('model takes an aux input; pass aux=')
+            return jnp.asarray(aux, jnp.float32)
+        # fixed zero placeholder keeps ONE jitted signature either way
+        return jnp.zeros((), jnp.float32)
+
+    def step(params, opt_state, x, y, key, aux=None):
+        return step_j(params, opt_state, x, y, key, _aux_arg(aux))
+
+    def loss_and_grads(params, x, y, key, aux=None):
+        return lag_j(params, x, y, key, _aux_arg(aux))
+
+    def init_opt(params):
+        return jax.device_put(jax.jit(tx.init)(params), st_sh)
+
+    return TensorShardedStep(step, loss_and_grads, init_opt, p_sh)

@@ -346,3 +346,118 @@ def test_init_ensemble_divisibility_error():
     mesh = Mesh(np.array(jax.devices()), ('ensemble',))
     with pytest.raises(ValueError, match='not divisible'):
         init_ensemble(model, 6, mesh=mesh)
+
+
+# --------------------------------------------------------------------------
+# Tensor (channel) parallelism
+# --------------------------------------------------------------------------
+
+def _tp_model(scale=2, n_filters=8, n_blocks=3, aux=False):
+    return net_postupsampling('resnet', 'spc', scale=scale, n_channels=1,
+                              n_aux_channels=(1 if aux else 0),
+                              lr_size=(8, 8), n_filters=n_filters,
+                              n_blocks=n_blocks, attention=True)
+
+
+def test_tensor_param_shardings_rules():
+    """Sharding rules: wide kernels shard on the output-feature dim,
+    narrow ([3,3,C,1] output conv) and bias leaves stay replicated."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from dl4ds_tpu.parallel import tensor_param_shardings
+    mesh = Mesh(np.array(jax.devices()[:2]), ('model',))
+    model = _tp_model()
+    params = model.init(jax.random.PRNGKey(0))['params']
+    specs = tensor_param_shardings(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda s: isinstance(s, P))[0]
+    leaves = dict(zip([jax.tree_util.keystr(k) for k, _ in flat],
+                      [v for _, v in flat]))
+    params_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    shapes = dict(zip([jax.tree_util.keystr(k) for k, _ in params_flat],
+                      [v.shape for _, v in params_flat]))
+    n_model = 0
+    for name, spec in leaves.items():
+        shape = shapes[name]
+        if 'model' in tuple(spec):
+            n_model += 1
+            assert spec[-1] == 'model' and spec[:-1] == (None,) * (
+                len(shape) - 1)
+            assert shape[-1] % 2 == 0 and shape[-1] >= 4
+        elif len(shape) >= 2:
+            # replicated wide leaves must have a reason: odd or narrow
+            assert shape[-1] % 2 != 0 or shape[-1] < 4
+    assert n_model >= 10  # the zoo's conv kernels do shard
+
+
+def test_tensor_sharded_step_matches_unsharded(rng):
+    """Weights sharded over a 'model' axis (GSPMD-partitioned step):
+    k steps of Adam must match the unsharded program to float
+    tolerance, on a pure-TP mesh AND a 2-D TP x DP mesh."""
+    import optax
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import make_tensor_sharded_step
+    model = _tp_model()
+    params = model.init(jax.random.PRNGKey(0))['params']
+    x = jnp.asarray(rng.standard_normal((8, 8, 8, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 16, 16, 1)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    tx = optax.adam(1e-3)
+
+    def loss_fn(p):
+        out = model.module.apply({'params': p}, x, None, training=True,
+                                 rngs={'dropout': key})
+        return jnp.mean(jnp.abs(y - out.astype(jnp.float32)))
+
+    p_ref, st_ref = params, tx.init(params)
+    for _ in range(3):
+        l_ref, g = jax.value_and_grad(loss_fn)(p_ref)
+        up, st_ref = tx.update(g, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, up)
+
+    for axes, shape in ((('model',), (2,)), (('model', 'data'), (2, 4))):
+        mesh = Mesh(np.array(jax.devices()[:int(np.prod(shape))])
+                    .reshape(shape), axes)
+        ts = make_tensor_sharded_step(model, mesh, tx=optax.adam(1e-3))
+        p = jax.device_put(params, ts.param_shardings)
+        st = ts.init_opt(p)
+        for _ in range(3):
+            p, st, l = ts.step(p, st, x, y, key)
+        assert abs(float(l) - float(l_ref)) < 1e-5
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+        # the weights really live sharded on device
+        kern = model.init(jax.random.PRNGKey(0))['params']
+        some = [s for s in jax.tree.leaves(
+                    ts.param_shardings,
+                    is_leaf=lambda s: hasattr(s, 'spec'))
+                if 'model' in jax.tree_util.tree_leaves(tuple(s.spec))]
+        assert len(some) >= 10
+        del kern
+
+
+def test_tensor_sharded_loss_and_grads_and_aux(rng):
+    """loss_and_grads returns sharded grads; aux-input models route the
+    HR-aux batch through the same step."""
+    import optax
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import make_tensor_sharded_step
+    model = _tp_model(aux=True)
+    params = model.init(jax.random.PRNGKey(0))['params']
+    mesh = Mesh(np.array(jax.devices()[:2]), ('model',))
+    ts = make_tensor_sharded_step(model, mesh, tx=optax.adam(1e-3))
+    p = jax.device_put(params, ts.param_shardings)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((4, 16, 16, 1)), jnp.float32)
+    aux = jnp.asarray(rng.standard_normal(
+        (4,) + tuple(model.aux_shape)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match='aux'):
+        ts.loss_and_grads(p, x, y, key)
+    l, g = ts.loss_and_grads(p, x, y, key, aux=aux)
+    assert np.isfinite(float(l))
+    assert jax.tree.structure(g) == jax.tree.structure(p)
+    st = ts.init_opt(p)
+    p2, st, l2 = ts.step(p, st, x, y, key, aux=aux)
+    assert np.isfinite(float(l2))
