@@ -163,6 +163,13 @@ flags.DEFINE_integer('inference_mc_members', 0,
                      'spread-skill, rank histogram)')
 flags.DEFINE_string('inference_save_fname', None,
                     'Filename for saving the inference array')
+flags.DEFINE_string('export_artifact', None,
+                    'After training (or on --trained_model_path), freeze '
+                    'the forward to a StableHLO serving-artifact directory '
+                    '(export.save_serving_artifact, symbolic batch); serve '
+                    'it with `python -m dl4ds_tpu.serve --artifact DIR`. '
+                    'Beyond the reference app (its SavedModel export '
+                    'needs TF-Serving downstream)')
 
 
 def dl4ds(argv):
@@ -313,8 +320,8 @@ def dl4ds(argv):
 
     y_hat = None
     mc_members = None
-    if (FLAGS.test or FLAGS.metrics) and trainer is None \
-            and FLAGS.trained_model_path:
+    if (FLAGS.test or FLAGS.metrics or FLAGS.export_artifact) \
+            and trainer is None and FLAGS.trained_model_path:
         # evaluate a previously-saved model without retraining: load_model
         # returns a (model, variables) pair, which Predictor/predict_mc
         # accept wherever a trainer is expected
@@ -327,6 +334,15 @@ def dl4ds(argv):
         print('NOTE: --test/--metrics skipped — they run on the model '
               'trained in this invocation (pass --train, or point '
               '--trained_model_path at a saved model folder)')
+    if FLAGS.export_artifact and trainer is not None \
+            and running_on_first_worker:
+        model, variables = (trainer if isinstance(trainer, tuple)
+                            else (trainer.model, trainer.variables))
+        nbytes = dds.save_serving_artifact(model, variables,
+                                           FLAGS.export_artifact)
+        print(f'Serving artifact written to {FLAGS.export_artifact} '
+              f'({nbytes:,} bytes); serve it with: python -m '
+              f'dl4ds_tpu.serve --artifact {FLAGS.export_artifact}')
     if FLAGS.test and trainer is not None and running_on_first_worker:
         print('\n' + '<' * 29, 'DL4DS Test phase', '>' * 29 + '\n')
         predictor = dds.Predictor(

@@ -267,3 +267,63 @@ def test_app_netcdf_export(tmp_path):
                              np.datetime64)
     finally:
         sys.path.remove(stubs)
+
+
+def test_app_export_artifact(tmp_path):
+    """--export_artifact freezes the trained forward to a StableHLO
+    serving-artifact dir usable by dl4ds_tpu.serve (beyond the reference
+    app, whose SavedModel export needs TF-Serving downstream)."""
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((60, 16, 16, 1)).astype('float32')
+        data_train = _all[:40]
+        data_val = _all[40:50]
+        data_test = _all[50:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[50:]
+        inference_scaler = None
+        inference_predictors = None
+        gt_holdout_dataset = _all[50:]
+        gt_mask = None
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    artifact = str(tmp_path / 'artifact')
+    os.makedirs(save_path, exist_ok=True)
+    cfg = tmp_path / 'params.cfg'
+    cfg.write_text(textwrap.dedent(f"""
+        --debug
+        --device=CPU
+        --data_module={data_file}
+        --backbone=convnet
+        --upsampling=pin
+        --scale=4
+        --batch_size=2
+        --n_filters=4
+        --n_blocks=1
+        --dropout_rate=0.0
+        --notest
+        --nometrics
+        --save_path={save_path}
+        --export_artifact={artifact}
+        --noshow_plot
+    """))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg}'],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert 'Serving artifact written' in res.stdout
+    assert os.path.exists(os.path.join(artifact, 'forward.jaxexport'))
+    # the artifact actually serves
+    from dl4ds_tpu.serve import ModelServer
+    srv = ModelServer(artifact)
+    y = srv.predict(np.zeros((2, 16, 16, 1), 'float32'))
+    assert y.shape == (2, 16, 16, 1)
+    assert np.isfinite(y).all()
