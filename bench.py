@@ -287,7 +287,9 @@ def infer_bench():
             model.module.apply(v, xb + t, None, training=False)))
     per_batch, spreads = {}, {}
     smoke = bool(os.environ.get('DDS_BENCH_SMOKE'))
-    batches = (2, 4) if smoke else (8, 32, 64)
+    # batch 1 is the online-serving latency point (reported as ms/grid,
+    # device-side: the slope method cancels the tunnel's RPC constant)
+    batches = (1, 2) if smoke else (1, 8, 32, 64)
     for batch in batches:
         gps, spread = _grids_per_sec(apply, variables, batch, lr)
         per_batch[batch] = round(gps, 2)
@@ -327,6 +329,8 @@ def infer_bench():
                           if 8 in per_batch else ' (smoke sweep)')),
         'per_batch': {str(k): v for k, v in per_batch.items()},
         'spread_per_batch': {str(k): v for k, v in spreads.items()},
+        'batch1_latency_ms_device': (round(1000.0 / per_batch[1], 3)
+                                     if 1 in per_batch else None),
         'int8_at_best_batch': int8,
         'backend': jax.default_backend(),
     }

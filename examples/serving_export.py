@@ -39,6 +39,8 @@ def main():
         lr = lr[..., None]
     y = np.asarray(call(lr))
     print(f"served {meta['name']}: {lr.shape} -> {y.shape}")
+    print('HTTP serving: python -m dl4ds_tpu.serve '
+          '--artifact ./serving_artifact')
 
 
 if __name__ == '__main__':
