@@ -31,6 +31,7 @@ program at a time); IO threads overlap via ThreadingHTTPServer.
 """
 
 import argparse
+import collections
 import io
 import json
 import threading
@@ -48,7 +49,8 @@ class ModelServer:
     takes/returns numpy arrays and can back any transport.
     """
 
-    def __init__(self, artifact_dir, warmup=True):
+    def __init__(self, artifact_dir, warmup=True, batch_window_ms=0,
+                 max_batch=64):
         from .export import load_serving_artifact
         self.call, self.meta = load_serving_artifact(artifact_dir)
         self.artifact_dir = artifact_dir
@@ -57,6 +59,19 @@ class ModelServer:
         self.started = time.time()
         self.n_requests = 0
         self.n_samples = 0
+        self.n_device_batches = 0
+        # dynamic micro-batching: when batch_window_ms > 0, concurrent
+        # requests are merged into one device call (collected for up to
+        # the window after the first arrival, capped at max_batch samples)
+        self.batch_window_ms = batch_window_ms
+        self.max_batch = max_batch
+        self._queue = collections.deque()
+        self._queue_cv = threading.Condition()
+        self._batcher = None
+        if batch_window_ms > 0:
+            self._batcher = threading.Thread(target=self._batch_loop,
+                                             daemon=True)
+            self._batcher.start()
         if warmup:
             self._warmup()
 
@@ -79,7 +94,10 @@ class ModelServer:
         """Run the frozen forward on a [N, H, W, C] (or model-rank) batch.
 
         Pads/chunks to the artifact's pinned batch when it has one; a
-        symbolic-batch artifact runs the request in one call.
+        symbolic-batch artifact runs the request in one call. With
+        `batch_window_ms > 0`, concurrent requests of the same sample
+        shape are merged into one device call (results are identical —
+        the batch dim is independent).
         """
         data = np.asarray(data, 'float32')
         if len(data) == 0:
@@ -88,25 +106,94 @@ class ModelServer:
             aux = np.asarray(aux, 'float32')
             if aux.ndim == len(self.meta['aux_shape']):
                 aux = np.broadcast_to(aux[None], (len(data),) + aux.shape)
+        if self._batcher is not None:
+            return self._predict_batched(data, aux)
         with self.lock:
             self.n_requests += 1
             self.n_samples += len(data)
-            if not isinstance(self.batch, int):
-                return np.asarray(self._call(data, aux))
-            bs = self.batch
-            outs = []
-            for i in range(0, len(data), bs):
-                xb = data[i:i + bs]
-                ab = aux[i:i + bs] if aux is not None else None
-                pad = bs - len(xb)
-                if pad:
-                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
-                    if ab is not None:
-                        ab = np.concatenate(
-                            [ab, np.repeat(ab[-1:], pad, 0)])
-                yb = np.asarray(self._call(xb, ab))
-                outs.append(yb[:bs - pad] if pad else yb)
-            return np.concatenate(outs)
+            return self._run(data, aux)
+
+    def _run(self, data, aux):
+        """One merged batch through the device (caller holds the lock)."""
+        self.n_device_batches += 1
+        if not isinstance(self.batch, int):
+            return np.asarray(self._call(data, aux))
+        bs = self.batch
+        outs = []
+        for i in range(0, len(data), bs):
+            xb = data[i:i + bs]
+            ab = aux[i:i + bs] if aux is not None else None
+            pad = bs - len(xb)
+            if pad:
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                if ab is not None:
+                    ab = np.concatenate([ab, np.repeat(ab[-1:], pad, 0)])
+            yb = np.asarray(self._call(xb, ab))
+            outs.append(yb[:bs - pad] if pad else yb)
+        return np.concatenate(outs)
+
+    # -- dynamic micro-batching -------------------------------------------
+    def _predict_batched(self, data, aux):
+        item = {'data': data, 'aux': aux, 'done': threading.Event(),
+                'result': None, 'error': None}
+        with self._queue_cv:
+            self._queue.append(item)
+            self._queue_cv.notify()
+        item['done'].wait()
+        if item['error'] is not None:
+            raise item['error']
+        return item['result']
+
+    def _batch_loop(self):
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                first = self._queue.popleft()
+            # collect more requests for up to the window
+            deadline = time.time() + self.batch_window_ms / 1000.0
+            group = [first]
+            n = len(first['data'])
+            key = (first['data'].shape[1:], first['aux'] is None,
+                   None if first['aux'] is None else first['aux'].shape[1:])
+            while n < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                with self._queue_cv:
+                    if not self._queue:
+                        self._queue_cv.wait(timeout=remaining)
+                    if not self._queue:
+                        break
+                    nxt = self._queue[0]
+                    k = (nxt['data'].shape[1:], nxt['aux'] is None,
+                         None if nxt['aux'] is None
+                         else nxt['aux'].shape[1:])
+                    if k != key:
+                        break      # different shape: leave for next group
+                    self._queue.popleft()
+                group.append(nxt)
+                n += len(nxt['data'])
+            try:
+                data = (group[0]['data'] if len(group) == 1 else
+                        np.concatenate([g['data'] for g in group]))
+                aux = (group[0]['aux'] if group[0]['aux'] is None
+                       or len(group) == 1 else
+                       np.concatenate([g['aux'] for g in group]))
+                with self.lock:
+                    self.n_requests += len(group)
+                    self.n_samples += len(data)
+                    y = self._run(data, aux)
+                off = 0
+                for g in group:
+                    g['result'] = y[off:off + len(g['data'])]
+                    off += len(g['data'])
+            except Exception as exc:
+                for g in group:
+                    g['error'] = exc
+            finally:
+                for g in group:
+                    g['done'].set()
 
     def health(self):
         return {
@@ -117,6 +204,8 @@ class ModelServer:
             'uptime_s': round(time.time() - self.started, 1),
             'requests': self.n_requests,
             'samples': self.n_samples,
+            'device_batches': self.n_device_batches,
+            'batch_window_ms': self.batch_window_ms,
         }
 
 
@@ -191,17 +280,22 @@ def _make_handler(server):
 
 
 def make_http_server(artifact_dir, host='127.0.0.1', port=8000,
-                     warmup=True):
+                     warmup=True, batch_window_ms=0, max_batch=64):
     """Build (ThreadingHTTPServer, ModelServer) without starting it —
     the test harness drives the returned server on an ephemeral port."""
     from http.server import ThreadingHTTPServer
-    model = ModelServer(artifact_dir, warmup=warmup)
+    model = ModelServer(artifact_dir, warmup=warmup,
+                        batch_window_ms=batch_window_ms,
+                        max_batch=max_batch)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     return httpd, model
 
 
-def serve_forever(artifact_dir, host='0.0.0.0', port=8000):
-    httpd, model = make_http_server(artifact_dir, host=host, port=port)
+def serve_forever(artifact_dir, host='0.0.0.0', port=8000,
+                  batch_window_ms=0, max_batch=64):
+    httpd, model = make_http_server(artifact_dir, host=host, port=port,
+                                    batch_window_ms=batch_window_ms,
+                                    max_batch=max_batch)
     print(f'dl4ds_tpu.serve: {model.meta.get("name")} on '
           f'http://{host}:{port} (batch={model.batch})', flush=True)
     httpd.serve_forever()
@@ -214,6 +308,12 @@ def main(argv=None):
                     help='directory written by save_serving_artifact')
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=8000)
+    ap.add_argument('--batch-window-ms', type=float, default=0,
+                    help='dynamic micro-batching: merge concurrent '
+                         'requests arriving within this window into one '
+                         'device call (0 = off)')
+    ap.add_argument('--max-batch', type=int, default=64,
+                    help='sample cap per merged device call')
     ap.add_argument('--platform', default=None,
                     help="force the JAX backend (e.g. 'cpu', 'tpu') — "
                          'must match a platform the artifact was '
@@ -224,7 +324,9 @@ def main(argv=None):
         _os.environ['JAX_PLATFORMS'] = args.platform
         import jax
         jax.config.update('jax_platforms', args.platform)
-    serve_forever(args.artifact, host=args.host, port=args.port)
+    serve_forever(args.artifact, host=args.host, port=args.port,
+                  batch_window_ms=args.batch_window_ms,
+                  max_batch=args.max_batch)
 
 
 if __name__ == '__main__':

@@ -135,3 +135,66 @@ def test_npz_with_aux(tmp_path, rng):
     finally:
         httpd.shutdown()
         th.join(timeout=5)
+
+
+def test_dynamic_microbatching_merges_concurrent_requests(tmp_path, rng):
+    """With batch_window_ms > 0, concurrent same-shape requests merge
+    into fewer device calls, and every caller gets exactly its own
+    slice (bitwise equal to an unbatched run)."""
+    model, variables, path = _artifact(tmp_path)
+    srv = ModelServer(path, batch_window_ms=100, max_batch=16)
+    xs = [rng.standard_normal((1, 8, 8, 1)).astype('float32')
+          for _ in range(6)]
+    results = [None] * 6
+    start = threading.Barrier(6)
+
+    def worker(i):
+        start.wait()
+        results[i] = srv.predict(xs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None for r in results)
+    base = srv.n_device_batches
+    import jax.numpy as jnp
+    for i in range(6):
+        direct = np.asarray(model.module.apply(
+            variables, jnp.asarray(xs[i]), None, training=False))
+        np.testing.assert_allclose(results[i], direct, atol=1e-6)
+    # 6 concurrent singletons must NOT cost 6 device calls
+    assert base < 6, f'no batching happened ({base} device calls)'
+    assert srv.health()['requests'] == 6
+    assert srv.health()['samples'] == 6
+
+
+def test_dynamic_microbatching_isolates_bad_shapes(tmp_path, rng):
+    """Shape-mismatched requests are grouped separately, so a bad
+    request fails ALONE (its own error) without poisoning the merged
+    group of valid concurrent requests. (Frozen artifacts are spatially
+    shape-pinned — only the batch dim is symbolic.)"""
+    _, _, path = _artifact(tmp_path)
+    srv = ModelServer(path, batch_window_ms=40, max_batch=16)
+    good = rng.standard_normal((1, 8, 8, 1)).astype('float32')
+    bad = rng.standard_normal((2, 16, 16, 1)).astype('float32')
+    out, errs = {}, {}
+
+    def worker(name, x):
+        try:
+            out[name] = srv.predict(x)
+        except Exception as exc:
+            errs[name] = exc
+
+    ts = [threading.Thread(target=worker, args=('good', good)),
+          threading.Thread(target=worker, args=('bad', bad)),
+          threading.Thread(target=worker, args=('good2', good))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert out['good'].shape == (1, 32, 32, 1)
+    assert out['good2'].shape == (1, 32, 32, 1)
+    assert 'bad' in errs and 'bad' not in out
