@@ -153,8 +153,15 @@ def main():
     except Exception as e:
         out['model_level_error'] = repr(e)[:300]
         print('model-level FAILED:', repr(e)[:300], flush=True)
-    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
-                      for k, v in out.items()}))
+    artifact = {k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in out.items()}
+    print(json.dumps(artifact))
+    if jax.default_backend() == 'tpu':
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'INT8.json')
+        with open(path, 'w') as fh:
+            json.dump(artifact, fh, indent=2)
+        print(f'# wrote {path}', flush=True)
 
 
 if __name__ == '__main__':
