@@ -170,6 +170,19 @@ flags.DEFINE_string('export_artifact', None,
                     'it with `python -m dl4ds_tpu.serve --artifact DIR`. '
                     'Beyond the reference app (its SavedModel export '
                     'needs TF-Serving downstream)')
+flags.DEFINE_enum('export_quantize', None, ['int8', 'weight-only'],
+                  'Freeze the CALIBRATED int8 (or weight-only) replay '
+                  'instead of the float forward in --export_artifact. '
+                  'Calibration inputs are assembled from the data '
+                  "module's inference_data (first --export_batch "
+                  'samples, same preparation as the test phase); the '
+                  'artifact batch is pinned to that shape (the server '
+                  'pads/chunks requests). int8 convs run ~2x on the MXU '
+                  'at production widths (INT8.json)')
+flags.DEFINE_integer('export_batch', 8,
+                     'Serving batch for --export_quantize artifacts '
+                     '(= the calibration batch; the int8 replay is '
+                     'shape-pinned)')
 
 
 def dl4ds(argv):
@@ -338,10 +351,29 @@ def dl4ds(argv):
             and running_on_first_worker:
         model, variables = (trainer if isinstance(trainer, tuple)
                             else (trainer.model, trainer.variables))
+        export_kwargs = {}
+        if FLAGS.export_quantize:
+            # calibrate on the same model-ready tensors the test phase
+            # feeds the network (predict's own default calibration source)
+            from .inference import _assemble_inputs
+            cx, caux, n_cal = _assemble_inputs(
+                model, DATA.inference_data, FLAGS.scale,
+                FLAGS.inference_array_in_hr, DATA.static_vars,
+                DATA.inference_predictors, FLAGS.time_window,
+                FLAGS.interpolation)
+            b = min(FLAGS.export_batch, n_cal)
+            export_kwargs = dict(
+                quantize=FLAGS.export_quantize, batch=b,
+                calibration=cx[:b],
+                calibration_aux=None if caux is None else caux[:b])
         nbytes = dds.save_serving_artifact(model, variables,
-                                           FLAGS.export_artifact)
+                                           FLAGS.export_artifact,
+                                           **export_kwargs)
         print(f'Serving artifact written to {FLAGS.export_artifact} '
-              f'({nbytes:,} bytes); serve it with: python -m '
+              f'({nbytes:,} bytes'
+              + (f', {FLAGS.export_quantize}, batch={export_kwargs["batch"]}'
+                 if FLAGS.export_quantize else '')
+              + f'); serve it with: python -m '
               f'dl4ds_tpu.serve --artifact {FLAGS.export_artifact}')
     if FLAGS.test and trainer is not None and running_on_first_worker:
         print('\n' + '<' * 29, 'DL4DS Test phase', '>' * 29 + '\n')

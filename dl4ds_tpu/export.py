@@ -18,6 +18,7 @@ the frozen inference representation.
 import json
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +27,8 @@ __all__ = ['export_forward', 'save_serving_artifact',
 
 
 def export_forward(model, variables, batch='poly', platforms=None,
-                   spatial_size=None):
+                   spatial_size=None, quantize=None, calibration=None,
+                   calibration_aux=None, calibration_quantile=None):
     """Export the model's inference forward as a `jax.export.Exported`.
 
     Args:
@@ -49,11 +51,33 @@ def export_forward(model, variables, batch='poly', platforms=None,
         passing the serving grid size here (the aux input is scaled to
         match). Models with a LocalizedConvBlock are shape-bound and
         reject the override at trace time.
+      quantize: None (default, float forward), 'int8' or 'weight-only' —
+        freeze the `quantization.quantize_forward` replay instead of the
+        float forward. At production widths int8 convs run ~2x on the
+        MXU (INT8.json: 1.67x model-level at width 64). Requires
+        `calibration`; the exported program is SHAPE-PINNED to the
+        calibration batch (batch='poly' is rejected — the int8 replay's
+        reshape sites pin the batch size), so calibrate with the exact
+        serving shape. `spatial_size` is likewise rejected: the
+        calibration array IS the shape spec.
+      calibration: representative input batch for `quantize` (defines
+        the pinned export shapes).
+      calibration_aux: HR-aux calibration batch when the model takes one.
+      calibration_quantile: optional quantile-clipping calibration
+        (see `quantization.quantize_forward`).
 
     Returns the `Exported`; call it with `exp.call(x[, aux])`, serialize
     with `exp.serialize()`.
     """
     from jax import export as jexport
+
+    if quantize is not None:
+        return _export_quantized(model, variables, batch=batch,
+                                 platforms=platforms,
+                                 spatial_size=spatial_size, mode=quantize,
+                                 calibration=calibration,
+                                 calibration_aux=calibration_aux,
+                                 calibration_quantile=calibration_quantile)
 
     dtype = jnp.float32
     if batch == 'poly':
@@ -85,16 +109,66 @@ def export_forward(model, variables, batch='poly', platforms=None,
     return jexport.export(jax.jit(fn), **kwargs)(x_spec)
 
 
+def _export_quantized(model, variables, batch, platforms, spatial_size,
+                      mode, calibration, calibration_aux,
+                      calibration_quantile):
+    """Freeze the int8/weight-only replay (see `export_forward`)."""
+    from jax import export as jexport
+    from .quantization import quantize_forward
+
+    if calibration is None:
+        raise ValueError(f"quantize={mode!r} needs a calibration batch "
+                         "(it defines the pinned export shapes)")
+    if spatial_size is not None:
+        raise ValueError('spatial_size cannot combine with quantize=; the '
+                         'calibration array defines the export shapes '
+                         '(calibrate on full grids to export a full-grid '
+                         'artifact)')
+    calibration = jnp.asarray(calibration, jnp.float32)
+    if batch == 'poly':
+        raise ValueError(
+            "the int8 replay is shape-pinned (reshape sites pin the batch "
+            "size): pass batch=calibration.shape[0] "
+            f"(= {calibration.shape[0]}) and serve at that batch "
+            "(dl4ds_tpu.serve pads/chunks requests to a pinned batch)")
+    if int(batch) != calibration.shape[0]:
+        raise ValueError(f'batch={batch} != calibration batch '
+                         f'{calibration.shape[0]}; the quantized replay '
+                         'serves exactly the calibration shape')
+    qf = quantize_forward(model, variables, calibration,
+                          calibration_aux=calibration_aux, mode=mode,
+                          calibration_quantile=calibration_quantile)
+    x_spec = jax.ShapeDtypeStruct(calibration.shape, jnp.float32)
+    kwargs = {} if platforms is None else {'platforms': list(platforms)}
+    if calibration_aux is not None:
+        aux_spec = jax.ShapeDtypeStruct(jnp.shape(calibration_aux),
+                                        jnp.float32)
+
+        def fn(x, aux):
+            return qf(x, aux)
+        return jexport.export(jax.jit(fn), **kwargs)(x_spec, aux_spec)
+
+    def fn(x):
+        return qf(x)
+    return jexport.export(jax.jit(fn), **kwargs)(x_spec)
+
+
 def save_serving_artifact(model, variables, path, batch='poly',
-                          platforms=None, spatial_size=None):
+                          platforms=None, spatial_size=None, quantize=None,
+                          calibration=None, calibration_aux=None,
+                          calibration_quantile=None):
     """Export + serialize to `path/` (forward.jaxexport + meta JSON).
 
     `spatial_size=(h, w)` exports a full-grid artifact from a
-    patch-trained model (see `export_forward`). Returns the on-disk size
-    of the artifact in bytes.
+    patch-trained model; `quantize='int8'` freezes the calibrated int8
+    replay instead of the float forward (see `export_forward` for both).
+    Returns the on-disk size of the artifact in bytes.
     """
     exp = export_forward(model, variables, batch=batch, platforms=platforms,
-                         spatial_size=spatial_size)
+                         spatial_size=spatial_size, quantize=quantize,
+                         calibration=calibration,
+                         calibration_aux=calibration_aux,
+                         calibration_quantile=calibration_quantile)
     blob = exp.serialize()
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, 'forward.jaxexport'), 'wb') as fh:
@@ -102,6 +176,12 @@ def save_serving_artifact(model, variables, path, batch='poly',
     in_shape = list(model.input_shape)
     aux_shape = (list(model.aux_shape)
                  if model.aux_shape is not None else None)
+    if quantize is not None:
+        # the calibration array IS the exported signature (spatial dims
+        # are free in quantize_forward; batch is checked == `batch`)
+        in_shape = list(np.shape(calibration)[1:])
+        if calibration_aux is not None:
+            aux_shape = list(np.shape(calibration_aux)[1:])
     if spatial_size is not None:
         h, w = int(spatial_size[0]), int(spatial_size[1])
         in_shape = in_shape[:-3] + [h, w] + in_shape[-1:]
@@ -116,6 +196,7 @@ def save_serving_artifact(model, variables, path, batch='poly',
         'batch': batch,
         'platforms': list(exp.platforms),
         'jax_version': jax.__version__,
+        'quantize': quantize,
     }
     with open(os.path.join(path, 'serving_meta.json'), 'w') as fh:
         json.dump(meta, fh, indent=2)

@@ -24,9 +24,10 @@ Endpoints
 
 Batching: artifacts exported with a symbolic batch (``batch='poly'``,
 the default) accept any request batch as-is. Batch-pinned artifacts
-(e.g. spatio-temporal models serving the fused ConvLSTM kernel) are
-padded/chunked server-side to the pinned batch, so clients never see
-the constraint. Device work is serialized under a lock (one chip, one
+(e.g. spatio-temporal models serving the fused ConvLSTM kernel, or
+int8 exports — ``save_serving_artifact(quantize='int8')`` pins the
+batch to the calibration shape) are padded/chunked server-side to the
+pinned batch, so clients never see the constraint. Device work is serialized under a lock (one chip, one
 program at a time); IO threads overlap via ThreadingHTTPServer.
 """
 
@@ -201,6 +202,7 @@ class ModelServer:
             'artifact': self.artifact_dir,
             'model': self.meta.get('name'),
             'batch': self.batch,
+            'quantize': self.meta.get('quantize'),
             'uptime_s': round(time.time() - self.started, 1),
             'requests': self.n_requests,
             'samples': self.n_samples,

@@ -327,3 +327,67 @@ def test_app_export_artifact(tmp_path):
     y = srv.predict(np.zeros((2, 16, 16, 1), 'float32'))
     assert y.shape == (2, 16, 16, 1)
     assert np.isfinite(y).all()
+
+
+def test_app_export_quantized_artifact(tmp_path):
+    """--export_quantize=int8 freezes the calibrated int8 replay; the
+    batch-pinned artifact serves padded/chunked requests and /health
+    reports the mode."""
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((60, 16, 16, 1)).astype('float32')
+        data_train = _all[:40]
+        data_val = _all[40:50]
+        data_test = _all[50:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[50:]
+        inference_scaler = None
+        inference_predictors = None
+        gt_holdout_dataset = _all[50:]
+        gt_mask = None
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    artifact = str(tmp_path / 'artifact')
+    os.makedirs(save_path, exist_ok=True)
+    cfg = tmp_path / 'params.cfg'
+    cfg.write_text(textwrap.dedent(f"""
+        --debug
+        --device=CPU
+        --data_module={data_file}
+        --backbone=convnet
+        --upsampling=pin
+        --scale=4
+        --batch_size=2
+        --n_filters=4
+        --n_blocks=1
+        --dropout_rate=0.0
+        --notest
+        --nometrics
+        --save_path={save_path}
+        --export_artifact={artifact}
+        --export_quantize=int8
+        --export_batch=4
+        --inference_array_in_hr
+        --noshow_plot
+    """))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg}'],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert 'int8, batch=4' in res.stdout
+    from dl4ds_tpu.serve import ModelServer
+    srv = ModelServer(artifact)
+    assert srv.health()['quantize'] == 'int8'
+    assert srv.batch == 4
+    # request batch 6 != pinned 4 -> server pads/chunks transparently
+    y = srv.predict(np.zeros((6, 16, 16, 1), 'float32'))
+    assert y.shape == (6, 16, 16, 1)
+    assert np.isfinite(y).all()
