@@ -216,8 +216,14 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
 
     Int8 serving: `quantize='int8'` (or 'weight-only') runs the forward
     through `quantization.quantize_forward` — every conv executes
-    s8 x s8 -> s32 on the MXU. Plain batched path only (not combinable
-    with mesh/tile/spatial_mesh). Activation ranges are calibrated on
+    s8 x s8 -> s32 on the MXU. Works on the plain batched path and on
+    the TILED path (`tile=`, with or without `mesh=`) — tiling
+    dispatches fixed-shape windows, exactly what the shape-pinned
+    replay wants; there the calibration is derived from the first
+    dispatch batch of real windows (explicit `calibration=` is
+    rejected — it cannot be window-shaped by the caller). Not
+    combinable with `spatial_mesh` or plain `mesh=` batch sharding.
+    On the plain path, activation ranges are calibrated on
     `calibration` when given — a MODEL-READY input batch (the tensor the
     model consumes: scaled LR values with any static/predictor/season
     channels already stacked, e.g. assembled training inputs or the `x`
@@ -230,10 +236,20 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
     cycled up to `batch_size`. `calibration_quantile` selects
     quantile-clipped instead of absmax ranges either way."""
     timing = Timing()
-    if quantize is not None and (mesh is not None or tile is not None
-                                 or spatial_mesh is not None):
-        raise ValueError('quantize= is only supported on the plain batched '
-                         'path (without mesh/tile/spatial_mesh)')
+    if quantize is not None and spatial_mesh is not None:
+        raise ValueError('quantize= does not combine with spatial_mesh '
+                         '(one grid sharded over its height); use tile= '
+                         'for quantized large-grid inference')
+    if quantize is not None and mesh is not None and tile is None:
+        raise ValueError('quantize= on the plain batched path does not '
+                         'combine with mesh=; pass tile= as well '
+                         '(quantized window dispatches shard over the '
+                         'mesh) or drop mesh=')
+    if quantize is not None and tile is not None and (
+            calibration is not None or calibration_aux is not None):
+        raise ValueError('tiled quantized inference calibrates on the '
+                         'first dispatch batch of real windows; explicit '
+                         '`calibration` is not supported with tile=')
     if quantize is None and (calibration is not None
                              or calibration_aux is not None):
         raise ValueError('`calibration`/`calibration_aux` only apply to '
@@ -265,9 +281,10 @@ def predict(trainer, array, scale, array_in_hr=True, static_vars=None,
                              'means one compiled program)')
         from . import parallel
         if tile is not None:
-            out = parallel.predict_tiled(model, variables, x, aux=aux,
-                                         tile=tile, halo=halo,
-                                         batch_size=batch_size, mesh=mesh)
+            out = parallel.predict_tiled(
+                model, variables, x, aux=aux, tile=tile, halo=halo,
+                batch_size=batch_size, mesh=mesh, quantize=quantize,
+                calibration_quantile=calibration_quantile)
         else:
             if aux is not None:
                 raise ValueError('spatial_mesh does not support aux inputs '

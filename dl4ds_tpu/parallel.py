@@ -79,10 +79,19 @@ def receptive_field_radius(n_blocks, ks=3, convs_per_block=2, extra=6,
 
 
 def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
-                  batch_size=8, mesh=None):
+                  batch_size=8, mesh=None, quantize=None,
+                  calibration_quantile=None):
     """Tiled inference over [B, h, w, C] or spatio-temporal
     [B, T, h, w, C] input (LR for post-upsampling models; HR-sized for
     'pin').
+
+    `quantize='int8'` (or 'weight-only') runs every window dispatch
+    through the calibrated int8 replay (`quantization.quantize_forward`)
+    — a natural fit: tiling dispatches FIXED-shape windows, exactly what
+    the shape-pinned replay wants. Calibration uses the first dispatch
+    batch of real windows (the tiled analogue of the plain path's
+    default); `calibration_quantile` selects quantile clipping. The last
+    dispatch is wrap-padded to the pinned batch when needed.
 
     Returns [B(,T), h*s, w*s, C_out] where s is the model's output scale
     (1 for 'pin').
@@ -127,6 +136,27 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
         lambda: lambda v, xb, ab: model.module.apply(v, xb, ab,
                                                      training=False))
     n_win = tiles.shape[0]
+
+    def _make_run(dispatch_bs):
+        """Per-dispatch forward: float apply, or the quantized replay
+        pinned to [dispatch_bs, *window] and calibrated on the first
+        dispatch batch of real windows."""
+        if quantize is None:
+            return lambda tb, ab: apply(variables, tb, ab)
+        from .quantization import quantize_forward
+        sel = jnp.arange(dispatch_bs) % n_win   # cycle if fewer windows
+        calib = jnp.take(tiles, sel, axis=0)
+        calib_aux = (jnp.take(aux_tiles, sel, axis=0)
+                     if aux_tiles is not None else None)
+        qf = quantize_forward(model, variables, calib,
+                              calibration_aux=calib_aux, mode=quantize,
+                              calibration_quantile=calibration_quantile)
+        if aux_tiles is not None:
+            fwd = jax.jit(lambda xb, ab: qf(xb, ab))
+            return lambda tb, ab: fwd(tb, ab)
+        fwd = jax.jit(lambda xb: qf(xb))
+        return lambda tb, ab: fwd(tb)
+
     if mesh is not None:
         # per-dispatch size: bounded by batch_size windows PER DEVICE (the
         # whole point of tiling is bounded activation memory), padded by
@@ -140,21 +170,32 @@ def predict_tiled(model, variables, x, aux=None, tile=128, halo=32,
             tiles = jnp.take(tiles, sel, axis=0)
             if aux_tiles is not None:
                 aux_tiles = jnp.take(aux_tiles, sel, axis=0)
+        run = _make_run(gbs)
         outs = []
         for i in range(0, pad_to, gbs):
             tb = jax.device_put(tiles[i:i + gbs], sharding)
             ab = (jax.device_put(aux_tiles[i:i + gbs], sharding)
                   if aux_tiles is not None else None)
-            outs.append(np.asarray(apply(variables, tb, ab)))
+            outs.append(np.asarray(run(tb, ab)))
         out_tiles = np.concatenate(outs, axis=0)[:n_win]
     else:
+        bs_eff = min(batch_size, n_win)
+        n_run = n_win
+        if quantize is not None and n_win % bs_eff:
+            # the quantized replay is shape-pinned: wrap-pad so every
+            # dispatch is exactly bs_eff windows
+            n_run = -(-n_win // bs_eff) * bs_eff
+            sel = jnp.arange(n_run) % n_win
+            tiles = jnp.take(tiles, sel, axis=0)
+            if aux_tiles is not None:
+                aux_tiles = jnp.take(aux_tiles, sel, axis=0)
+        run = _make_run(bs_eff)
         outs = []
-        for i in range(0, n_win, batch_size):
-            ab = (aux_tiles[i:i + batch_size] if aux_tiles is not None
+        for i in range(0, n_run, bs_eff):
+            ab = (aux_tiles[i:i + bs_eff] if aux_tiles is not None
                   else None)
-            outs.append(np.asarray(apply(variables, tiles[i:i + batch_size],
-                                         ab)))
-        out_tiles = np.concatenate(outs, axis=0)
+            outs.append(np.asarray(run(tiles[i:i + bs_eff], ab)))
+        out_tiles = np.concatenate(outs, axis=0)[:n_win]
 
     c_out = out_tiles.shape[-1]
     full = np.zeros((b, *out_tiles.shape[1:-3], h * scale, w * scale,

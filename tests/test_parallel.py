@@ -461,3 +461,72 @@ def test_tensor_sharded_loss_and_grads_and_aux(rng):
     st = ts.init_opt(p)
     p2, st, l2 = ts.step(p, st, x, y, key, aux=aux)
     assert np.isfinite(float(l2))
+
+
+def test_tiled_quantized_int8(rng):
+    """tile= + quantize='int8': the fixed-shape window dispatches run
+    through the shape-pinned int8 replay (self-calibrated on the first
+    window batch); output stays close to the float tiled result, and a
+    non-divisible window count exercises the wrap-padded last dispatch."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 48, 48, 1)).astype('float32')   # 3x3 tiles
+    halo = receptive_field_radius(1)
+    y_float = predict_tiled(model, variables, x, tile=16, halo=halo)
+    # 9 windows, batch_size=4 -> last dispatch wrap-padded to 4
+    y_int8 = predict_tiled(model, variables, x, tile=16, halo=halo,
+                           batch_size=4, quantize='int8')
+    assert y_int8.shape == y_float.shape
+    assert np.isfinite(y_int8).all()
+    assert np.max(np.abs(y_int8 - y_float)) < 0.3 * np.ptp(y_float)
+    # weight-only keeps float conv math: much tighter
+    y_wo = predict_tiled(model, variables, x, tile=16, halo=halo,
+                         batch_size=4, quantize='weight-only')
+    assert np.max(np.abs(y_wo - y_float)) < 0.05 * np.ptp(y_float)
+
+
+def test_tiled_quantized_over_mesh(rng):
+    """tile= + mesh= + quantize: quantized window dispatches shard over
+    the 8-device mesh (every dispatch is exactly gbs windows)."""
+    from dl4ds_tpu.training.base import make_mesh
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((1, 64, 64, 1)).astype('float32')
+    halo = receptive_field_radius(1)
+    y_float = predict_tiled(model, variables, x, tile=16, halo=halo)
+    y_int8 = predict_tiled(model, variables, x, tile=16, halo=halo,
+                           mesh=make_mesh(), quantize='int8')
+    assert y_int8.shape == y_float.shape
+    assert np.max(np.abs(y_int8 - y_float)) < 0.3 * np.ptp(y_float)
+
+
+def test_predict_tile_quantize_routing(rng):
+    """predict(tile=, quantize=) routes to the quantized tiled path;
+    explicit calibration with tile= is rejected."""
+    model = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                               n_aux_channels=0, lr_size=(16, 16),
+                               n_filters=4, n_blocks=1, attention=False,
+                               output_attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    x = rng.standard_normal((2, 32, 32, 1)).astype('float32')
+    halo = receptive_field_radius(1)
+    y_float = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                          tile=16, halo=halo)
+    y_int8 = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                         tile=16, halo=halo, quantize='int8')
+    assert y_int8.shape == y_float.shape
+    assert np.max(np.abs(y_int8 - y_float)) < 0.3 * np.ptp(y_float)
+    with pytest.raises(ValueError, match='first dispatch batch'):
+        dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                    tile=16, halo=halo, quantize='int8',
+                    calibration=x)
+    with pytest.raises(ValueError, match='spatial_mesh'):
+        from dl4ds_tpu.training.base import make_mesh
+        dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                    spatial_mesh=make_mesh(('space',)), quantize='int8')

@@ -124,6 +124,40 @@ def model_level(batch=16, lr=64, width=64, blocks=6):
     results['int8_speedup'] = round(
         results[f'int8_w{width}_grids_per_sec']
         / results[f'bf16_w{width}_grids_per_sec'], 3)
+
+    # the FROZEN int8 artifact (save_serving_artifact(quantize='int8') ->
+    # StableHLO -> load) must retain the live replay's speedup — this is
+    # the path dl4ds_tpu.serve actually runs in production
+    import tempfile
+    from dl4ds_tpu.export import (save_serving_artifact,
+                                  load_serving_artifact)
+    model = net_postupsampling(
+        'resnet', 'spc', scale=4, n_channels=1, n_aux_channels=0,
+        lr_size=(lr, lr), n_filters=width, n_blocks=blocks,
+        attention=True, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=batch)
+    with tempfile.TemporaryDirectory() as tmp:
+        save_serving_artifact(model, variables, tmp, batch=batch,
+                              quantize='int8', calibration=x)
+        call, _ = load_serving_artifact(tmp)
+        xd = jnp.asarray(x)
+
+        def chunk(t):
+            y = None
+            for _ in range(4):
+                y = call(xd + t)
+                t = jnp.mean(y).astype(jnp.float32) * 0.0
+            return t, y
+
+        t0 = jnp.float32(0.0)
+        t0, y = chunk(t0)
+        float(jnp.sum(y.astype(jnp.float32)))
+        sec, _ = slope_time(chunk, t0)
+        gps = 4 * batch / sec
+    results[f'frozen_int8_w{width}_grids_per_sec'] = round(gps, 2)
+    results['frozen_int8_vs_live'] = round(
+        gps / results[f'int8_w{width}_grids_per_sec'], 3)
+    print(f'model frozen-int8 w{width}: {gps:.1f} grids/sec', flush=True)
     return results
 
 
