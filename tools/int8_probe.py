@@ -22,27 +22,33 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from bench import slope_time, _maybe_force_cpu
+from bench import slope_time, median_slope, _maybe_force_cpu
 
 N = 4096
-REPS = 8
+# 32 matmuls/chunk ~= 23 ms on-chip: the region delta must dwarf the
+# tunnel's RPC jitter or the slope estimate is noise (REPS=8 produced
+# physically impossible >peak samples)
+REPS = 32
 
 
 def _chain_matmul(dtype, acc):
     a = jnp.asarray(np.random.default_rng(0).integers(-4, 4, (N, N)), dtype)
-    b = jnp.asarray(np.random.default_rng(1).integers(-4, 4, (N, N)), dtype)
 
     @jax.jit
-    def chunk(x):
+    def chunk(b):
+        # chain the FULL matrix operand through every matmul: a scalar
+        # carry (a + x) @ b is strength-reducible to a@b + x*colsum(b),
+        # so XLA runs ONE matmul per chunk and the probe reads >10x the
+        # hardware peak (observed 2.5 PF/s on a 197 TF/s chip)
+        y = None
         for _ in range(REPS):
-            y = lax.dot_general(a + x.astype(dtype), b,
-                                (((1,), (0,)), ((), ())),
+            y = lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                 preferred_element_type=acc)
-            # genuine data dependence (NOT *0 — XLA constant-folds an
-            # integer x*0 chain and deletes every matmul; verified in the
-            # optimized HLO): carry a small value derived from the result
-            x = (y[0, 0] % 3).astype(jnp.int32)
-        return x, y
+            if 'int' in str(dtype):
+                b = (y % 5).astype(dtype)
+            else:
+                b = jnp.clip(y * 1e-3, -4, 4).astype(dtype)
+        return b, y
 
     return chunk
 
@@ -71,11 +77,11 @@ def _chain_conv(dtype, acc, width=64, hw=64, batch=32):
     return chunk, flops
 
 
-def measure(name, chunk, flops_per_rep):
-    t = jnp.int32(0)
+def measure(name, chunk, flops_per_rep, carry0=None):
+    t = jnp.int32(0) if carry0 is None else carry0
     t, y = chunk(t)   # compile + warm
     float(jnp.sum(y.astype(jnp.float32)))
-    sec, _ = slope_time(lambda c: chunk(c), t)
+    sec, _ = median_slope(lambda c: chunk(c), t, n=5)
     tps = REPS * flops_per_rep / sec / 1e12
     print(f'{name}: {1e3 * sec / REPS:.3f} ms/op  {tps:.1f} T(FL)OP/s',
           flush=True)
@@ -166,11 +172,14 @@ def main():
     print(f'platform: {jax.devices()[0].device_kind}', flush=True)
     out = {}
     mm_flops = 2 * N ** 3
+    b0 = np.random.default_rng(1).integers(-4, 4, (N, N))
     out['bf16_matmul_tflops'] = measure(
-        'bf16 matmul', _chain_matmul(jnp.bfloat16, jnp.float32), mm_flops)
+        'bf16 matmul', _chain_matmul(jnp.bfloat16, jnp.float32), mm_flops,
+        carry0=jnp.asarray(b0, jnp.bfloat16))
     try:
         out['int8_matmul_tops'] = measure(
-            'int8 matmul', _chain_matmul(jnp.int8, jnp.int32), mm_flops)
+            'int8 matmul', _chain_matmul(jnp.int8, jnp.int32), mm_flops,
+            carry0=jnp.asarray(b0, jnp.int8))
     except Exception as e:  # lowering may be unsupported
         out['int8_matmul_error'] = repr(e)[:200]
         print('int8 matmul FAILED:', repr(e)[:200], flush=True)
