@@ -80,3 +80,5 @@ from .metrics import (compute_rmse, compute_correlation, compute_metrics,
 from .export import (export_forward, save_serving_artifact,
                      load_serving_artifact)
 from .quantization import quantize_forward
+from . import compat
+from .compat import import_keras_weights

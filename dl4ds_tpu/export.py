@@ -54,7 +54,7 @@ def export_forward(model, variables, batch='poly', platforms=None,
       quantize: None (default, float forward), 'int8' or 'weight-only' —
         freeze the `quantization.quantize_forward` replay instead of the
         float forward. At production widths int8 convs run ~2x on the
-        MXU (INT8.json: 1.67x model-level at width 64). Requires
+        MXU (INT8.json: ~1.7x model-level at width 64). Requires
         `calibration`; the exported program is SHAPE-PINNED to the
         calibration batch (batch='poly' is rejected — the int8 replay's
         reshape sites pin the batch size), so calibrate with the exact
