@@ -148,6 +148,13 @@ flags.DEFINE_float('ema_decay', 0.0,
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
                   'Whether the inference array is in high resolution')
+flags.DEFINE_string('init_keras_npz', None,
+                    'Initialize the model (CGAN: the generator) from a '
+                    'reference-trained Keras checkpoint before training — '
+                    'a .npz written by compat.save_weights_npz or a TF '
+                    'SavedModel directory (compat.import_keras_weights). '
+                    'The architecture flags must match the checkpoint. '
+                    'Migration fine-tuning; beyond the reference app')
 flags.DEFINE_string('trained_model_path', None,
                     'Run the test/metrics phases on a model saved by a '
                     'previous --train --save run (path to the '
@@ -286,6 +293,7 @@ def dl4ds(argv):
                 lr_schedule=FLAGS.lr_schedule,
                 warmup_steps=FLAGS.warmup_steps,
                 ema_decay=FLAGS.ema_decay,
+                init_weights=FLAGS.init_keras_npz,
                 dtype=(jnp.bfloat16 if FLAGS.dtype == 'bfloat16'
                        else jnp.float32),
                 **architecture_params)
@@ -328,7 +336,8 @@ def dl4ds(argv):
                     FLAGS.gradient_accumulation_steps),
                 lr_schedule=FLAGS.lr_schedule,
                 warmup_steps=FLAGS.warmup_steps,
-                ema_decay=FLAGS.ema_decay)
+                ema_decay=FLAGS.ema_decay,
+                init_weights=FLAGS.init_keras_npz)
         trainer.run()
 
     y_hat = None

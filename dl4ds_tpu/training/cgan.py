@@ -140,7 +140,7 @@ class CGANTrainer(Trainer):
                  gpu_memory_growth=None, resume_from_checkpoint=None,
                  data_in_hbm=True, terminate_on_nan=True,
                  gradient_accumulation_steps=1, ema_decay=0.0,
-                 lr_schedule=None, warmup_steps=0):
+                 lr_schedule=None, warmup_steps=0, init_weights=None):
         super().__init__(
             backbone=backbone, upsampling=upsampling, data_train=data_train,
             data_train_lr=data_train_lr, time_window=time_window, loss=loss,
@@ -166,6 +166,11 @@ class CGANTrainer(Trainer):
         self.save_logs = save_logs
         self.generator_params = generator_params or {}
         self.discriminator_params = discriminator_params or {}
+        # initialize the GENERATOR from a reference-trained Keras
+        # checkpoint (compat.import_keras_weights source) — the standard
+        # "pretrain supervised, then adversarially fine-tune" migration;
+        # the discriminator always starts fresh (as in the reference).
+        self.init_weights = init_weights
         self.seed = seed
         # data_in_hbm=False streams the training split from host RAM through
         # the native gather/crop kernels (datasets larger than HBM), same as
@@ -239,6 +244,16 @@ class CGANTrainer(Trainer):
         key = jax.random.PRNGKey(self.seed)
         kg, kd = jax.random.split(key)
         self.gen_vars = self.generator.init(kg, batch_size=2)
+        if self.init_weights is not None:
+            from ..compat import import_keras_weights
+            self.gen_vars = import_keras_weights(
+                self.generator, self.gen_vars, self.init_weights)
+            if self.verbose and self.running_on_first_worker:
+                src = (self.init_weights
+                       if isinstance(self.init_weights, str)
+                       else type(self.init_weights).__name__)
+                print(f'Initialized generator from reference '
+                      f'checkpoint: {src}')
         self.disc_vars = self.discriminator.init(kd, batch_size=2)
         if ('batch_stats' in self.gen_vars
                 or 'batch_stats' in self.disc_vars):

@@ -63,6 +63,7 @@ class SupervisedTrainer(Trainer):
                  early_stopping=False, patience=6, min_delta=0,
                  show_plot=False, save=False, save_path=None,
                  save_bestmodel=False, trained_model=None, trained_epochs=0,
+                 init_weights=None,
                  verbose=True, seed=42, mesh=None, devices=None,
                  gpu_memory_growth=None, save_logs=False, profile=False,
                  data_in_hbm=True, steps_per_execution=None,
@@ -144,6 +145,18 @@ class SupervisedTrainer(Trainer):
         self.architecture_params = architecture_params
         self.trained_model = trained_model
         self.trained_epochs = trained_epochs
+        # migration fine-tuning (beyond the reference): initialize the
+        # freshly-built model's parameters from a reference-trained Keras
+        # checkpoint (compat.import_keras_weights source: a live keras
+        # model, a SavedModel dir, or a save_weights_npz .npz) and train
+        # from there. `trained_model` already carries its own variables,
+        # so the two are mutually exclusive.
+        if init_weights is not None and trained_model is not None:
+            raise ValueError('`init_weights` initializes a freshly-built '
+                             'model; it cannot be combined with '
+                             '`trained_model` (which carries its own '
+                             'variables)')
+        self.init_weights = init_weights
         self.save_bestmodel = save_bestmodel
         self.seed = seed
         self.save_logs = save_logs
@@ -296,6 +309,16 @@ class SupervisedTrainer(Trainer):
             self.variables = self.model.init(
                 jax.random.PRNGKey(self.seed),
                 batch_size=self.global_batch_size)
+            if self.init_weights is not None:
+                from ..compat import import_keras_weights
+                self.variables = import_keras_weights(
+                    self.model, self.variables, self.init_weights)
+                if self.verbose and self.running_on_first_worker:
+                    src = (self.init_weights
+                           if isinstance(self.init_weights, str)
+                           else type(self.init_weights).__name__)
+                    print(f'Initialized parameters from reference '
+                          f'checkpoint: {src}')
             if self.verbose == 1 and self.running_on_first_worker:
                 print(self.model.summary(self.variables))
         else:

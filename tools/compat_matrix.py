@@ -53,6 +53,10 @@ CASES = [
     ('resnet_pin_ln', 'pin', dict(backbone='resnet', aux=0, n_out=2,
                                   attention=False, normalization='ln',
                                   tol=1e-3)),
+    # exact recpin control: same topology as recresnet_pin_ln minus the
+    # LayerNorms — isolates the statistical case's looseness to LN chaos
+    ('recresnet_pin', 'recpin', dict(backbone='resnet', aux=0,
+                                     attention=False, tol=1e-4)),
     ('recresnet_pin_ln', 'recpin', dict(backbone='resnet', aux=0, n_out=2,
                                         attention=False,
                                         normalization='ln', stat=True)),
