@@ -210,9 +210,14 @@ def test_predict_quantize_kwarg(rng):
     assert y_q.shape == y_f32.shape == (5, 16, 16, 1)
     assert _rel_err(y_q, y_f32) < 0.2   # random-init net, 2-sample calib
 
-    with pytest.raises(ValueError, match='plain batched path'):
-        dds.predict((model, variables), x, scale=2, array_in_hr=False,
-                    quantize='int8', tile=8)
+    # tiled int8 (window dispatches through the calibrated replay): same
+    # shape, and close to full precision up to tiling (the default output
+    # head's GLOBAL channel attention sees windows, not the full grid)
+    # and window-calibration differences
+    y_qt = dds.predict((model, variables), x, scale=2, array_in_hr=False,
+                       quantize='int8', tile=4, halo=2, batch_size=2)
+    assert y_qt.shape == y_f32.shape
+    assert _rel_err(y_qt, y_f32) < 0.5
 
 
 def test_predict_explicit_calibration_fixes_skewed_first_batch(rng):
