@@ -391,3 +391,73 @@ def test_app_export_quantized_artifact(tmp_path):
     y = srv.predict(np.zeros((6, 16, 16, 1), 'float32'))
     assert y.shape == (6, 16, 16, 1)
     assert np.isfinite(y).all()
+
+
+def test_app_init_keras_npz(tmp_path):
+    """--init_keras_npz: the CLI fine-tunes from a reference-trained
+    Keras checkpoint (migration path, docs/MIGRATION.md)."""
+    import pytest
+    os.environ.setdefault('TF_USE_LEGACY_KERAS', '1')
+    os.environ.setdefault('TF_ENABLE_ONEDNN_OPTS', '0')
+    os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '2')
+    pytest.importorskip('tensorflow')
+    if not os.path.isdir('/root/reference/dl4ds'):
+        pytest.skip('reference checkout absent')
+    import sys as _sys
+    _tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tools')
+    if _tools not in _sys.path:
+        _sys.path.insert(0, _tools)
+    from tf_parity import _import_reference
+    from dl4ds_tpu.compat import save_weights_npz
+    ref = _import_reference()
+    tfm = ref.models.net_postupsampling(
+        backbone_block='resnet', upsampling='spc', scale=4, n_channels=1,
+        n_aux_channels=0, lr_size=(8, 8), n_filters=6, n_blocks=2)
+    npz = str(tmp_path / 'ref_weights.npz')
+    save_weights_npz(tfm, npz)
+
+    data_file = tmp_path / 'data_module.py'
+    data_file.write_text(textwrap.dedent("""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        _all = rng.standard_normal((60, 32, 32, 1)).astype('float32')
+        data_train = _all[:40]
+        data_val = _all[40:50]
+        data_test = _all[50:]
+        data_train_lr = data_val_lr = data_test_lr = None
+        predictors_train = predictors_val = predictors_test = None
+        static_vars = None
+        inference_data = _all[50:]
+        inference_scaler = None
+        inference_predictors = None
+        gt_holdout_dataset = _all[50:]
+        gt_mask = None
+    """))
+    save_path = str(tmp_path / 'results') + '/'
+    os.makedirs(save_path, exist_ok=True)
+    cfg = tmp_path / 'params.cfg'
+    cfg.write_text(textwrap.dedent(f"""
+        --debug
+        --device=CPU
+        --data_module={data_file}
+        --backbone=resnet
+        --upsampling=spc
+        --scale=4
+        --batch_size=2
+        --n_filters=6
+        --n_blocks=2
+        --init_keras_npz={npz}
+        --save_path={save_path}
+        --nometrics
+        --noshow_plot
+    """))
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    res = subprocess.run(
+        [sys.executable, '-m', 'dl4ds_tpu.app', f'--flagfile={cfg}'],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert 'Initialized parameters from reference checkpoint' in res.stdout
