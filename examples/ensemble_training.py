@@ -9,7 +9,7 @@ between members — then `predict_ensemble` returns the ensemble mean and
 the per-pixel spread (uncertainty map). The stronger counterpart of the
 reference's MC-dropout loop (dl4ds/inference.py:63-71).
 
-    JAX_PLATFORMS=cpu python examples/ensemble_training.py   # 8 CPU devs
+    python examples/ensemble_training.py --cpu    # 8 virtual CPU devices
     python examples/ensemble_training.py                      # TPU mesh
 """
 
@@ -18,9 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get('JAX_PLATFORMS') == 'cpu':
+if '--cpu' in sys.argv or os.environ.get('JAX_PLATFORMS') == 'cpu':
     os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                                + ' --xla_force_host_platform_device_count=8')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
     jax.config.update('jax_platforms', 'cpu')
 else:

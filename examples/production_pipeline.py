@@ -9,11 +9,22 @@ One script exercising the full deployment story on synthetic data:
   4. frozen StableHLO serving artifact + int8-quantized forward
   5. halo-tiled full-grid inference + metrics
 
-Run: python examples/production_pipeline.py   (CPU or TPU; ~2 min CPU)
+Run: python examples/production_pipeline.py         # real TPU
+     python examples/production_pipeline.py --cpu   # CPU (~2 min)
 """
 
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if '--cpu' in sys.argv or os.environ.get('JAX_PLATFORMS') == 'cpu':
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                               + ' --xla_force_host_platform_device_count=8')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 

@@ -4,8 +4,21 @@ Trains a small model, exports the forward as a self-contained StableHLO
 artifact (variables embedded, symbolic batch), then 'serves' it from a
 process that needs no model-building code. See docs/SERVING.md.
 
-Run: python examples/serving_export.py
+Run: python examples/serving_export.py          # real TPU
+     python examples/serving_export.py --cpu    # 8 virtual CPU devices
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if '--cpu' in sys.argv or os.environ.get('JAX_PLATFORMS') == 'cpu':
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                               + ' --xla_force_host_platform_device_count=8')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 

@@ -8,7 +8,7 @@ exchanged over ICI with `lax.ppermute`), the batch across 'data'.
 Gradients are exactly those of the unsharded global mean pixel loss
 (see the builder's docstring; verified in tests/test_parallel.py).
 
-    JAX_PLATFORMS=cpu python examples/spatial_sharded_training.py   # 8 CPU devs
+    python examples/spatial_sharded_training.py --cpu   # 8 virtual CPU devices
     python examples/spatial_sharded_training.py                      # TPU mesh
 """
 
@@ -17,9 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get('JAX_PLATFORMS') == 'cpu':
+if '--cpu' in sys.argv or os.environ.get('JAX_PLATFORMS') == 'cpu':
     os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                                + ' --xla_force_host_platform_device_count=8')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
     jax.config.update('jax_platforms', 'cpu')
 else:

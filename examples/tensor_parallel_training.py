@@ -10,7 +10,7 @@ with sharding annotations and XLA's SPMD partitioner places the
 all-gathers/reduce-scatters on ICI. The sharded program computes the
 SAME numbers as the unsharded one (verified in tests/test_parallel.py).
 
-    JAX_PLATFORMS=cpu python examples/tensor_parallel_training.py  # 8 CPU devs
+    python examples/tensor_parallel_training.py --cpu   # 8 virtual CPU devices
     python examples/tensor_parallel_training.py                     # TPU mesh
 """
 
@@ -19,9 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get('JAX_PLATFORMS') == 'cpu':
+if '--cpu' in sys.argv or os.environ.get('JAX_PLATFORMS') == 'cpu':
     os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                                + ' --xla_force_host_platform_device_count=8')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     import jax
     jax.config.update('jax_platforms', 'cpu')
 else:

@@ -97,3 +97,16 @@ def test_tutorial_file_references_exist():
     for ref in set(re.findall(
             r'`((?:docs|examples|tools|tests)/[\w./-]+\.(?:md|py|cfg))', text)):
         assert os.path.exists(os.path.join(_ROOT, ref)), f'{ref} missing'
+
+
+def test_examples_are_self_locating():
+    """Every example that imports the package must carry the repo-root
+    sys.path shim (they are run from a checkout, not an install)."""
+    import glob
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo, 'examples', '*.py'))):
+        src = open(f).read()
+        if 'import dl4ds_tpu' in src:
+            assert 'sys.path.insert' in src, \
+                f'{os.path.basename(f)} lacks the repo-root sys.path shim'
