@@ -80,7 +80,9 @@ class ModelServer:
     def _warmup(self):
         """Compile the frozen program before the first request lands."""
         b = self.batch if isinstance(self.batch, int) else 1
-        x = np.zeros([b] + list(self.meta['input_shape'])[-3:], 'float32')
+        # input_shape is the full per-sample shape: (H, W, C) for spatial
+        # models, (T, H, W, C) for spatio-temporal ones — use it whole.
+        x = np.zeros([b] + list(self.meta['input_shape']), 'float32')
         aux = None
         if self.meta.get('aux_shape') is not None:
             aux = np.zeros([b] + list(self.meta['aux_shape']), 'float32')

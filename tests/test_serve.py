@@ -137,6 +137,30 @@ def test_npz_with_aux(tmp_path, rng):
         th.join(timeout=5)
 
 
+def test_spatiotemporal_artifact_warmup_and_predict(tmp_path, rng):
+    """Spatio-temporal (recnet) artifacts serve end-to-end: warmup must
+    use the FULL per-sample shape (T, H, W, C) — a rank-3 warmup input
+    crashed ModelServer at startup before the fix — and batch-pinned
+    recnet artifacts pad/chunk like spatial ones."""
+    from dl4ds_tpu.models import recnet_postupsampling
+    model = recnet_postupsampling('resnet', 'spc', scale=4, n_channels=1,
+                                  n_aux_channels=0, lr_size=(8, 8),
+                                  time_window=3, n_filters=4, n_blocks=1,
+                                  attention=False)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=1)
+    path = str(tmp_path / 'artifact_st')
+    save_serving_artifact(model, variables, path, batch=2)
+    srv = ModelServer(path)          # warmup=True: compiles at startup
+    assert tuple(srv.meta['input_shape']) == (3, 8, 8, 1)
+    x = rng.standard_normal((3, 3, 8, 8, 1)).astype('float32')
+    y = srv.predict(x)               # 3 samples via a batch-2 artifact
+    assert y.shape == (3, 3, 32, 32, 1)
+    import jax.numpy as jnp
+    y_direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), None, training=False))
+    np.testing.assert_allclose(y, y_direct, atol=1e-6)
+
+
 def test_dynamic_microbatching_merges_concurrent_requests(tmp_path, rng):
     """With batch_window_ms > 0, concurrent same-shape requests merge
     into fewer device calls, and every caller gets exactly its own
