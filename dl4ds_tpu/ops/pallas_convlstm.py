@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec
 
-__all__ = ['fused_convlstm', 'convlstm_reference']
+__all__ = ['fused_convlstm', 'convlstm_reference', 'dispatch_info']
 
 # Per-program VMEM working-set budget (blocks + band matrices + scratch +
 # single-step temporaries), with headroom for Mosaic's double buffering.
@@ -629,6 +629,45 @@ def _bwd_partitioned(f, interpret, w_logical, kw):
 # Differentiable entry point
 # --------------------------------------------------------------------------
 
+def dispatch_info(x_shape, wx_shape, wh_shape, itemsize=2, interpret=False):
+    """The fused-vs-XLA path decision for a ConvLSTM layer, as a dict —
+    the EXACT logic `fused_convlstm` routes on (it calls this), exposed so
+    tests and benchmarks can pin the dispatch without touching a TPU.
+
+    Returns ``{'path': 'fused'|'xla', 'reason': str, 'w_pad': int,
+    'batch_tile': int|None}``. ``reason`` for the XLA path is one of
+    ``'kernel-mismatch'`` (wx/wh kernel sizes differ — the band matrices
+    assume one), ``'even-kernel'`` (asymmetric SAME padding), ``'vmem'``
+    (the [W*C, 4*W*F] band matrices + window state exceed the per-program
+    VMEM budget — this is what retires the banded design at production
+    width: the bands grow O(W^2*C*F), so e.g. W=16/F=16 already needs
+    ~20 MB; see docs/ROOFLINE.md "wide-F crossover"), or ``'lane-pad'``
+    (128-lane alignment would more than double W).
+    """
+    b, t, h, w, cin = x_shape
+    kh, kw = wx_shape[0], wx_shape[1]
+    f = wx_shape[3] // 4
+    w_pad = w
+    if not interpret and (w * f) % 128 != 0:
+        step = 128 // math.gcd(f, 128)
+        w_pad = -(-w // step) * step
+    if tuple(wh_shape[:2]) != (kh, kw):
+        return {'path': 'xla', 'reason': 'kernel-mismatch',
+                'w_pad': w_pad, 'batch_tile': None}
+    if kh % 2 == 0 or kw % 2 == 0:
+        return {'path': 'xla', 'reason': 'even-kernel',
+                'w_pad': w_pad, 'batch_tile': None}
+    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, itemsize)
+    if bt is None:
+        return {'path': 'xla', 'reason': 'vmem',
+                'w_pad': w_pad, 'batch_tile': None}
+    if w_pad > 2 * w:
+        return {'path': 'xla', 'reason': 'lane-pad',
+                'w_pad': w_pad, 'batch_tile': None}
+    return {'path': 'fused', 'reason': 'fits',
+            'w_pad': w_pad, 'batch_tile': bt}
+
+
 def _prep(x, wx, bx, wh, w_valid):
     b, t, h, w, cin = x.shape
     xp = x.reshape(b, t, h, w * cin)                 # pure reshape
@@ -712,31 +751,22 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, t, h, w, cin = x.shape
-    kh, kw, _, f4 = wx.shape
-    f = f4 // 4
-    if tuple(wh.shape[:2]) != (kh, kw):
-        # the band builders and both kernel loops assume ONE kernel size;
-        # a mismatched wh would silently drop taps — run the XLA reference
+    # Routing (incl. the per-sample VMEM fit — independent of batch size,
+    # so the global-shape check also covers every per-device shard) lives
+    # in dispatch_info so tests/benchmarks can pin it off-TPU. For the
+    # fused path: gate slices must sit on 128-lane boundaries, so W is
+    # padded up to the smallest width whose W*F is a multiple of 128, with
+    # band rows/cols beyond the true width zeroed so the tail stays exactly
+    # zero (see _x_selector). The interpreter has no lane constraint, so
+    # interpret mode runs at the true width (keeps unit tests on the real
+    # code path; the padded path has its own dedicated test).
+    info = dispatch_info(x.shape, wx.shape, wh.shape,
+                         itemsize=x.dtype.itemsize, interpret=interpret)
+    if info['path'] == 'xla':
         ys, _ = convlstm_reference(x, wx, bx, wh)
         return ys
-    # Gate slices must sit on 128-lane boundaries: pad W up to the smallest
-    # width whose W*F is a multiple of 128, with band rows/cols beyond the
-    # true width zeroed so the tail stays exactly zero (see _x_selector).
-    # The interpreter has no lane constraint, so interpret mode runs the
-    # kernel at the true width (keeps unit tests on the real code path;
-    # the padded path has its own dedicated test).
-    w_pad, w_valid = w, None
-    if not interpret and (w * f) % 128 != 0:
-        step = 128 // math.gcd(f, 128)
-        w_pad = -(-w // step) * step
-        w_valid = w
-    # per-sample VMEM fit (independent of the batch size, so checking it on
-    # the global shape also covers every per-device shard)
-    fits = _pick_batch_tile(b, t, h, w_pad, cin, f, kh,
-                            x.dtype.itemsize) is not None
-    if kh % 2 == 0 or kw % 2 == 0 or not fits or w_pad > 2 * w:
-        ys, _ = convlstm_reference(x, wx, bx, wh)
-        return ys
+    w_pad = info['w_pad']
+    w_valid = w if w_pad != w else None
     if w_valid is None:
         return _fused(x, wx, bx, wh, interpret, None)
     xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))

@@ -47,6 +47,11 @@ __all__ = ['quantize_forward', 'QuantizedForward']
 
 _CONV = 'conv_general_dilated'
 
+# Below this conv width (min(Cin, Cout) of the widest conv site), the s8
+# MXU path measures SLOWER than bf16 on v5e — see INT8.json (1.7x at 64)
+# and INFER.json (0.759x at the tutorial width-8 regime).
+_INT8_MIN_WIDTH = 64
+
 # call-like primitives whose body executes ONCE with the eqn's own invals
 # — safe to replay inline. Loop/kernel primitives (scan, while, pallas_call)
 # do NOT qualify: their inner jaxprs take per-iteration carries/refs, not
@@ -214,6 +219,7 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     # readback at the end instead of a per-site device sync — on the
     # tunneled TPU every scalar fetch is a remote RPC
     act_absmax = []
+    site_widths = []
 
     def record(eqn, invals):
         x, w = invals
@@ -221,6 +227,9 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
         stat = (jnp.max(a) if calibration_quantile is None
                 else jnp.quantile(a.ravel(), calibration_quantile))
         act_absmax.append(stat)
+        dn = eqn.params['dimension_numbers']
+        site_widths.append(min(w.shape[dn.rhs_spec[0]],
+                               w.shape[dn.rhs_spec[1]]))
         subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
         return eqn.primitive.bind(*subfuns, x, w, **bind_params)
 
@@ -229,6 +238,22 @@ def quantize_forward(model, variables, calibration, calibration_aux=None,
     if not act_absmax:
         raise ValueError('no convolutions found in the forward — nothing '
                          'to quantize')
+    # Regime check, derived from this repo's own chip measurements
+    # (INT8.json / INFER.json): int8 convs only beat bf16 once the MXU
+    # contraction is wide enough — width-64 models measure 1.7x, but the
+    # tutorial width (n_filters=8) measures 0.759x, i.e. SLOWER. Width
+    # proxy: the widest conv's min(Cin, Cout) — n_filters for every zoo
+    # family (head/tail convs have one narrow side and never dominate).
+    width = max(site_widths)
+    if mode == 'int8' and width < _INT8_MIN_WIDTH:
+        import warnings
+        warnings.warn(
+            f'int8 quantization of a width-{width} model: on TPU v5e the '
+            f'int8 conv path only pays off at width >= {_INT8_MIN_WIDTH} '
+            f'(measured: 1.7x at width 64, 0.76x — SLOWER than bf16 — at '
+            f'width 8; INT8.json/INFER.json). Expect a slowdown; use '
+            f"mode='weight-only' (float math, int8 storage) or serve "
+            f'bf16 instead.', RuntimeWarning, stacklevel=2)
     act_scales = [max(float(a), 1e-12) / 127.0
                   for a in np.asarray(jnp.stack(act_absmax))]
 

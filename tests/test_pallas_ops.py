@@ -311,3 +311,37 @@ def test_fused_ssim_rank5_falls_back(rng):
     got = fused_ssim_per_image(a, b, 1.0)
     want = xla_ssim(a, b, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_convlstm_dispatch_table():
+    """Pins the fused-vs-XLA routing at TPU parameters (interpret=False)
+    without a TPU: the banded kernel runs at narrow width (the regime
+    where XLA's per-step overhead dominates, BENCH toy shape W=16/F=8)
+    and retires to the XLA recurrence at production width, where its
+    O(W^2*C*F) band matrices exceed VMEM (docs/ROOFLINE.md, wide-F
+    crossover — measured: XLA wins there anyway)."""
+    from dl4ds_tpu.ops.pallas_convlstm import dispatch_info
+
+    def route(w, cin, f, b=128, t=4, h=None, kh=3, kw=3):
+        h = w if h is None else h
+        return dispatch_info((b, t, h, w, cin),
+                             (kh, kw, cin, 4 * f), (kh, kw, f, 4 * f),
+                             itemsize=2, interpret=False)
+
+    # the shape BENCH_SUITE's recresnet toy row runs: fused
+    assert route(16, 8, 8)['path'] == 'fused'
+    assert route(16, 8, 8)['batch_tile'] is not None
+    # production widths: bands blow VMEM -> XLA, reason recorded
+    for w, f in [(16, 16), (16, 32), (16, 64), (32, 64), (64, 8)]:
+        info = route(w, f, f)
+        assert info == {**info, 'path': 'xla', 'reason': 'vmem'}, (w, f)
+    # structural fallbacks keep their distinct reasons
+    assert route(16, 8, 8, kh=2, kw=2)['reason'] == 'even-kernel'
+    mism = dispatch_info((1, 2, 8, 8, 2), (3, 3, 2, 16), (5, 5, 4, 16),
+                         itemsize=4, interpret=False)
+    assert mism['reason'] == 'kernel-mismatch'
+    # dispatch_info is the function fused_convlstm actually routes on
+    import dl4ds_tpu.ops.pallas_convlstm as m
+    import inspect
+    assert 'dispatch_info(' in inspect.getsource(m.fused_convlstm)

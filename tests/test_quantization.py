@@ -287,3 +287,28 @@ def test_predict_calibration_aux_required_and_used(rng):
                       batch_size=4, quantize='int8', calibration=calib,
                       calibration_aux=calib_aux)
     assert y_q.shape == y_f32.shape
+
+
+@pytest.mark.smoke
+def test_int8_narrow_width_warns_wide_does_not():
+    """int8 on a narrow model is MEASURED slower than bf16 on v5e
+    (INFER.json 0.759x at tutorial width vs INT8.json 1.7x at width 64),
+    so quantize_forward must warn instead of silently deoptimizing;
+    weight-only (float conv math) and wide models stay silent."""
+    import warnings
+    model = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                    hr_size=(16, 16), n_filters=8, n_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), batch_size=2)
+    x = _calib((2, 16, 16, 1))
+    with pytest.warns(RuntimeWarning, match='width-8.*SLOWER'):
+        quantize_forward(model, variables, x)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        quantize_forward(model, variables, x, mode='weight-only')
+
+    wide = net_pin('convnet', n_channels=1, n_aux_channels=0,
+                   hr_size=(8, 8), n_filters=64, n_blocks=1)
+    wvars = wide.init(jax.random.PRNGKey(0), batch_size=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        quantize_forward(wide, wvars, _calib((1, 8, 8, 1)))

@@ -1,13 +1,20 @@
-"""Per-layer timing of the fused ConvLSTM Pallas kernel on the real chip.
+"""Per-layer timing of the ConvLSTM paths on the real chip.
 
-Measures forward-only, forward+backward (value_and_grad), for the fused
-Pallas path vs the XLA recurrence, at the BENCH_SUITE recresnet shape
-([128, 4, 16, 16, 8] -> F=8, 3x3). Uses bench.slope_time (two-region slope
-with forced scalar readback) because block_until_ready does not wait on the
-tunneled chip (CLAUDE.md).
+Measures forward-only and forward+backward (value_and_grad) for the
+DISPATCHED path (`fused_convlstm` — the fused Pallas kernel where it fits,
+the XLA recurrence where it doesn't; see `dispatch_info`) and for the raw
+XLA recurrence, plus MFU against the layer's logical conv FLOPs.
 
-Usage:  python tools/convlstm_kernel_bench.py [--b 128] [--t 4] [--hw 16]
-        [--cin 8] [--f 8] [--steps-per-chunk 20]
+Uses bench.slope_time (two-region slope with forced scalar readback)
+because block_until_ready does not wait on the tunneled chip (CLAUDE.md).
+
+Usage:
+  python tools/convlstm_kernel_bench.py                # one shape (flags)
+  python tools/convlstm_kernel_bench.py --sweep        # width sweep:
+      F in {8, 16, 32, 64} with cin=F (the production recresnet regime:
+      every ConvLSTM layer beyond the first has cin == n_filters), plus
+      the BENCH_SUITE toy shape (cin=8, F=8). Emits one JSON with a row
+      per shape: us/layer, MFU, and which path the dispatcher picked.
 """
 
 import argparse
@@ -22,7 +29,97 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench import slope_time
-from dl4ds_tpu.ops.pallas_convlstm import fused_convlstm, convlstm_reference
+from dl4ds_tpu.ops.pallas_convlstm import (fused_convlstm,
+                                           convlstm_reference,
+                                           dispatch_info)
+
+PEAK_TFLOPS = 197.0   # v5e bf16 peak (measured anchor: 191 TF/s chained)
+
+
+def layer_flops(b, t, h, w, cin, f, kh=3, kw=3, bwd=False):
+    """Logical SAME-conv FLOPs of the layer over the window: input conv
+    (cin -> 4F) + recurrent conv (F -> 4F); backward = 2x more (weight-
+    grad + input-grad per conv), so fwd+bwd = 3x forward."""
+    fwd = 2 * b * t * h * w * kh * kw * (cin + f) * 4 * f
+    return fwd * 3 if bwd else fwd
+
+
+def measure_shape(b, t, h, w, cin, f, dt, n, repeats=3):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, h, w, cin)), dt)
+    wx = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, 4 * f)),
+                     jnp.float32)
+    bx = jnp.asarray(0.1 * rng.standard_normal((4 * f,)), jnp.float32)
+    wh = jnp.asarray(0.1 * rng.standard_normal((3, 3, f, 4 * f)),
+                     jnp.float32)
+
+    info = dispatch_info(x.shape, wx.shape, wh.shape,
+                         itemsize=x.dtype.itemsize, interpret=False)
+
+    def dispatched(xc):
+        return fused_convlstm(xc, wx, bx, wh)
+
+    def xla_fwd(xc):
+        return convlstm_reference(xc, wx, bx, wh)[0]
+
+    def make_chunk(fn, grad):
+        # chain with a TINY NON-ZERO scale: `* 0` lets XLA fold the
+        # product to zero and dead-code-eliminate the entire chunk
+        # (measured: "xla_fwd 7.2 us/layer" — i.e. nothing ran)
+        eps = jnp.asarray(1e-20, jnp.float32)
+        if grad:
+            def lossfn(xc, wxc, bxc, whc):
+                if fn is dispatched:
+                    y = fused_convlstm(xc, wxc, bxc, whc)
+                else:
+                    y = convlstm_reference(xc, wxc, bxc, whc)[0]
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            g = jax.grad(lossfn, argnums=(0, 1, 2, 3))
+
+            @jax.jit
+            def chunk(carry):
+                xc = carry
+                for _ in range(n):
+                    dx, dwx, dbx, dwh = g(xc, wx, bx, wh)
+                    s = (jnp.sum(dwx) + jnp.sum(dbx) + jnp.sum(dwh)) * eps
+                    xc = (xc + dx.astype(jnp.float32) * eps + s).astype(dt)
+                return xc, jnp.sum(xc.astype(jnp.float32))
+        else:
+            @jax.jit
+            def chunk(carry):
+                xc = carry
+                for _ in range(n):
+                    y = fn(xc)
+                    xc = xc + (jnp.sum(y.astype(jnp.float32))
+                               * eps).astype(dt)
+                return xc, jnp.sum(xc.astype(jnp.float32))
+        return chunk
+
+    row = {'shape': dict(b=b, t=t, h=h, w=w, cin=cin, f=f,
+                         dtype=str(dt), steps_per_chunk=n),
+           'dispatch': info['path'], 'dispatch_reason': info['reason']}
+    paths = [('dispatched', dispatched)]
+    # the raw-XLA column is only a distinct program when the dispatcher
+    # picked the fused kernel; otherwise it IS the dispatched path
+    if info['path'] == 'fused':
+        paths.append(('xla', xla_fwd))
+    for name, fn in paths:
+        for grad in (False, True):
+            chunk = make_chunk(fn, grad)
+            t0 = time.perf_counter()
+            carry, out = chunk(x)   # compile
+            float(jnp.sum(carry.astype(jnp.float32)))
+            compile_s = time.perf_counter() - t0
+            sec, _ = slope_time(chunk, x, repeats=repeats)
+            per_layer_us = sec / n * 1e6
+            fl = layer_flops(b, t, h, w, cin, f, bwd=grad)
+            mfu = fl / (sec / n) / (PEAK_TFLOPS * 1e12)
+            key = f'{name}_{"fwdbwd" if grad else "fwd"}'
+            row[key] = {'us_per_layer': round(per_layer_us, 1),
+                        'mfu_pct': round(100 * mfu, 2),
+                        'compile_s': round(compile_s, 1)}
+            print(f'  {key}', row[key], flush=True)
+    return row
 
 
 def main():
@@ -34,79 +131,33 @@ def main():
     ap.add_argument('--f', type=int, default=8)
     ap.add_argument('--steps-per-chunk', type=int, default=20)
     ap.add_argument('--dtype', default='bfloat16')
+    ap.add_argument('--sweep', action='store_true',
+                    help='width sweep: F in {8,16,32,64} with cin=F, '
+                         'plus the toy cin=8/F=8 BENCH_SUITE shape')
     args = ap.parse_args()
-
-    b, t, h, w, cin, f = args.b, args.t, args.hw, args.hw, args.cin, args.f
     dt = jnp.dtype(args.dtype)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((b, t, h, w, cin)), dt)
-    wx = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, 4 * f)),
-                     jnp.float32)
-    bx = jnp.asarray(0.1 * rng.standard_normal((4 * f,)), jnp.float32)
-    wh = jnp.asarray(0.1 * rng.standard_normal((3, 3, f, 4 * f)),
-                     jnp.float32)
 
-    n = args.steps_per_chunk
+    if not args.sweep:
+        row = measure_shape(args.b, args.t, args.hw, args.hw,
+                            args.cin, args.f, dt, args.steps_per_chunk)
+        print(json.dumps(row))
+        return
 
-    def fused_fwd(xc):
-        return fused_convlstm(xc, wx, bx, wh)
-
-    def xla_fwd(xc):
-        return convlstm_reference(xc, wx, bx, wh)[0]
-
-    def make_chunk(fn, grad):
-        if grad:
-            def lossfn(xc, wxc, bxc, whc):
-                if fn is fused_fwd:
-                    y = fused_convlstm(xc, wxc, bxc, whc)
-                else:
-                    y = convlstm_reference(xc, wxc, bxc, whc)[0]
-                return jnp.sum(y.astype(jnp.float32) ** 2)
-            g = jax.grad(lossfn, argnums=(0, 1, 2, 3))
-
-            # chain with a TINY NON-ZERO scale: `* 0` lets XLA fold the
-            # product to zero and dead-code-eliminate the entire chunk
-            # (measured: "xla_fwd 7.2 us/layer" — i.e. nothing ran)
-            eps = jnp.asarray(1e-20, jnp.float32)
-
-            @jax.jit
-            def chunk(carry):
-                xc = carry
-                for _ in range(n):
-                    dx, dwx, dbx, dwh = g(xc, wx, bx, wh)
-                    s = (jnp.sum(dwx) + jnp.sum(dbx) + jnp.sum(dwh)) * eps
-                    xc = (xc + dx.astype(jnp.float32) * eps + s).astype(dt)
-                return xc, jnp.sum(xc.astype(jnp.float32))
-        else:
-            eps = jnp.asarray(1e-20, jnp.float32)
-
-            @jax.jit
-            def chunk(carry):
-                xc = carry
-                for _ in range(n):
-                    y = fn(xc)
-                    xc = xc + (jnp.sum(y.astype(jnp.float32)) * eps).astype(dt)
-                return xc, jnp.sum(xc.astype(jnp.float32))
-        return chunk
-
-    results = {}
-    for name, fn in (('fused', fused_fwd), ('xla', xla_fwd)):
-        for grad in (False, True):
-            chunk = make_chunk(fn, grad)
-            t0 = time.perf_counter()
-            carry, out = chunk(x)   # compile
-            float(jnp.sum(carry.astype(jnp.float32)))
-            compile_s = time.perf_counter() - t0
-            sec, _ = slope_time(chunk, x, repeats=3)
-            per_layer_us = sec / n * 1e6
-            key = f'{name}_{"fwdbwd" if grad else "fwd"}'
-            results[key] = {'us_per_layer': round(per_layer_us, 1),
-                            'compile_s': round(compile_s, 1)}
-            print(key, results[key], flush=True)
-
-    results['shape'] = dict(b=b, t=t, h=h, w=w, cin=cin, f=f,
-                            dtype=str(dt), steps_per_chunk=n)
-    print(json.dumps(results))
+    shapes = [
+        # (b, t, h, w, cin, f) — cin=f is the production regime; batch
+        # shrinks as F grows to keep per-chunk HBM residency comparable
+        (128, 4, 16, 16, 8, 8),     # BENCH_SUITE toy shape (fused path)
+        (128, 4, 16, 16, 16, 16),
+        (128, 4, 16, 16, 32, 32),
+        (64, 4, 16, 16, 64, 64),
+        (64, 4, 32, 32, 64, 64),    # wide F AND wide spatial
+    ]
+    rows = []
+    for (b, t, h, w, cin, f) in shapes:
+        print(f'shape b={b} t={t} hw={h} cin={cin} f={f}', flush=True)
+        rows.append(measure_shape(b, t, h, w, cin, f, dt,
+                                  args.steps_per_chunk))
+    print(json.dumps({'sweep': rows, 'peak_tflops': PEAK_TFLOPS}))
 
 
 if __name__ == '__main__':
