@@ -144,6 +144,14 @@ flags.DEFINE_float('ema_decay', 0.0,
                    'Parameter EMA decay, 0 disables. Supervised: eval/'
                    'best-checkpoint/serving use the averaged weights; '
                    'CGAN: the averaged generator is evaluated and served')
+flags.DEFINE_string('mesh_shape', None,
+                    "Device mesh as 'axis=N[,axis=M]' over the visible "
+                    "devices, e.g. 'data=8' (data parallel, the default "
+                    "over all devices), 'data=4,model=2' (tensor-parallel: "
+                    "weights+optimizer channel-sharded over the model "
+                    "axis), 'data=4,space=2' (spatial: activation heights "
+                    'sharded). SupervisedTrainer only; axis sizes must '
+                    'multiply to a divisor of the device count')
 
 # INFERENCE/TEST
 flags.DEFINE_bool('inference_array_in_hr', False,
@@ -190,6 +198,33 @@ flags.DEFINE_integer('export_batch', 8,
                      'Serving batch for --export_quantize artifacts '
                      '(= the calibration batch; the int8 replay is '
                      'shape-pinned)')
+
+
+def _parse_mesh_shape(spec):
+    """'data=4,model=2' -> jax.sharding.Mesh over the first prod(sizes)
+    visible devices (None -> None, trainer default 1-D data mesh)."""
+    if not spec:
+        return None
+    import math as _math
+    import numpy as _np
+    import jax as _jax
+    from jax.sharding import Mesh as _Mesh
+    names, sizes = [], []
+    for part in spec.split(','):
+        try:
+            name, size = part.split('=')
+            names.append(name.strip())
+            sizes.append(int(size))
+        except ValueError:
+            raise ValueError(
+                f"--mesh_shape must look like 'data=4,model=2'; got "
+                f'{spec!r}') from None
+    n = _math.prod(sizes)
+    devs = _jax.devices()
+    if n > len(devs):
+        raise ValueError(f'--mesh_shape={spec} needs {n} devices; '
+                         f'{len(devs)} visible')
+    return _Mesh(_np.array(devs[:n]).reshape(sizes), tuple(names))
 
 
 def dl4ds(argv):
@@ -294,6 +329,7 @@ def dl4ds(argv):
                 warmup_steps=FLAGS.warmup_steps,
                 ema_decay=FLAGS.ema_decay,
                 init_weights=FLAGS.init_keras_npz,
+                mesh=_parse_mesh_shape(FLAGS.mesh_shape),
                 dtype=(jnp.bfloat16 if FLAGS.dtype == 'bfloat16'
                        else jnp.float32),
                 **architecture_params)
@@ -337,7 +373,8 @@ def dl4ds(argv):
                 lr_schedule=FLAGS.lr_schedule,
                 warmup_steps=FLAGS.warmup_steps,
                 ema_decay=FLAGS.ema_decay,
-                init_weights=FLAGS.init_keras_npz)
+                init_weights=FLAGS.init_keras_npz,
+                mesh=_parse_mesh_shape(FLAGS.mesh_shape))
         trainer.run()
 
     y_hat = None

@@ -709,6 +709,37 @@ def tensor_param_shardings(params, mesh, model_axis='model',
     return jax.tree.map(spec, params)
 
 
+def mirror_param_shardings(state, params, p_sh, rep):
+    """Mirror a params-shaped sharding tree `p_sh` onto every params-shaped
+    subtree of an (optax/flax) state pytree — Adam mu/nu, MultiSteps
+    acc_grads, EMA copies — replicating everything else (counters,
+    scalars). `state` may be concrete or `jax.eval_shape` output; `params`
+    fixes the subtree structure being matched."""
+    treedef = jax.tree.structure(params)
+
+    def _same_tree(obj):
+        try:
+            return jax.tree.structure(obj) == treedef
+        except Exception:
+            return False
+
+    def rec(obj):
+        if _same_tree(obj):
+            return p_sh
+        if isinstance(obj, tuple) and type(obj) is not tuple:
+            # NamedTuple optax states: rebuild field-wise
+            return type(obj)(*(rec(c) for c in obj))
+        if isinstance(obj, tuple):
+            return tuple(rec(c) for c in obj)
+        if isinstance(obj, list):
+            return [rec(c) for c in obj]
+        if isinstance(obj, dict):
+            return {k: rec(v) for k, v in obj.items()}
+        return jax.tree.map(lambda _: rep, obj)
+
+    return rec(state)
+
+
 def make_tensor_sharded_step(model, mesh, tx=None, loss='mae',
                              model_axis='model', data_axis='data',
                              min_channels=None):
@@ -776,30 +807,8 @@ def make_tensor_sharded_step(model, mesh, tx=None, loss='mae',
                         is_leaf=lambda s: isinstance(s, P))
     x_sh = NamedSharding(mesh, P(data_axis) if has_data else P())
     rep = NamedSharding(mesh, P())
-    treedef = jax.tree.structure(params0)
-
-    def _same_tree(obj):
-        try:
-            return jax.tree.structure(obj) == treedef
-        except Exception:
-            return False
-
-    def _state_sharding(opt_state):
-        """Mirror the param shardings onto every param-shaped subtree of
-        the optax state (Adam mu/nu), replicating scalars/counters."""
-        if _same_tree(opt_state):
-            return p_sh
-        if isinstance(opt_state, tuple) and type(opt_state) is not tuple:
-            # NamedTuple optax states: rebuild field-wise
-            return type(opt_state)(*(_state_sharding(c)
-                                     for c in opt_state))
-        if isinstance(opt_state, tuple):
-            return tuple(_state_sharding(c) for c in opt_state)
-        if isinstance(opt_state, list):
-            return [_state_sharding(c) for c in opt_state]
-        return rep
-
-    st_sh = _state_sharding(jax.eval_shape(tx.init, params0))
+    st_sh = mirror_param_shardings(jax.eval_shape(tx.init, params0),
+                                   params0, p_sh, rep)
 
     def _loss_fn(params, x, y, aux, key):
         out = model.module.apply({'params': params}, x,

@@ -97,16 +97,47 @@ class Trainer(ABC):
 
         # --- device mesh (replaces hvd.init + GPU pinning,
         #     reference base.py:97-107) ---
+        # Accepted meshes: the default 1-D ('data',) data-parallel mesh, or
+        # a 2-D mesh adding a 'model' axis (tensor parallelism: weights +
+        # optimizer moments channel-sharded, parallel.tensor_param_shardings)
+        # or a 'space' axis (spatial sharding: activation height sharded,
+        # GSPMD halo exchange). The trainers run the SAME jitted step either
+        # way — 2-D meshes only change how XLA partitions it — so schedules/
+        # EMA/early-stopping/checkpointing compose with TP and SP.
         self.mesh = mesh if mesh is not None else make_mesh(devices)
+        axis_names = tuple(self.mesh.axis_names)
+        unknown = [a for a in axis_names if a not in ('data', 'model',
+                                                      'space')]
+        if unknown:
+            raise ValueError(
+                f'trainer meshes support axes (data[, model|space]); got '
+                f'{axis_names}. For ensemble training use '
+                f'parallel.make_ensemble_step directly')
+        if 'model' in axis_names and 'space' in axis_names:
+            raise ValueError("pass a mesh with ONE of 'model'/'space' "
+                             'besides data (3-D TPxSPxDP is untested)')
+        self.tp_axis = 'model' if 'model' in axis_names else None
+        self.sp_axis = 'space' if 'space' in axis_names else None
         self.n_devices = self.mesh.size
-        self.batch_sharding = NamedSharding(self.mesh, P('data'))
+        # batch/LR scaling follow the DATA-parallel degree only: a TP or SP
+        # axis divides the model/grid, not the batch
+        self.n_data_shards = (self.mesh.shape['data']
+                              if 'data' in axis_names else 1)
+        self.batch_sharding = NamedSharding(
+            self.mesh, P('data' if 'data' in axis_names else None))
         self.replicated_sharding = NamedSharding(self.mesh, P())
 
         batch_size_per_replica = self.batch_size
-        self.global_batch_size = batch_size_per_replica * self.n_devices
+        self.global_batch_size = batch_size_per_replica * self.n_data_shards
         if self.verbose in (1, 2, True):
             print(f'Number of devices: {self.n_devices}')
-            if self.n_devices > 1:
+            if self.tp_axis or self.sp_axis:
+                kind = ('tensor' if self.tp_axis else 'spatial')
+                other = self.tp_axis or self.sp_axis
+                print(f'Mesh: {dict(self.mesh.shape)} '
+                      f'({kind}-parallel over {other!r}, data-parallel '
+                      f'over {self.n_data_shards} shards)')
+            if self.n_data_shards > 1:
                 print(f'Global batch size: {self.global_batch_size}, '
                       f'per replica: {batch_size_per_replica}')
             else:

@@ -147,6 +147,11 @@ class CGANTrainer(Trainer):
             batch_size=batch_size, patch_size=patch_size, scale=scale,
             device=device, verbose=verbose, model_list=model_list, save=save,
             save_path=save_path, show_plot=False, mesh=mesh, devices=devices)
+        if self.tp_axis or self.sp_axis:
+            raise NotImplementedError(
+                "2-D ('model'/'space') meshes are routed through "
+                'SupervisedTrainer; the CGAN trainer supports the 1-D '
+                "('data',) mesh")
         self.data_test = self._as_array(data_test, 'data_test')
         self.data_test_lr = (self._as_array(data_test_lr, 'data_test_lr')
                              if data_test_lr is not None else None)

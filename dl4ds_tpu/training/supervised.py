@@ -329,7 +329,9 @@ class SupervisedTrainer(Trainer):
     # ------------------------------------------------------------------
     def _build_optimizer(self):
         lr = self.learning_rate
-        scale_by = self.n_devices  # Goyal et al. linear LR scaling
+        # Goyal et al. linear LR scaling by the DATA-parallel degree (a
+        # 'model'/'space' mesh axis does not grow the global batch)
+        scale_by = self.n_data_shards
         if callable(self.lr_schedule):
             # user-supplied optax schedule, used verbatim (documented: the
             # caller owns DP LR scaling in this case)
@@ -370,17 +372,81 @@ class SupervisedTrainer(Trainer):
         # eps=1e-7: the Keras Adam default the reference trains with
         # (tf.keras.optimizers.Adam, ref supervised.py:353); optax's default
         # is 1e-8 — a real training-dynamics difference at small gradients.
-        tx = optax.flatten(optax.adam(self._lr, eps=1e-7))
+        # Tensor parallelism needs the PER-LEAF update (optax.flatten would
+        # concatenate leaves and destroy the per-channel sharding of the
+        # Adam moments); the flattened and per-leaf updates are
+        # element-for-element the same math, so the 1-D and TP trainers
+        # produce the same trajectory.
+        adam = optax.adam(self._lr, eps=1e-7)
+        tx = adam if self.tp_axis else optax.flatten(adam)
         if self.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(
                 tx, every_k_schedule=self.gradient_accumulation_steps)
         return tx
+
+    def _make_state_shardings(self, state):
+        """Placement tree for the TrainState: fully replicated on 1-D
+        ('data',) and spatial ('space') meshes; on a tensor-parallel mesh
+        ('model' axis) params, Adam moments, MultiSteps accumulators and
+        the EMA copy are channel-sharded (parallel.tensor_param_shardings
+        mirrored over the optax state), counters/batch_stats replicated.
+        Stashed on `self._state_shardings` so `_make_steps` can pin the
+        jitted steps' out_shardings (state comes back exactly as placed —
+        donation-friendly, no GSPMD resharding surprises)."""
+        rep = self.replicated_sharding
+        if not self.tp_axis:
+            self._state_shardings = rep
+            return rep
+        if state.batch_stats is not None:
+            raise ValueError(
+                'tensor-parallel training supports parameter-only models '
+                '(batch-norm statistics are per-shard mutable state); '
+                'build the model without batch norm')
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import tensor_param_shardings, mirror_param_shardings
+        spec_tree = tensor_param_shardings(state.params, self.mesh,
+                                           self.tp_axis)
+        p_sh = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
+                            spec_tree, is_leaf=lambda s: isinstance(s, P))
+        self._state_shardings = state.replace(
+            step=rep, params=p_sh,
+            opt_state=mirror_param_shardings(state.opt_state, state.params,
+                                             p_sh, rep),
+            batch_stats=None,
+            ema_params=(p_sh if state.ema_params is not None else None))
+        return self._state_shardings
 
     def _make_steps(self):
         model, lossf = self.model, self.lossf
         synth_train, synth_val = self.ds_train, self.ds_val
         has_bn = self.variables is not None and 'batch_stats' in self.variables
         ema_decay = self.ema_decay  # static: baked into the jitted programs
+
+        # Spatial sharding ('space' mesh axis): one sharding constraint on
+        # the synthesized batch's height axis (H is dim -3 for both 4-D and
+        # 5-D samples) seeds GSPMD, which spatially partitions every conv
+        # (inserting its own halo exchanges on ICI) and the pixel loss —
+        # the same program the 1-D mesh runs, so results match to float
+        # tolerance. The hand-rolled ppermute variant with an explicit halo
+        # budget stays available as parallel.make_spatial_sharded_step.
+        sp_axis, mesh = self.sp_axis, self.mesh
+        batch_axis = 'data' if 'data' in mesh.axis_names else None
+
+        def sp_constrain(batch):
+            if sp_axis is None:
+                return batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def c(a):
+                if a is None:
+                    return None
+                spec = [None] * a.ndim
+                spec[0] = batch_axis
+                spec[a.ndim - 3] = sp_axis
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, P(*spec)))
+
+            return {k: c(v) for k, v in batch.items()}
 
         def forward(params, batch_stats, batch, key, training):
             variables = {'params': params}
@@ -397,6 +463,8 @@ class SupervisedTrainer(Trainer):
             return out.astype(jnp.float32), batch_stats
 
         def train_step_batch(state, batch, key):
+            batch = sp_constrain(batch)
+
             def loss_fn(params):
                 out, new_bs = forward(params, state.batch_stats, batch, key,
                                       True)
@@ -447,6 +515,7 @@ class SupervisedTrainer(Trainer):
             # with EMA on, validation/test (and hence early stopping and
             # the best-model checkpoint) score the averaged weights — the
             # weights that will be served
+            batch = sp_constrain(batch)
             params = state.ema_params if ema_decay > 0 else state.params
             out, _ = forward(params, state.batch_stats, batch, key, False)
             return lossf(batch['hr'], out)
@@ -456,10 +525,20 @@ class SupervisedTrainer(Trainer):
             batch = synth_consts._make_batch(indices, skey)
             return eval_batch(state, batch, dkey)
 
-        self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0)
+        # On a TP mesh, pin the updated state to come back EXACTLY as
+        # placed (channel-sharded params/moments) — donation-friendly and
+        # no GSPMD output-resharding surprises. loss scalars replicate.
+        st_kwargs = {}
+        if self.tp_axis:
+            st_kwargs = dict(out_shardings=(self._state_shardings,
+                                            self.replicated_sharding))
+        self._train_step_batch = jax.jit(train_step_batch, donate_argnums=0,
+                                         **st_kwargs)
         if self.data_in_hbm:
-            self._train_step = jax.jit(train_step, donate_argnums=0)
-            self._train_many = jax.jit(train_many, donate_argnums=0)
+            self._train_step = jax.jit(train_step, donate_argnums=0,
+                                       **st_kwargs)
+            self._train_many = jax.jit(train_many, donate_argnums=0,
+                                       **st_kwargs)
             self._eval_step_val = jax.jit(
                 lambda s, i, k: eval_step(s, i, k, synth_val))
             self._eval_step_test = jax.jit(
@@ -490,7 +569,7 @@ class SupervisedTrainer(Trainer):
             if self.verbose:
                 print(f'Resumed from checkpoint at epoch '
                       f'{self.trained_epochs}')
-        state = jax.device_put(state, self.replicated_sharding)
+        state = jax.device_put(state, self._make_state_shardings(state))
         self._make_steps()
 
         key = jax.random.PRNGKey(self.seed)
@@ -519,8 +598,9 @@ class SupervisedTrainer(Trainer):
         if self.profile:
             self.start_profiler()
         from jax.sharding import NamedSharding, PartitionSpec as P
-        idx_mat_sharding = NamedSharding(self.mesh, P(None, 'data'))
-        idx_row_sharding = NamedSharding(self.mesh, P('data'))
+        bax = 'data' if 'data' in self.mesh.axis_names else None
+        idx_mat_sharding = NamedSharding(self.mesh, P(None, bax))
+        idx_row_sharding = NamedSharding(self.mesh, P(bax))
         # XLA:CPU runs scan-of-steps ~25-60x slower than the identical
         # per-step program EVEN AT TRIP COUNT 1 (measured: 23 s vs 0.4 s
         # per step on the tutorial workload) — so on CPU bypass the scan

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Runnable example: tensor-parallel training on a 2-D model x data
-device mesh (`parallel.make_tensor_sharded_step`).
+"""Runnable example: tensor-parallel training on a 2-D data x model
+device mesh — THROUGH the trainer.
 
 Use case: production-width models (n_filters=64+) whose parameters +
-Adam moments + activation working set exceed one chip's HBM — every
-wide conv kernel is sharded channel-wise over the mesh's 'model' axis,
-the batch over 'data'. No hand-written collectives: the step is jitted
-with sharding annotations and XLA's SPMD partitioner places the
-all-gathers/reduce-scatters on ICI. The sharded program computes the
-SAME numbers as the unsharded one (verified in tests/test_parallel.py).
+Adam moments + activation working set exceed one chip's HBM. Pass a
+mesh with a 'model' axis to `SupervisedTrainer` (or
+`--mesh_shape data=4,model=2` on the CLI) and the trainer's own fused
+train step runs tensor-parallel: every wide conv kernel, its Adam
+moments and the EMA copy are sharded channel-wise over the 'model'
+axis, the batch over 'data', and XLA's SPMD partitioner places the
+all-gathers/reduce-scatters on ICI. Schedules, EMA, early stopping and
+checkpointing all compose — it is the SAME program the 1-D mesh runs,
+just partitioned differently (trajectory equality is pinned by
+tests/test_trainer_mesh.py).
+
+For a standalone step without the trainer scaffolding, see
+`parallel.make_tensor_sharded_step`.
 
     python examples/tensor_parallel_training.py --cpu   # 8 virtual CPU devices
     python examples/tensor_parallel_training.py                     # TPU mesh
@@ -29,62 +36,42 @@ else:
     import jax
 
 import numpy as np
-import jax.numpy as jnp
-import optax
-
-from dl4ds_tpu.models import net_postupsampling
-from dl4ds_tpu.parallel import make_tensor_sharded_step
-from dl4ds_tpu.interpolation import resize2d
 from jax.sharding import Mesh
+
+from dl4ds_tpu import SupervisedTrainer
 
 
 def main():
     devs = jax.devices()
     n_tp = 2 if len(devs) >= 2 else 1         # weight shards
     n_dt = max(1, len(devs) // n_tp)          # batch shards
-    mesh = Mesh(np.array(devs[:n_tp * n_dt]).reshape(n_tp, n_dt),
-                ('model', 'data'))
-    print(f'mesh: {n_tp} model x {n_dt} data on {devs[0].platform}')
+    mesh = Mesh(np.array(devs[:n_tp * n_dt]).reshape(n_dt, n_tp),
+                ('data', 'model'))
+    print(f'mesh: {n_dt} data x {n_tp} model on {devs[0].platform}')
 
-    # production-width model: the weights are what TP distributes
-    scale, size, batch = 2, 32, 2 * n_dt
-    model = net_postupsampling('resnet', 'spc', scale=scale, n_channels=1,
-                               n_aux_channels=0, lr_size=(size, size),
-                               n_filters=64, n_blocks=6, attention=True)
-    ts = make_tensor_sharded_step(model, mesh, tx=optax.adam(1e-3),
-                                  loss='mae')
-    params = jax.device_put(model.init(jax.random.PRNGKey(0))['params'],
-                            ts.param_shardings)
-    opt_state = ts.init_opt(params)
+    # synthetic HR field; the trainer synthesizes LR pairs on device
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((64, 64, 64, 1)).astype('float32')
 
+    trainer = SupervisedTrainer(
+        backbone='resnet', upsampling='spc',
+        data_train=data[:48], data_val=data[48:56], data_test=data[56:],
+        scale=2, batch_size=2, epochs=2, loss='mae',
+        # production width: the weights are what TP distributes
+        n_filters=64, n_blocks=4, attention=True,
+        lr_schedule='warmup_cosine', ema_decay=0.99,
+        mesh=mesh, save=False, verbose=True)
+    trainer.run()
+
+    params = trainer.state.params
     n_leaves = len(jax.tree.leaves(params))
-    n_sharded = sum(
-        1 for s in jax.tree.leaves(ts.param_shardings,
-                                   is_leaf=lambda s: hasattr(s, 'spec'))
-        if 'model' in jax.tree_util.tree_leaves(tuple(s.spec)))
+    n_sharded = sum(1 for p in jax.tree.leaves(params)
+                    if 'model' in str(p.sharding.spec))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f'{n_params:,} params; {n_sharded}/{n_leaves} leaves '
           f'channel-sharded over {n_tp} devices')
-
-    # synthetic field; LR inputs by inter_area coarsening (the dl4ds way)
-    rng = np.random.default_rng(0)
-    hr = rng.standard_normal(
-        (8 * batch, size * scale, size * scale, 1)).astype('float32')
-    lr = np.asarray(resize2d(hr, (size, size), 'inter_area'))
-
-    key = jax.random.PRNGKey(1)
-    for step_i in range(5):
-        i = (step_i * batch) % (7 * batch)
-        x = jnp.asarray(lr[i:i + batch])
-        y = jnp.asarray(hr[i:i + batch])
-        key, k = jax.random.split(key)
-        params, opt_state, loss = ts.step(params, opt_state, x, y, k)
-        print(f'step {step_i}: loss={float(loss):.5f}')
-
-    # any leaf's device view confirms the placement
-    kern = params['_Backbone_0']['stem']['kernel'] if '_Backbone_0' in \
-        params else jax.tree.leaves(params)[0]
-    print('example leaf sharding:', kern.sharding)
+    print('example leaf sharding:',
+          jax.tree.leaves(params)[0].sharding)
 
 
 if __name__ == '__main__':
