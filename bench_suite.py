@@ -232,6 +232,16 @@ def main(only=None):
         'resnet_spc_width64': lambda: measure_supervised(
             'resnet_spc production width 64 ', backbone='resnet',
             upsampling='spc', n_blocks=6, n_filters=64, attention=True),
+        # spatio-temporal family at production width: the ConvLSTM
+        # recurrence runs the XLA path here (the banded Pallas kernel is a
+        # narrow-width design — its [W*C, 4*W*F] bands exceed VMEM above
+        # F=8; dispatch_info reason 'vmem'), measured healthy at F=64
+        # (CONVLSTM_SWEEP.json: 47-54% layer MFU; docs/ROOFLINE.md
+        # "wide-F crossover")
+        'recresnet_spc_width64': lambda: measure_supervised(
+            'recresnet_spc production w64   ', backbone='resnet',
+            upsampling='spc', time_window=4, n_blocks=2, n_filters=64,
+            attention=True),
     }
     if only:
         unknown = set(only) - set(configs)

@@ -5,8 +5,14 @@ DISPATCHED path (`fused_convlstm` — the fused Pallas kernel where it fits,
 the XLA recurrence where it doesn't; see `dispatch_info`) and for the raw
 XLA recurrence, plus MFU against the layer's logical conv FLOPs.
 
-Uses bench.slope_time (two-region slope with forced scalar readback)
-because block_until_ready does not wait on the tunneled chip (CLAUDE.md).
+Timing is PROFILER device time (tools/trace_ops.trace_op_times over an
+n-layer chained chunk, total device us / n): per-HLO-op ground truth.
+Wall-clock slope timing (bench.slope_time) was measured to under-report
+by up to 7x here — a 20-layer F=8 chunk is ~1.5 ms, far below the
+tunneled chip's RPC noise floor, and the min-over-repeats then collects
+noise minima (fused fwd "10.0 us/layer" vs 73.8 us of actual device
+time). slope_time remains valid for second-plus regions (the bench.py
+epoch chains; its 4096^3 matmul anchor).
 
 Usage:
   python tools/convlstm_kernel_bench.py                # one shape (flags)
@@ -28,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import slope_time
+from tools.trace_ops import trace_op_times
 from dl4ds_tpu.ops.pallas_convlstm import (fused_convlstm,
                                            convlstm_reference,
                                            dispatch_info)
@@ -110,10 +116,14 @@ def measure_shape(b, t, h, w, cin, f, dt, n, repeats=3):
             carry, out = chunk(x)   # compile
             float(jnp.sum(carry.astype(jnp.float32)))
             compile_s = time.perf_counter() - t0
-            sec, _ = slope_time(chunk, x, repeats=repeats)
-            per_layer_us = sec / n * 1e6
+            # profiler device time over the whole n-layer chunk (see
+            # module docstring: wall-clock slope is unreliable for
+            # millisecond chunks on the tunneled chip)
+            ops = trace_op_times(lambda: chunk(x), n=repeats)
+            sec = sum(r['us_per_step'] for r in ops) / n * 1e-6
+            per_layer_us = sec * 1e6
             fl = layer_flops(b, t, h, w, cin, f, bwd=grad)
-            mfu = fl / (sec / n) / (PEAK_TFLOPS * 1e12)
+            mfu = fl / sec / (PEAK_TFLOPS * 1e12)
             key = f'{name}_{"fwdbwd" if grad else "fwd"}'
             row[key] = {'us_per_layer': round(per_layer_us, 1),
                         'mfu_pct': round(100 * mfu, 2),
