@@ -16,9 +16,10 @@ shape-checked; the full list must be consumed exactly.
 Supported: all backbones (convnet / resnet / densenet / convnext / unet),
 all upsampling modes (spc / rc / dc / pin), spatial and spatio-temporal
 (ConvLSTM) families, with or without channel attention, HR-aux branch and
-the localized convolutional block. ``normalization`` must be None ('ln' is
-also supported for the convnext backbone, which requires it); 'bn' weight
-import is not implemented.
+the localized convolutional block, and ``normalization`` in (None, 'ln',
+'bn') — 'bn' maps Keras BatchNormalization [gamma, beta, moving_mean,
+moving_variance] onto the Flax BatchNorm params + ``batch_stats``
+collections (reference layer: dl4ds/models/blocks.py:63-71).
 
 Known reference quirk handled here: the reference's DeconvolutionBlock
 applies THREE transposed convs at scale 4 (dl4ds/models/blocks.py:522-534 —
@@ -168,6 +169,32 @@ class _Consumer:
         self._set(dst, 'scale', g)
         self._set(dst, 'bias', b)
 
+    def norm_params(self, dst_norm, kind):
+        """One _Norm module's TRAINABLE weights. Keras lists each custom
+        layer's weights as trainable_weights THEN non_trainable_weights
+        (verified on the actual reference models), so a bn block's
+        [gamma, beta] pairs appear with the convs/attention while the
+        moving statistics of ALL its norms trail at the block end —
+        consume those separately with `norm_stats`. `dst_norm` is the
+        MERGED _Norm node (import_keras_weights overlays batch_stats onto
+        the params tree before walking, splitting back afterwards)."""
+        if kind == 'bn':
+            g, b = self.take(2)
+            node = dst_norm['BatchNorm_0']
+            self._set(node, 'scale', g)
+            self._set(node, 'bias', b)
+        else:
+            self.layernorm(dst_norm['LayerNorm_0'])
+
+    def norm_stats(self, dst_norm, kind):
+        """One bn _Norm module's [moving_mean, moving_variance] (no-op
+        for ln, which has no non-trainable weights)."""
+        if kind == 'bn':
+            mu, var = self.take(2)
+            node = dst_norm['BatchNorm_0']
+            self._set(node, 'mean', mu)
+            self._set(node, 'var', var)
+
     def attention(self, dst):
         """ChannelAttention2D: two 1x1 convs stored as matrices w1/w2
         (reference: dl4ds/models/blocks.py:580-584)."""
@@ -190,35 +217,45 @@ class _Consumer:
 
     def conv_block(self, dst, attention, norm=None):
         """ConvBlock (reference blocks.py:13-103). Keras sublayer
-        (= weight) order is attribute-assignment order: conv1, conv2,
-        [norm1, norm2], [att]; under normalization the convs are
-        biasless (reference blocks.py:49-58 use_bias)."""
+        (= weight) order is attribute-assignment order for TRAINABLE
+        weights: conv1, conv2, [norm1, norm2], [att] — with the bn moving
+        statistics of both norms trailing at the block end (trainables-
+        then-stats per layer, verified on the actual reference model);
+        under normalization the convs are biasless (reference
+        blocks.py:49-58 use_bias)."""
         if norm is None:
             self.conv(dst['Conv_0'])
             self.conv(dst['Conv_1'])
         else:
             self.conv_nobias(dst['Conv_0'])
             self.conv_nobias(dst['Conv_1'])
-            self.layernorm(dst['_Norm_0']['LayerNorm_0'])
-            self.layernorm(dst['_Norm_1']['LayerNorm_0'])
+            self.norm_params(dst['_Norm_0'], norm)
+            self.norm_params(dst['_Norm_1'], norm)
         if attention:
             self.attention(dst['ChannelAttention2D_0'])
+        if norm is not None:
+            self.norm_stats(dst['_Norm_0'], norm)
+            self.norm_stats(dst['_Norm_1'], norm)
 
     def residual_block(self, dst, attention, use_1x1conv, norm=None):
         """ResidualBlock (reference blocks.py:187-230): conv1, conv2,
-        [norm1, norm2], [att] (parent __init__), then conv1x1 (subclass)."""
+        [norm1, norm2], [att] (parent __init__), then conv1x1 (subclass);
+        bn moving stats trail after ALL trainables incl. the conv1x1."""
         if norm is None:
             self.conv(dst['Conv_0'])
             self.conv(dst['Conv_1'])
         else:
             self.conv_nobias(dst['Conv_0'])
             self.conv_nobias(dst['Conv_1'])
-            self.layernorm(dst['_Norm_0']['LayerNorm_0'])
-            self.layernorm(dst['_Norm_1']['LayerNorm_0'])
+            self.norm_params(dst['_Norm_0'], norm)
+            self.norm_params(dst['_Norm_1'], norm)
         if attention:
             self.attention(dst['ChannelAttention2D_0'])
         if use_1x1conv:
             self.conv(dst['Conv_2'])
+        if norm is not None:
+            self.norm_stats(dst['_Norm_0'], norm)
+            self.norm_stats(dst['_Norm_1'], norm)
 
     def dense_block(self, dst, attention, norm=None):
         """DenseBlock (reference blocks.py:233-277): 1x1 conv1 (the
@@ -229,10 +266,13 @@ class _Consumer:
         self.conv(dst['Conv_0'])
         self.conv(dst['Conv_1'])
         if norm is not None:
-            self.take(2)   # norm1: trained but unused by the forward
-            self.layernorm(dst['_Norm_0']['LayerNorm_0'])
+            self.take(2)   # norm1 gamma/beta: trained, unused by forward
+            self.norm_params(dst['_Norm_0'], norm)
         if attention:
             self.attention(dst['ChannelAttention2D_0'])
+        if norm == 'bn':
+            self.take(2)   # norm1 moving stats: dead like its gamma/beta
+            self.norm_stats(dst['_Norm_0'], norm)
 
     def convnext_block(self, dst, use_1x1conv):
         """ConvNextBlock (reference blocks.py:131-184). Attribute order:
@@ -399,9 +439,13 @@ def _walk_unet(c: _Consumer, p: dict, mod, has_aux: bool):
 
 def _walk_rec(c: _Consumer, p: dict, mod, has_aux: bool):
     """RecNetPostupsampling / RecNetPIN (reference spt_postups.py /
-    spt_preups.py): ConvLSTM backbone, [upsampling], [aux], [localcon],
-    inline output head (aux comes BEFORE localcon in the spt factories —
-    the opposite of the spatial ones)."""
+    spt_preups.py): ConvLSTM backbone, [aux], [upsampling], [localcon],
+    inline output head. The aux ConvBlock lists BEFORE the upsampling
+    layer even though the factory creates it after (spt_postups.py:
+    105-141): Keras functional weight order is graph-depth order, the
+    shallow aux branch (one hop from its own Input to the post-upsampling
+    Concatenate) ties with the upsampler and wins the tie — verified on
+    the actual reference model (recresnet_spc_aux in COMPAT.json)."""
     is_post = hasattr(mod, 'upsampling')
     norm = mod.normalization
     bb = p['_RecBackbone_0']
@@ -409,16 +453,11 @@ def _walk_rec(c: _Consumer, p: dict, mod, has_aux: bool):
         blk = bb[f'RecurrentConvBlock{j}']
         c.convlstm(blk['ConvLSTM2D_0'])
         c.convlstm(blk['ConvLSTM2D_1'])
-        if norm is not None:   # attr order: lstm1, lstm2, norm1, norm2
-            c.layernorm(blk['_Norm_0']['LayerNorm_0'])
-            c.layernorm(blk['_Norm_1']['LayerNorm_0'])
-    if is_post:
-        if mod.upsampling == 'spc':
-            c.spc(p['SubpixelConvolutionBlock_0'], mod.scale)
-        elif mod.upsampling == 'rc':
-            c.rc(p['ResizeConvolutionBlock_0'])
-        elif mod.upsampling == 'dc':
-            c.dc(p['DeconvolutionBlock_0'], mod.scale)
+        if norm is not None:   # attr order: lstm1, lstm2, norm1, norm2;
+            c.norm_params(blk['_Norm_0'], norm)     # bn stats trail
+            c.norm_params(blk['_Norm_1'], norm)
+            c.norm_stats(blk['_Norm_0'], norm)
+            c.norm_stats(blk['_Norm_1'], norm)
     # unnamed ConvBlocks take sequential auto-names in creation order:
     # [aux], attention head, final head
     n = 0
@@ -426,6 +465,13 @@ def _walk_rec(c: _Consumer, p: dict, mod, has_aux: bool):
         # spt aux branch: normalization=None hardcoded in the reference
         c.conv_block(p[f'ConvBlock_{n}'], mod.attention)
         n += 1
+    if is_post:
+        if mod.upsampling == 'spc':
+            c.spc(p['SubpixelConvolutionBlock_0'], mod.scale)
+        elif mod.upsampling == 'rc':
+            c.rc(p['ResizeConvolutionBlock_0'])
+        elif mod.upsampling == 'dc':
+            c.dc(p['DeconvolutionBlock_0'], mod.scale)
     if mod.localcon_layer:
         c.localized(p['LocalizedConvBlock_0'])
     c.transition(p['TransitionLast'])
@@ -441,6 +487,26 @@ def _tree_to_numpy(tree):
     if hasattr(tree, 'items'):
         return {k: _tree_to_numpy(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def _overlay(dst: dict, src: dict) -> None:
+    """Insert `src`'s leaves into `dst` at the same nested paths (used to
+    merge batch_stats mean/var next to the BatchNorm scale/bias so the
+    walkers navigate ONE tree)."""
+    for k, v in src.items():
+        if hasattr(v, 'items'):
+            _overlay(dst.setdefault(k, {}), v)
+        else:
+            dst[k] = v
+
+
+def _extract(merged: dict, template: dict):
+    """Pull `template`'s structure back out of the merged tree."""
+    out = {}
+    for k, v in template.items():
+        out[k] = _extract(merged[k], v) if hasattr(v, 'items') \
+            else merged[k]
+    return out
 
 
 def import_keras_weights(model, variables, source) -> Any:
@@ -465,12 +531,20 @@ def import_keras_weights(model, variables, source) -> Any:
     Raises if any shape mismatches or the weight count differs.
     """
     mod = getattr(model, 'module', model)
-    if getattr(mod, 'normalization', None) not in (None, 'ln'):
+    norm = getattr(mod, 'normalization', None)
+    if norm not in (None, 'ln', 'bn'):
         raise NotImplementedError(
-            "weight import supports normalization=None (and 'ln' for the "
-            "convnext backbone); 'bn' moving statistics are not mapped")
+            f'weight import supports normalization in (None, ln, bn); '
+            f'got {norm!r}')
+    has_bn = norm == 'bn' and 'batch_stats' in variables
     ws = load_weight_list(source)
     p = copy.deepcopy(_tree_to_numpy(variables['params']))
+    if has_bn:
+        # overlay the moving statistics onto the params tree so the
+        # walkers navigate ONE tree (Keras BatchNormalization keeps all
+        # four weights in one layer); split back after consumption
+        _overlay(p, copy.deepcopy(_tree_to_numpy(
+            variables['batch_stats'])))
     c = _Consumer(ws)
     kind = type(mod).__name__
     if kind in ('NetPostupsampling', 'NetPIN'):
@@ -488,7 +562,13 @@ def import_keras_weights(model, variables, source) -> Any:
             'recnet_postupsampling / recnet_pin factories')
     c.done()
     new_vars = dict(variables)
+    cast = lambda ref, new: np.asarray(  # noqa: E731
+        new, dtype=np.asarray(ref).dtype)
     new_vars['params'] = jax.tree_util.tree_map(
-        lambda ref, new: np.asarray(new, dtype=np.asarray(ref).dtype),
-        _tree_to_numpy(variables['params']), p)
+        cast, _tree_to_numpy(variables['params']),
+        _extract(p, _tree_to_numpy(variables['params'])))
+    if has_bn:
+        new_vars['batch_stats'] = jax.tree_util.tree_map(
+            cast, _tree_to_numpy(variables['batch_stats']),
+            _extract(p, _tree_to_numpy(variables['batch_stats'])))
     return new_vars

@@ -191,10 +191,21 @@ class ChannelAttention2D(nn.Module):
     Measured on v5e it is throughput-neutral for this zoo's small channel
     counts (3742 vs 3794 patches/s on the bench workload), so the default
     is the XLA formulation; opt in with use_pallas=True or
-    DL4DS_USE_PALLAS=1."""
+    DL4DS_USE_PALLAS=1.
+
+    Reference quirk replicated via `time_window`: the reference pools with
+    `tf.reduce_mean(x, axis=[1, 2])` (ref blocks.py:588) — correct (H, W)
+    pooling on rank-4 maps, but its spatio-temporal OUTPUT HEADS apply the
+    same layer to rank-5 [B, T, H, W, C] tensors (spt_postups.py:154),
+    where axis=[1, 2] pools over (T, H) and the gate varies along (W, C)
+    and is shared across time. Reference-trained recnet head weights
+    learned THAT gate, so the recnet heads here pass `time_window` to
+    reproduce it on the [B*T]-flattened layout (everything else in the
+    head is 1x1/3x3 convs, identical per timestep either way)."""
     nf: int
     r: int = 4
     use_pallas: Optional[bool] = None
+    time_window: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -209,6 +220,19 @@ class ChannelAttention2D(nn.Module):
         b1 = self.param('b1', nn.initializers.zeros, (cr,))
         w2 = self.param('w2', _GLOROT, (cr, self.nf))
         b2 = self.param('b2', nn.initializers.zeros, (self.nf,))
+        if self.time_window is not None and self.time_window > 1:
+            # rank-5 reference semantics on the [B*T, H, W, C] layout:
+            # mean over (T, H), gate per (W, C), broadcast over (T, H)
+            t = self.time_window
+            bt, h, w, _ = x.shape
+            xr = x.reshape(bt // t, t, h, w, c)
+            m = jnp.mean(xr, axis=(1, 2))                    # [B, W, C]
+            hdn = jax.nn.relu(
+                jnp.einsum('bwc,cr->bwr', m, w1.astype(m.dtype)) + b1)
+            g = jax.nn.sigmoid(
+                jnp.einsum('bwr,rc->bwc', hdn, w2.astype(m.dtype)) + b2)
+            y = xr * g[:, None, None, :, :]
+            return y.reshape(bt, h, w, c)
         use_pallas = self.use_pallas
         if use_pallas is None:
             import os
@@ -259,6 +283,9 @@ class ConvBlock(nn.Module):
     activation: Optional[str] = 'relu'
     normalization: Optional[str] = None
     attention: bool = False
+    # reference rank-5 attention quirk (see ChannelAttention2D): set by
+    # the recnet output heads to their time_window
+    attention_time: Optional[int] = None
     dropout_rate: float = 0.0
     dropout_variant: Optional[str] = None
     depthwise_separable: bool = False
@@ -279,7 +306,9 @@ class ConvBlock(nn.Module):
         y = _Norm(self.normalization, self.dtype)(y, training)
         y = act(y)
         if self.attention:
-            y = ChannelAttention2D(self.filters, dtype=self.dtype)(y)
+            y = ChannelAttention2D(self.filters,
+                                   time_window=self.attention_time,
+                                   dtype=self.dtype)(y)
         return y
 
 

@@ -479,6 +479,10 @@ class RecNetPostupsampling(nn.Module):
                       dropout_rate=self.dropout_rate,
                       normalization=self.normalization,
                       attention=self.output_attention,
+                      # reference rank-5 quirk: the spt head's attention
+                      # pools over (T, H) and gates per (W, C) — see
+                      # ChannelAttention2D.time_window
+                      attention_time=t,
                       dtype=self.dtype)(x, training)
         x = ConvBlock(self.n_channels_out,
                       activation=self.output_activation, dropout_rate=0.0,
@@ -533,6 +537,10 @@ class RecNetPIN(nn.Module):
                       dropout_rate=self.dropout_rate,
                       normalization=self.normalization,
                       attention=self.output_attention,
+                      # reference rank-5 quirk: the spt head's attention
+                      # pools over (T, H) and gates per (W, C) — see
+                      # ChannelAttention2D.time_window
+                      attention_time=t,
                       dtype=self.dtype)(x, training)
         x = ConvBlock(self.n_channels_out,
                       activation=self.output_activation, dropout_rate=0.0,

@@ -43,10 +43,9 @@ CASES = [
     # ln tolerances: LayerNorm on untrained nets divides by the tiny std
     # of near-symmetric activations, amplifying both frameworks' f32
     # noise ~1000x (verified: the diff persists with JAX in f64, i.e. the
-    # floor is TF-side); through a recurrent (ConvLSTM) stack the
-    # amplification is chaotic, so that case is checked statistically.
-    # Note LN ORDER itself is untestable on fresh models (gamma=1/beta=0
-    # everywhere) — it is pinned by attribute-order analysis instead.
+    # floor is TF-side). LN ORDER on fresh models is invisible
+    # (gamma=1/beta=0 everywhere); the randomize=True cases pin it with
+    # distinct per-tensor values.
     ('convnext_pin', 'pin', dict(backbone='convnext', aux=0, n_out=2,
                                  attention=False, normalization='ln',
                                  tol=1e-3)),
@@ -54,12 +53,29 @@ CASES = [
                                   attention=False, normalization='ln',
                                   tol=1e-3)),
     # exact recpin control: same topology as recresnet_pin_ln minus the
-    # LayerNorms — isolates the statistical case's looseness to LN chaos
+    # LayerNorms
     ('recresnet_pin', 'recpin', dict(backbone='resnet', aux=0,
                                      attention=False, tol=1e-4)),
+    # EXACT since round 5: this row was `corr>0.95` statistical through
+    # round 4 (maxdiff ~1.97), attributed to untrained-LN recurrence
+    # chaos — the true cause was the rank-5 head-attention quirk (the
+    # reference pools over (T, H); see ChannelAttention2D.time_window).
+    # With the quirk replicated the row is numerically exact.
     ('recresnet_pin_ln', 'recpin', dict(backbone='resnet', aux=0, n_out=2,
                                         attention=False,
-                                        normalization='ln', stat=True)),
+                                        normalization='ln', tol=1e-4)),
+    # step-bounded exact check for the recurrent-LN MAPPING: at tw=2 the
+    # recurrent kernel wh contributes exactly once (h0=0 at tw=1 would
+    # leave it untested), before the T-step LN chaos that forces the
+    # tw=3 row above to a statistical criterion can amplify. randomize:
+    # fresh LN weights are gamma=1/beta=0 everywhere (order invisible)
+    # AND put the activations in the degenerate near-symmetric regime
+    # whose tiny stds amplify f32 noise — distinct random weights pin
+    # the LN order and keep the comparison in the well-conditioned regime
+    ('recresnet_pin_ln_t2', 'recpin', dict(backbone='resnet', aux=0,
+                                           n_out=2, attention=False,
+                                           normalization='ln', tw=2,
+                                           randomize=True, tol=1e-4)),
     ('resnet_spc_lcb', 'post', dict(backbone='resnet', upsampling='spc',
                                     scale=4, aux=0, attention=False,
                                     localcon=True)),
@@ -67,8 +83,28 @@ CASES = [
                                   scale=4, aux=0, attention=False)),
     ('recdensenet_rc', 'rec', dict(backbone='densenet', upsampling='rc',
                                    scale=4, aux=0, attention=False)),
+    # recnet WITH an HR-aux branch: exercises _walk_rec's aux-BEFORE-
+    # localcon auto-naming (ConvBlock_0 is the aux block)
+    ('recresnet_spc_aux', 'rec', dict(backbone='resnet', upsampling='spc',
+                                      scale=4, aux=2, attention=False)),
+    # dc at scale 8: the tied deconv_2of3 two-use mapping
+    ('resnet_dc8', 'post', dict(backbone='resnet', upsampling='dc',
+                                scale=8, aux=0, attention=False)),
     ('unet_pin_spc', 'unet', dict(aux=0, attention=False,
                                   decoder_upsampling='spc')),
+    ('unet_pin_rc', 'unet', dict(aux=0, attention=False,
+                                 decoder_upsampling='rc')),
+    ('unet_pin_dc', 'unet', dict(aux=0, attention=False,
+                                 decoder_upsampling='dc')),
+    # bn: Keras BatchNormalization -> flax params + batch_stats. Fresh
+    # bn weights are degenerate (gamma=1, beta=0, mean=0, var=1 — any
+    # ordering "matches"), so the REFERENCE weights are randomized first;
+    # inference-mode bn is then a distinct affine per layer and a wrong
+    # mapping cannot pass
+    ('resnet_spc_bn', 'post', dict(backbone='resnet', upsampling='spc',
+                                   scale=4, aux=0, attention=False,
+                                   normalization='bn', randomize=True,
+                                   tol=1e-3)),
 ]
 
 
@@ -79,7 +115,7 @@ def build_pair(label, family, cfg, ref):
 
     n_ch, n_blocks, n_filters = 1, 2, 6
     lr, scale = 8, cfg.get('scale', 4)
-    tw = 3
+    tw = cfg.get('tw', 3)
     aux = cfg.get('aux', 0)
     norm = cfg.get('normalization')
     att = cfg.get('attention', False)
@@ -174,6 +210,18 @@ def run_case(label, family, cfg, ref):
     import jax
     from dl4ds_tpu.compat import import_keras_weights
     tfm, m, x, s = build_pair(label, family, cfg, ref)
+    if cfg.get('randomize'):
+        # fresh norm weights are degenerate (see CASES comment); give the
+        # reference model distinct values per tensor so the mapping order
+        # is actually pinned. Variances must stay positive.
+        rnd = np.random.default_rng(7)
+        new = []
+        for w in tfm.weights:
+            a = (0.3 * rnd.standard_normal(w.shape)).astype('float32')
+            if 'variance' in w.name:
+                a = np.abs(a) + 0.5
+            new.append(a)
+        tfm.set_weights(new)
     variables = m.init(jax.random.PRNGKey(0), batch_size=x.shape[0])
     try:
         variables = import_keras_weights(m, variables, tfm)
@@ -219,6 +267,13 @@ def main():
             'maxdiff': None if d is None else float(d),
             'criterion': ('corr>0.95' if cfg.get('stat') else
                           f"maxdiff<{cfg.get('tol', 5e-5):g}"),
+            # consumers scanning 'ok' must see HOW a row passed: 'exact'
+            # rows are numeric maxdiff bounds; 'statistical' rows
+            # (untrained-LN recurrence chaos) pass on correlation, with a
+            # step-bounded exact companion row (recresnet_pin_ln_t2)
+            # pinning that the weight MAPPING itself is exact
+            'criterion_kind': ('statistical' if cfg.get('stat')
+                               else 'exact'),
         }
         fails += (not ok)
     if not only:
