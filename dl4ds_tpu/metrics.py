@@ -84,14 +84,18 @@ def compute_correlation(y, y_hat, over='time', mode='spearman', n_jobs=None):
 
 def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
                     n_jobs=-1, scaler=None, mask=None, save_path=None,
-                    lats=None, lons=None):
+                    lats=None, lons=None, projection=None):
     """Compute and report the full metric suite
     (reference: dl4ds/metrics.py:100-327). Returns
     (rmse_map, pearson_corrmap, nmeanbias).
 
     With `lats`/`lons` (1-D coordinate vectors) the map plots are drawn on
     the geographic extent with degree axis labels — the stand-in for the
-    reference's ecubevis georeferenced panels."""
+    reference's ecubevis georeferenced panels. `projection=` additionally
+    writes each map as a `*_projected.png` on a true geographic
+    projection (cartopy CRS + coastlines when cartopy is installed,
+    matplotlib's geo axes otherwise — viz.plot_projected), matching the
+    reference's ecubevis output class (ref metrics.py:202-218)."""
     timing = Timing()
 
     y_test = np.asarray(_to_numpy(y_test), 'float32')
@@ -144,7 +148,7 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
         temp_rmse_map[np.where(mask == 0)] = 0
     _plot_map(temp_rmse_map, f'RMSE map (mu = {mean_temp_rmse:.6f})',
               save_path, 'metrics_pergridpoint_rmse_map', dpi,
-              cmap='viridis', lats=lats, lons=lons)
+              cmap='viridis', lats=lats, lons=lons, projection=projection)
 
     # normalized per-grid-point RMSE
     norm_temp_rmse_map = temp_rmse_map / (np.mean(y_test) * 100)
@@ -155,7 +159,7 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     _plot_map(norm_temp_rmse_map,
               f'nRMSE map (mu = {norm_mean_temp_rmse:.6f})', save_path,
               'metrics_pergridpoint_nrmse_map', dpi, cmap='viridis',
-              lats=lats, lons=lons)
+              lats=lats, lons=lons, projection=projection)
 
     # normalized mean bias
     nmeanbias = np.mean(y_test_hat - y_test, axis=0)
@@ -168,7 +172,7 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
         nmeanbias[np.where(mask == 0)] = 0
     _plot_map(nmeanbias, f'NMBias map (mu = {mean_nmeanbias:.6f})',
               save_path, 'metrics_nmeanbias_map', dpi, cmap='viridis',
-              lats=lats, lons=lons)
+              lats=lats, lons=lons, projection=projection)
 
     # correlations
     spatial_spearman_corr = compute_correlation(y_test, y_test_hat,
@@ -194,7 +198,7 @@ def compute_metrics(y_test, y_test_hat, dpi=150, plot_size_px=1000,
     _plot_map(temp_pearson_corrmap,
               f'Pearson correlation map (mu = {mean_t_pear:.6f})', save_path,
               'metrics_pergridpoint_corrpears_map', dpi, cmap='magma',
-              lats=lats, lons=lons)
+              lats=lats, lons=lons, projection=projection)
 
     _plot_violins(
         [(np.asarray(psnr_vals), 'PSNR', mean_psnr, std_psnr),
@@ -327,7 +331,7 @@ def rank_histogram(y, members, seed=0):
 
 def compute_prob_metrics(y_test, members, dpi=150, save_path=None,
                          lats=None, lons=None, fair=True, seed=0,
-                         scaler=None):
+                         scaler=None, projection=None):
     """Probabilistic verification suite for ensemble forecasts
     (deep ensembles via `parallel.predict_ensemble` or MC dropout via
     `predict_mc`, both with ``return_members=True``): per-grid-point CRPS
@@ -361,10 +365,10 @@ def compute_prob_metrics(y_test, members, dpi=150, save_path=None,
     counts = rank_histogram(y_test, members, seed=seed)
 
     _plot_map(crps_map, f'CRPS map (mu = {mean_crps:.6f})', save_path,
-              'metrics_crps_map', dpi, cmap='viridis', lats=lats, lons=lons)
+              'metrics_crps_map', dpi, cmap='viridis', lats=lats, lons=lons, projection=projection)
     _plot_map(spread_map, f'Ensemble spread map (sigma_bar = {spread:.6f})',
               save_path, 'metrics_spread_map', dpi, cmap='magma',
-              lats=lats, lons=lons)
+              lats=lats, lons=lons, projection=projection)
     _plot_rank_histogram(counts, save_path, dpi)
 
     fh = (open(os.path.join(save_path, 'metrics_prob_summary.txt'), 'a')
@@ -405,7 +409,7 @@ def _plot_rank_histogram(counts, save_path, dpi):
 
 
 def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis',
-              lats=None, lons=None):
+              lats=None, lons=None, projection=None):
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -418,6 +422,15 @@ def _plot_map(arr, title, save_path, fname, dpi, cmap='viridis',
         fig.savefig(os.path.join(save_path, fname + '.png'),
                     bbox_inches='tight')
     plt.close(fig)
+    if (projection is not None and lats is not None and lons is not None
+            and save_path is not None):
+        # geographic companion artifact (cartopy CRS when installed,
+        # matplotlib geo axes otherwise — viz.plot_projected)
+        from .viz import plot_projected
+        plot_projected(np.squeeze(arr), lats, lons, projection=projection,
+                       cmap=cmap, plot_title=title, dpi=dpi,
+                       save_fname=os.path.join(
+                           save_path, fname + '_projected.png'))
 
 
 def _plot_violins(entries, save_path, dpi):

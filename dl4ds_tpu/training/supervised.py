@@ -589,6 +589,20 @@ class SupervisedTrainer(Trainer):
         val_batches = self.ds_val.n // self.global_batch_size
         val_steps = (self.validation_steps if self.validation_steps is not None
                      else max(val_batches, 1))
+        if not self.data_in_hbm:
+            # the streaming tier draws WHOLE batches from the host
+            # producer (HostStreamer emits n // batch_size of them): an
+            # eval split smaller than one global batch would yield an
+            # EMPTY eval epoch and a silent NaN mean. The in-HBM tier is
+            # unaffected (index synthesis wraps the permutation).
+            for nm, ds in (('data_val', self.ds_val),
+                           ('data_test', self.ds_test)):
+                if ds.n < self.global_batch_size:
+                    raise ValueError(
+                        f'{nm} yields no full global batch in the '
+                        f'streaming tier (n={ds.n}, global_batch_size='
+                        f'{self.global_batch_size}); reduce batch_size, '
+                        f'use fewer devices, or set data_in_hbm=True')
 
         history = {'loss': [], 'val_loss': []}
         best_val = np.inf

@@ -160,12 +160,36 @@ def interactive_panel(array, lats=None, lons=None, save_path='panel.html',
     return save_path
 
 
+def _cartopy_projection(name):
+    """cartopy CRS for `name`, or None when cartopy is absent / the name
+    is unknown to it (caller falls back to matplotlib's geo axes)."""
+    try:
+        import cartopy.crs as ccrs
+    except ImportError:
+        return None
+    table = {'mollweide': ccrs.Mollweide, 'robinson': ccrs.Robinson,
+             'platecarree': ccrs.PlateCarree, 'mercator': ccrs.Mercator,
+             'orthographic': ccrs.Orthographic,
+             'lambert': ccrs.LambertCylindrical,
+             'hammer': getattr(ccrs, 'Hammer', None),
+             'aitoff': getattr(ccrs, 'Aitoff', None)}
+    cls = table.get(str(name).lower())
+    return cls() if cls is not None else None
+
+
 def plot_projected(array, lats, lons, projection='mollweide', cmap='viridis',
                    plot_title=None, save_fname=None, dpi=100):
-    """Georeferenced field on a true geographic projection (matplotlib's
-    built-in 'mollweide' | 'hammer' | 'aitoff' | 'lambert' axes — the
-    projected-map role ecubevis fills in the reference's metric maps,
-    ref metrics.py:202-218).
+    """Georeferenced field on a true geographic projection — the
+    projected-map role ecubevis fills in the reference's metric maps
+    (ref metrics.py:202-218).
+
+    With cartopy installed, `projection` resolves to a cartopy CRS
+    ('mollweide' | 'robinson' | 'platecarree' | 'mercator' |
+    'orthographic' | 'lambert' | ...) and panels get coastlines —
+    matching the reference's ecubevis output class. Without cartopy (it
+    is optional), matplotlib's built-in geographic axes ('mollweide' |
+    'hammer' | 'aitoff' | 'lambert') are used; unknown names fall back
+    to 'mollweide' with a warning, never an ImportError.
 
     `array`: [H, W] (or [N, H, W]: panels). `lats` [H] / `lons` [W] in
     degrees; lons may be 0..360 (wrapped to -180..180 internally).
@@ -189,15 +213,36 @@ def plot_projected(array, lats, lons, projection='mollweide', cmap='viridis',
     order = np.argsort(lons)
     lons = lons[order]
     a = a[:, :, order]
-    lon_r = np.deg2rad(lons)
-    lat_r = np.deg2rad(lats)
     n = a.shape[0]
+    crs = _cartopy_projection(projection)
     fig = plt.figure(figsize=(6 * n, 3.2), dpi=dpi)
-    for i in range(n):
-        ax = fig.add_subplot(1, n, i + 1, projection=projection)
-        mesh = ax.pcolormesh(lon_r, lat_r, a[i], cmap=cmap, shading='auto')
-        ax.grid(True, alpha=0.3)
-        fig.colorbar(mesh, ax=ax, shrink=0.7)
+    if crs is not None:
+        import cartopy.crs as ccrs
+        for i in range(n):
+            ax = fig.add_subplot(1, n, i + 1, projection=crs)
+            mesh = ax.pcolormesh(lons, lats, a[i], cmap=cmap,
+                                 shading='auto',
+                                 transform=ccrs.PlateCarree())
+            ax.coastlines(linewidth=0.5)
+            ax.gridlines(alpha=0.3)
+            fig.colorbar(mesh, ax=ax, shrink=0.7)
+    else:
+        mpl_geo = ('mollweide', 'hammer', 'aitoff', 'lambert')
+        proj = str(projection).lower()
+        if proj not in mpl_geo:
+            import warnings
+            warnings.warn(
+                f'projection {projection!r} needs cartopy (not installed) '
+                f"— falling back to matplotlib 'mollweide'", RuntimeWarning)
+            proj = 'mollweide'
+        lon_r = np.deg2rad(lons)
+        lat_r = np.deg2rad(lats)
+        for i in range(n):
+            ax = fig.add_subplot(1, n, i + 1, projection=proj)
+            mesh = ax.pcolormesh(lon_r, lat_r, a[i], cmap=cmap,
+                                 shading='auto')
+            ax.grid(True, alpha=0.3)
+            fig.colorbar(mesh, ax=ax, shrink=0.7)
     if plot_title:
         fig.suptitle(plot_title)
     if save_fname is not None:

@@ -43,6 +43,7 @@ def test_init_ensemble_members_are_independent():
         float(jnp.abs(k[0] - k[1]).max()) > 1e-4 for k in kernels)
 
 
+@pytest.mark.core
 def test_ensemble_step_matches_independent_training(rng):
     """Member i of the vmapped/sharded step must evolve exactly like the
     same member trained alone (bootstrap off, no dropout)."""

@@ -69,6 +69,7 @@ def test_tiled_nondivisible_grid(rng):
     np.testing.assert_allclose(y_tiled, y_full, atol=1e-4)
 
 
+@pytest.mark.core
 def test_spatial_sharded_matches_everywhere(rng):
     """H-axis sharded inference (shard_map + ppermute halo exchange, windows
     anchored flush at the true borders) matches unsharded inference
@@ -138,6 +139,7 @@ def _mesh_2d(n_data=2, n_space=4):
     return Mesh(devs, ('data', 'space'))
 
 
+@pytest.mark.core
 def test_spatial_sharded_step_matches_unsharded(rng):
     """Spatially-sharded TRAINING: (loss, grads) from the DPxSP
     shard_map step (halo exchange in the input path, psum of per-band
@@ -389,6 +391,7 @@ def test_tensor_param_shardings_rules():
     assert n_model >= 10  # the zoo's conv kernels do shard
 
 
+@pytest.mark.core
 def test_tensor_sharded_step_matches_unsharded(rng):
     """Weights sharded over a 'model' axis (GSPMD-partitioned step):
     k steps of Adam must match the unsharded program to float

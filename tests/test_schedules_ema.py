@@ -213,6 +213,7 @@ def test_ema_update_gated_on_multisteps_commit():
         rtol=1e-6)
 
 
+@pytest.mark.core
 def test_ema_trajectory_matches_unaccumulated_equivalent(data, rng):
     """Regression (VERDICT r3 #6): with gradient_accumulation_steps=2 the
     EMA trajectory equals an unaccumulated run on the same effective

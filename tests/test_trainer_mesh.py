@@ -62,6 +62,7 @@ def test_tensor_parallel_mesh_matches_dp_trainer():
     assert tr_tp.global_batch_size == tr_dp.global_batch_size == 8
 
 
+@pytest.mark.core
 def test_spatial_mesh_matches_dp_trainer():
     """SP x DP through the trainer: one sharding constraint on the
     synthesized batch height seeds GSPMD's spatial partitioning (its own
@@ -82,6 +83,7 @@ def test_spatial_mesh_matches_dp_trainer():
                                float(tr_sp.test_loss), rtol=2e-4)
 
 
+@pytest.mark.core
 def test_tp_mesh_streaming_tier():
     """TP composes with the host-streaming tier (data_in_hbm=False): the
     per-batch jitted step carries the same channel shardings."""

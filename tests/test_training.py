@@ -49,6 +49,7 @@ def test_supervised_spc_patches(data):
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.core
 def test_supervised_batchnorm(data):
     tr = dds.SupervisedTrainer(
         backbone='convnet', upsampling='pin', **_splits(data), scale=4,
@@ -72,6 +73,7 @@ def test_supervised_spatiotemporal(data):
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.core
 def test_supervised_early_stopping(data):
     tr = dds.SupervisedTrainer(
         backbone='convnet', upsampling='pin', **_splits(data), scale=4,
@@ -83,6 +85,7 @@ def test_supervised_early_stopping(data):
     assert len(tr.fithist['loss']) <= 4
 
 
+@pytest.mark.core
 def test_supervised_resume(data):
     tr1 = dds.SupervisedTrainer(
         backbone='convnet', upsampling='pin', **_splits(data), scale=4,
@@ -181,6 +184,7 @@ def test_predict_tail_batch_single_compile(data, monkeypatch):
     assert sizes and all(s == 1 for s in sizes), sizes
 
 
+@pytest.mark.core
 def test_supervised_explicit_pairs(rng):
     hr = rng.standard_normal((30, 16, 16, 1)).astype('float32')
     from dl4ds_tpu.interpolation import resize2d
@@ -246,6 +250,7 @@ def test_lr_scaling_with_mesh(data):
     assert np.isclose(float(tr._lr), 8e-3) or callable(tr._lr)
 
 
+@pytest.mark.core
 def test_supervised_host_streamer(data):
     """data_in_hbm=False: training streams batches from host RAM through the
     native gather/crop path."""
@@ -259,6 +264,7 @@ def test_supervised_host_streamer(data):
     assert len(tr.fithist['loss']) == 2
 
 
+@pytest.mark.core
 def test_cgan_spatiotemporal(data):
     tr = dds.CGANTrainer(
         backbone='resnet', upsampling='spc', data_train=data[:28],
@@ -272,6 +278,7 @@ def test_cgan_spatiotemporal(data):
     assert np.isfinite(tr.test_loss)
 
 
+@pytest.mark.core
 def test_supervised_checkpoint_resume(data, tmp_path):
     """Periodic full-state checkpoints + resume_from_checkpoint."""
     save_path = str(tmp_path) + '/'
@@ -585,6 +592,7 @@ def test_cgan_scale5_valid_conv_discriminator(data):
     assert (3, 3, 4, 4) in shapes
 
 
+@pytest.mark.core
 def test_gradient_accumulation_matches_large_batch(data):
     """k=2 accumulation over the SAME microbatch twice must produce exactly
     the k=1 single-step update (mean of two identical gradients)."""
@@ -717,3 +725,18 @@ def test_zero_eval_steps_rejected(data):
         dds.SupervisedTrainer(
             backbone='convnet', upsampling='pin', **_splits(data), scale=4,
             validation_steps=0)
+
+
+@pytest.mark.core
+def test_streaming_undersized_eval_split_rejected(data):
+    """Streaming tier (data_in_hbm=False): an eval split smaller than one
+    global batch would produce an EMPTY HostStreamer epoch and a silent
+    NaN eval loss — it must be rejected up front like the train split."""
+    import dl4ds_tpu as dds
+    tr = dds.SupervisedTrainer(
+        'convnet', 'pin', data_train=data[:16], data_val=data[16:18],
+        data_test=data[18:], scale=4, batch_size=1, epochs=1, loss='mae',
+        n_filters=4, n_blocks=1, save=False, verbose=False,
+        data_in_hbm=False)
+    with pytest.raises(ValueError, match='data_val.*streaming'):
+        tr.run()

@@ -3,6 +3,8 @@ reference: dl4ds/dataloader.py:260-289 and metrics.py:202-218 render
 through `ecubevis`; dl4ds_tpu renders through `viz.py` with no extra
 dependencies)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,3 +81,43 @@ def test_plot_ndarray_interactive_routes_to_viewer(tmp_path, rng):
                        lats=np.linspace(10, 0, 8), lons=np.arange(8.0))
     html = open(out).read()
     assert '<canvas' in html and 'T=2, H=8, W=8' in html
+
+
+def test_plot_projected_cartopy_fallback_warns(tmp_path, rng):
+    """cartopy is optional: a cartopy-only projection name must fall back
+    to matplotlib's geo axes with a warning, never ImportError."""
+    import warnings
+    from dl4ds_tpu.viz import plot_projected, _cartopy_projection
+    a = rng.standard_normal((6, 8)).astype('float32')
+    lats = np.linspace(-60, 60, 6)
+    lons = np.linspace(0, 350, 8)
+    out = str(tmp_path / 'proj.png')
+    if _cartopy_projection('robinson') is None:   # cartopy absent
+        with pytest.warns(RuntimeWarning, match='cartopy'):
+            plot_projected(a, lats, lons, projection='robinson',
+                           save_fname=out)
+    else:
+        plot_projected(a, lats, lons, projection='robinson',
+                       save_fname=out)
+    assert os.path.getsize(out) > 1000
+    # matplotlib-native names never warn
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        plot_projected(a, lats, lons, projection='mollweide',
+                       save_fname=str(tmp_path / 'moll.png'))
+
+
+def test_compute_metrics_projected_artifacts(tmp_path, rng):
+    """compute_metrics(projection=) writes a *_projected.png companion for
+    every metric map (the reference's ecubevis projected panels role)."""
+    from dl4ds_tpu.metrics import compute_metrics
+    y = rng.standard_normal((6, 12, 16, 1)).astype('float32') + 5
+    yh = y + 0.1 * rng.standard_normal(y.shape).astype('float32')
+    sp = str(tmp_path) + '/'
+    compute_metrics(y, yh, save_path=sp,
+                    lats=np.linspace(-30, 30, 12),
+                    lons=np.linspace(10, 55, 16), projection='mollweide')
+    for f in ('metrics_pergridpoint_rmse_map', 'metrics_nmeanbias_map',
+              'metrics_pergridpoint_corrpears_map'):
+        assert os.path.getsize(os.path.join(sp, f + '_projected.png')) \
+            > 1000, f
