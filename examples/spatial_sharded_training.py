@@ -8,6 +8,12 @@ exchanged over ICI with `lax.ppermute`), the batch across 'data'.
 Gradients are exactly those of the unsharded global mean pixel loss
 (see the builder's docstring; verified in tests/test_parallel.py).
 
+For the trainer-integrated route (schedules/EMA/checkpointing composed),
+pass a ('data', 'space') mesh straight to `SupervisedTrainer(mesh=)` —
+GSPMD then spatially partitions the same fused train step (see
+examples/tensor_parallel_training.py and docs/MULTICHIP.md); this
+example shows the standalone explicit-halo step.
+
     python examples/spatial_sharded_training.py --cpu   # 8 virtual CPU devices
     python examples/spatial_sharded_training.py                      # TPU mesh
 """
