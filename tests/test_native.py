@@ -165,19 +165,21 @@ def test_host_streamer_spatiotemporal_statics(rng):
 def test_trainer_streaming_with_statics_predictors_season(rng):
     """data_in_hbm=False now supports the full feature matrix."""
     import dl4ds_tpu as dds
-    data = rng.standard_normal((40, 16, 16, 1)).astype('float32')
+    # val/test sized to one global batch (2 x 8 devices): the streaming
+    # tier refuses undersized eval splits
+    data = rng.standard_normal((56, 16, 16, 1)).astype('float32')
     statics = [rng.standard_normal((16, 16)).astype('float32')]
-    preds = [rng.standard_normal((40, 4, 4, 1)).astype('float32')]
-    sid = np.tile([0, 1, 2, 3], 10)
+    preds = [rng.standard_normal((56, 4, 4, 1)).astype('float32')]
+    sid = np.tile([0, 1, 2, 3], 14)
     tr = dds.SupervisedTrainer(
         backbone='resnet', upsampling='spc', data_train=data[:24],
-        data_val=data[24:32], data_test=data[32:], static_vars=statics,
-        predictors_train=[preds[0][:24]], predictors_val=[preds[0][24:32]],
-        predictors_test=[preds[0][32:]], scale=4, patch_size=8, batch_size=2,
+        data_val=data[24:40], data_test=data[40:], static_vars=statics,
+        predictors_train=[preds[0][:24]], predictors_val=[preds[0][24:40]],
+        predictors_test=[preds[0][40:]], scale=4, patch_size=8, batch_size=2,
         epochs=1, steps_per_epoch=2, validation_steps=1, test_steps=1,
         n_filters=4, n_blocks=1, save=False, verbose=False,
         data_in_hbm=False,
-        season_ids=(sid[:24], sid[24:32], sid[32:]))
+        season_ids=(sid[:24], sid[24:40], sid[40:]))
     tr.run()
     assert np.isfinite(tr.test_loss)
 
@@ -228,7 +230,9 @@ def test_host_streamer_memmap_disk_tier(tmp_path, rng):
     # end-to-end: train from the memmapped dataset (streaming tier)
     tr = dds.SupervisedTrainer(
         backbone='resnet', upsampling='spc', data_train=mm,
-        data_val=data[:8], data_test=data[:8], scale=4, patch_size=16,
+        # whole array as val/test: streaming eval needs >= one global
+        # batch (4 x 8 devices = 32 samples)
+        data_val=data, data_test=data, scale=4, patch_size=16,
         batch_size=4, epochs=1, steps_per_epoch=2, validation_steps=1,
         test_steps=1, loss='mae', n_filters=4, n_blocks=1, save=False,
         verbose=False, data_in_hbm=False)
@@ -283,6 +287,10 @@ import sys, resource
 import numpy as np
 import os
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# single device: the inherited 8-device XLA flag would make the global
+# batch 32 and the small run's 4-sample eval splits undersized (the
+# streaming tier refuses those); device count is irrelevant to RSS
+os.environ['XLA_FLAGS'] = ''
 import jax; jax.config.update('jax_platforms', 'cpu')
 import dl4ds_tpu as dds
 mm = np.load(sys.argv[1], mmap_mode='r')

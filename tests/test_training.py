@@ -253,9 +253,13 @@ def test_lr_scaling_with_mesh(data):
 @pytest.mark.core
 def test_supervised_host_streamer(data):
     """data_in_hbm=False: training streams batches from host RAM through the
-    native gather/crop path."""
+    native gather/crop path. Val/test need >= one global batch
+    (2 x 8 devices = 16 samples) — the streaming tier refuses undersized
+    eval splits instead of silently evaluating nothing."""
+    data2 = np.concatenate([data, data])
     tr = dds.SupervisedTrainer(
-        backbone='resnet', upsampling='spc', **_splits(data), scale=4,
+        backbone='resnet', upsampling='spc', data_train=data2[:24],
+        data_val=data2[24:40], data_test=data2[40:56], scale=4,
         patch_size=8, batch_size=2, epochs=2, steps_per_epoch=3,
         validation_steps=1, test_steps=1, n_filters=4, n_blocks=1,
         save=False, verbose=False, data_in_hbm=False)

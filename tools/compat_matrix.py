@@ -60,10 +60,14 @@ CASES = [
     # round 4 (maxdiff ~1.97), attributed to untrained-LN recurrence
     # chaos — the true cause was the rank-5 head-attention quirk (the
     # reference pools over (T, H); see ChannelAttention2D.time_window).
-    # With the quirk replicated the row is numerically exact.
+    # With the quirk replicated the row is numerically exact. tol matches
+    # the other LN rows (1e-3, vs 1e-4 for no-LN): f32 rsqrt differences
+    # amplify through T=3 recurrent LayerNorms — measured maxdiff
+    # ~1.6e-4, an order under the bound; the tw=2 row below pins the
+    # MAPPING at 1e-4 before the recurrence can amplify.
     ('recresnet_pin_ln', 'recpin', dict(backbone='resnet', aux=0, n_out=2,
                                         attention=False,
-                                        normalization='ln', tol=1e-4)),
+                                        normalization='ln', tol=1e-3)),
     # step-bounded exact check for the recurrent-LN MAPPING: at tw=2 the
     # recurrent kernel wh contributes exactly once (h0=0 at tw=1 would
     # leave it untested), before the T-step LN chaos that forces the
