@@ -575,7 +575,7 @@ class ConvLSTM2D(nn.Module):
     _UNROLL_MAX_T = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         b, t, h, w, cin = x.shape
         f = self.filters
         use_pallas = self.use_pallas
@@ -602,11 +602,16 @@ class ConvLSTM2D(nn.Module):
                 kernel_init=nn.initializers.glorot_uniform(),
                 bias_init=_unit_forget_bias, name='input_conv')()
             wh = _CellShim((kh, kw, f, 4 * f), name='cell')()
-            # cast inputs like Conv(dtype=...) would on the XLA path
+            # cast inputs like Conv(dtype=...) would on the XLA path;
+            # `training` is a MODE hint for the dispatcher — the cin=F=16
+            # valley runs the fused forward for inference (2.6x XLA) but
+            # XLA's joint fwd+bwd program for training (measured faster
+            # than fused-fwd + split-bwd; dispatch_info 'train-slower')
             return fused_convlstm(x.astype(self.dtype),
                                   wx.astype(self.dtype),
                                   bxb.astype(self.dtype),
-                                  wh.astype(self.dtype))
+                                  wh.astype(self.dtype),
+                                  training=training)
         # Input conv over the whole window at once, with [B, T] flattened to
         # one batch axis: XLA:TPU lowers rank-5 convs far slower than the
         # identical rank-4 program (see nets.py head note; measured ~25x).
@@ -662,11 +667,13 @@ class RecurrentConvBlock(nn.Module):
     def __call__(self, x, training: bool = False):
         act = get_activation(self.activation)
         y = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(x, training)
-        y = ConvLSTM2D(self.filters, self.ks_cl1, dtype=self.dtype)(y)
+        y = ConvLSTM2D(self.filters, self.ks_cl1, dtype=self.dtype)(
+            y, training)
         y = _Norm(self.normalization, self.dtype)(y, training)
         y = act(y)
         y = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(y, training)
-        y = ConvLSTM2D(self.filters, self.ks_cl2, dtype=self.dtype)(y)
+        y = ConvLSTM2D(self.filters, self.ks_cl2, dtype=self.dtype)(
+            y, training)
         y = _Norm(self.normalization, self.dtype)(y, training)
         return act(y)
 

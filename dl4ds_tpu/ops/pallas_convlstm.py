@@ -151,10 +151,22 @@ def _band(wk, w, w_valid=None):
 
 def _unband(dbw, kh, kw, cin, f, w, w_valid=None):
     """Fold the band-matrix gradient [kh, W*Cin, 4*W*F] back to the per-tap
-    conv-kernel gradient [kh, kw, Cin, 4F]."""
+    conv-kernel gradient [kh, kw, Cin, 4F].
+
+    precision=HIGHEST is load-bearing, not a tweak: measured on TPU
+    (tools/unband_probe.py), the default-precision einsum is lowered as a
+    convolution that (a) silently demotes to bf16 (maxdiff 2.8e-2 vs f64
+    on f32 inputs — weight gradients deserve the f32 the backward
+    accumulated) and (b) gets pattern-matched INTO the preceding
+    weight-grad GEMM as a rank-6 small-minor fusion running 6x slower
+    than the two ops separately (176 us vs ~29+29 at cin=F=16). Pinning
+    HIGHEST keeps it f32 (maxdiff ~9e-7) AND faster (29.4/16.6 us per
+    fold at F=16/F=8) — it also beat the jnp.diagonal and eye-mask
+    reformulations the probe tried."""
     dbig = dbw.reshape(kh, w, cin, 4, w, f)                  # d i c g o e
     s = _x_selector(kw, w, w_valid)                          # x i o
-    dwk6 = jnp.einsum('xio,dicgoe->dxcge', s, dbig)
+    dwk6 = jnp.einsum('xio,dicgoe->dxcge', s, dbig,
+                      precision=jax.lax.Precision.HIGHEST)
     return dwk6.reshape(kh, kw, cin, 4 * f)
 
 
@@ -252,6 +264,72 @@ def _fwd_kernel(t_steps, kh, x_ref, bwx_ref, bwh_ref, bb_ref,
         return cc
 
     jax.lax.fori_loop(0, t_steps, step, jnp.zeros((bt, h, wf), dt))
+
+
+def _bwd_seq_kernel(t_steps, kh, zs_ref, cs_ref, dys_ref, bwhT_ref,
+                    dzs_ref):
+    """Sequential half of BPTT ONLY: the dh/dc chain — gate derivatives
+    (VPU math on the saved pre-activations) plus the kh recurrent-band
+    matmuls that push dh into step i-1 — emitting each step's dz to the
+    dzs OUTPUT ([Bt, T, H+kh-1, 4WF], per-timestep H padding, zero pad
+    rows). Everything T-parallel (dx, dBWx, dBWh, dbb) runs AFTERWARDS as
+    plain-XLA batched GEMMs over the whole window (see _backward_split).
+
+    Splitting exists because the all-in-one backward's VMEM working set is
+    dominated by the f32 band-GRADIENT output blocks (2 x [W*C, 4*W*F]) +
+    both transposed band operands — what retires the fused path at
+    cin=F=16 (docs/ROOFLINE.md wide-F crossover). This kernel only holds
+    bwhT + per-step blocks, so the fused forward + fused sequential
+    backward extend exactly into that valley; the hoisted contractions are
+    big healthy GEMMs XLA runs near its conv roofline anyway (the one HBM
+    round-trip for dzs is a few MB against a multi-GFLOP tail)."""
+    bt, _, h, _ = zs_ref.shape
+    wf = cs_ref.shape[-1]
+    ph = (kh - 1) // 2
+    dt = zs_ref.dtype
+    dzs_ref[:] = jnp.zeros_like(dzs_ref)
+    zero_state = jnp.zeros((bt, h, wf), dt)
+
+    def step(j, carry):
+        dh_next, dc_next = carry
+        i = t_steps - 1 - j
+        i_prev = jnp.maximum(i - 1, 0)
+        first = (i == 0)
+        c_prev = jnp.where(first, zero_state,
+                           cs_ref[:, pl.ds(i_prev, 1)][:, 0])
+        z = zs_ref[:, pl.ds(i, 1)][:, 0]
+        zi = z[..., :wf]
+        zf = z[..., wf:2 * wf]
+        zc = z[..., 2 * wf:3 * wf]
+        zo = z[..., 3 * wf:]
+        gi = _hard_sigmoid(zi)
+        gf = _hard_sigmoid(zf)
+        gg = jnp.tanh(zc)
+        go = _hard_sigmoid(zo)
+        cc = cs_ref[:, pl.ds(i, 1)][:, 0]
+        tc = jnp.tanh(cc)
+        one = jnp.asarray(1.0, dt)
+        dh = dys_ref[:, pl.ds(i, 1)][:, 0] + dh_next
+        do = dh * tc
+        dc = dh * go * (one - tc * tc) + dc_next
+        dzi = dc * gg * _d_hard_sigmoid(zi)
+        dzf = dc * c_prev * _d_hard_sigmoid(zf)
+        dzc = dc * gi * (one - gg * gg)
+        dzo = do * _d_hard_sigmoid(zo)
+        dz = jnp.concatenate([dzi, dzf, dzc, dzo], axis=-1)  # [Bt,H,4WF]
+        dzs_ref[:, pl.ds(i, 1), ph:ph + h, :] = dz[:, None]
+        wf4 = 4 * wf
+        acc_h = None
+        for dy in range(kh):
+            off = kh - 1 - dy
+            sl = dzs_ref[:, pl.ds(i, 1), off:off + h, :][:, 0] \
+                .reshape(bt * h, wf4)
+            part = jnp.dot(sl, bwhT_ref[dy],
+                           preferred_element_type=jnp.float32)
+            acc_h = part if acc_h is None else acc_h + part
+        return acc_h.astype(dt).reshape(bt, h, wf), dc * gf
+
+    jax.lax.fori_loop(0, t_steps, step, (zero_state, zero_state))
 
 
 def _bwd_kernel(t_steps, kh, x_ref, zs_ref, ys_ref,
@@ -379,14 +457,48 @@ def _budget(bt, t, h, w, cin, f, kh, itemsize):
     return blocks + bands + scratch + stack
 
 
-def _pick_batch_tile(b, t, h, w, cin, f, kh, itemsize):
+def _budget_fwd(bt, t, h, w, cin, f, kh, itemsize):
+    """Forward-program VMEM bytes (for the SPLIT-backward path only — the
+    full-fused path keeps sizing both programs by `_budget` so its proven
+    narrow-width batch tiles never change)."""
+    wc = _lane_pad(w * cin)
+    wf = _lane_pad(w * f)
+    wf4 = _lane_pad(4 * w * f)
+    hp = h + kh - 1
+    # io blocks (x in; ys/cs/zs out), x2 for Mosaic's double buffering
+    blocks = 2 * bt * t * h * (wc + 2 * wf + wf4) * itemsize
+    bands = 2 * kh * (w * cin + w * f) * (4 * w * f) * itemsize
+    # xp_all + per-step hp scratch + the zx scratch of the inference
+    # variant (larger than the training one, which reuses zs)
+    scratch = (bt * t * hp * wc + bt * hp * wf
+               + bt * t * h * wf4) * itemsize
+    # phase-1 f32 band-conv accumulator + per-step temporaries
+    stack = bt * t * h * wf4 * 4 + bt * h * 8 * wf4 * 4
+    return blocks + bands + scratch + stack
+
+
+def _budget_seqbwd(bt, t, h, w, cin, f, kh, itemsize):
+    """Sequential-BPTT-program VMEM bytes (split-backward path): only the
+    transposed recurrent band + per-step blocks — no band-gradient output
+    blocks, which is the whole point of the split."""
+    wf = _lane_pad(w * f)
+    wf4 = _lane_pad(4 * w * f)
+    hp = h + kh - 1
+    blocks = 2 * bt * t * (h * (wf4 + 2 * wf) + hp * wf4) * itemsize
+    bands = 2 * kh * (4 * w * f) * (w * f) * itemsize
+    stack = bt * h * (8 * wf4 + 6 * wf) * 4
+    return blocks + bands + stack
+
+
+def _pick_batch_tile(b, t, h, w, cin, f, kh, itemsize, budget=None):
     """Largest divisor-of-b batch tile (capped at 32 to keep Mosaic's
     load/compute pipelining across the grid) whose working set fits the
     budget, or None if even a single sample does not fit."""
-    if _budget(1, t, h, w, cin, f, kh, itemsize) > _VMEM_LIMIT_BYTES:
+    budget = budget or _budget
+    if budget(1, t, h, w, cin, f, kh, itemsize) > _VMEM_LIMIT_BYTES:
         return None
     bt = min(b, 32)
-    while bt > 1 and (_budget(bt, t, h, w, cin, f, kh, itemsize)
+    while bt > 1 and (budget(bt, t, h, w, cin, f, kh, itemsize)
                       > _VMEM_LIMIT_BYTES or b % bt != 0):
         bt -= 1
     return bt
@@ -409,27 +521,33 @@ def _cost(b, t, h, w_pad, w_logical, wc, wf, kh, kw, bwd,
                            bytes_accessed=(2 if bwd else 1) * io)
 
 
-def _dims_from(xp, bwx, f):
+def _dims_from(xp, bwx, f, budget=None):
     """Recover (kh, w_pad, cin, bt) from the packed operand shapes — shape-
     only, so it works on the per-shard shapes custom_partitioning hands the
-    kernel under a multi-device mesh (each shard picks its own batch tile)."""
+    kernel under a multi-device mesh (each shard picks its own batch tile).
+    `budget` selects the program being sized (default: the all-in-one
+    backward, the larger of the full-fused pair)."""
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     w_pad = bwx.shape[-1] // (4 * f)
     cin = wc // w_pad
-    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, xp.dtype.itemsize)
+    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, xp.dtype.itemsize,
+                          budget=budget)
     return kh, w_pad, cin, bt
 
 
 def _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical, kw,
-                    save_residuals=True):
+                    save_residuals=True, split=False):
     """Run the forward kernel. With save_residuals=False (inference /
     no-grad) only ys is emitted — cs/zs exist purely as backward residuals
-    and would be ~6x extra HBM write traffic per layer."""
+    and would be ~6x extra HBM write traffic per layer. `split` sizes the
+    batch tile for the split-backward path (fwd-only budget — the program
+    is the same, but it may tile larger batches than the conservative
+    all-in-one budget allows)."""
     b, t, h, wc = xp.shape
     kh = bwx.shape[0]
     wf = bwx.shape[-1] // 4
-    bt = _dims_from(xp, bwx, f)[3]
+    bt = _dims_from(xp, bwx, f, budget=_budget_fwd if split else None)[3]
     state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     state_shape = jax.ShapeDtypeStruct((b, t, h, wf), xp.dtype)
@@ -530,6 +648,46 @@ def _backward_pallas(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
             jnp.sum(dbb_p, axis=0)[0])
 
 
+def _seq_pallas(zs, cs, dys, bwhT, f, interpret, w_logical, kw):
+    """Run the sequential-BPTT kernel (split-backward path); returns dzs
+    [B, T, H+kh-1, 4WF] in the model dtype (per-timestep H padding, pad
+    rows exactly zero)."""
+    b, t, h, wf4 = zs.shape
+    kh = bwhT.shape[0]
+    wf = wf4 // 4
+    w_pad = wf // f
+    cin = 1  # unused by the seq budget; keep the shared picker signature
+    bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, zs.dtype.itemsize,
+                          budget=_budget_seqbwd)
+    kern = functools.partial(_bwd_seq_kernel, t, kh)
+    band_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                       memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, t, h, wf), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    # cost: the sequential recurrent conv only (the T-parallel
+    # contractions run in XLA afterwards and carry their own cost)
+    cost = pl.CostEstimate(
+        flops=2 * b * t * h * w_logical * kh * kw * f * 4 * f,
+        transcendentals=4 * b * t * h * w_logical * f,
+        bytes_accessed=b * t * h * (wf4 + 2 * wf) * zs.dtype.itemsize * 2)
+    return pl.pallas_call(
+        kern,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, t, h, wf4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+            band_spec(bwhT),
+        ],
+        out_specs=pl.BlockSpec((bt, t, h + kh - 1, wf4),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, h + kh - 1, wf4), zs.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(zs, cs, dys, bwhT)
+
+
 # --------------------------------------------------------------------------
 # SPMD partitioning (multi-device meshes)
 #
@@ -555,12 +713,13 @@ def _bsharded(mesh, b, ndim):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(f, interpret, w_logical, kw, save_residuals):
+def _fwd_partitioned(f, interpret, w_logical, kw, save_residuals,
+                     split=False):
     @custom_partitioning
     def fwd(xp, bwx, bwh, bb):
         return _forward_pallas(xp, bwx, bwh, bb, f, interpret, w_logical,
                                kw,
-                               save_residuals)
+                               save_residuals, split)
 
     def infer(mesh, arg_shapes, result_shape):
         b = _batch_axes(arg_shapes)
@@ -576,7 +735,7 @@ def _fwd_partitioned(f, interpret, w_logical, kw, save_residuals):
 
         def lower(xp, bwx, bwh, bb):
             return _forward_pallas(xp, bwx, bwh, bb, f, interpret,
-                                   w_logical, kw, save_residuals)
+                                   w_logical, kw, save_residuals, split)
 
         return mesh, lower, out_sh, arg_sh
 
@@ -625,24 +784,126 @@ def _bwd_partitioned(f, interpret, w_logical, kw):
     return bwd
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_seq_partitioned(f, interpret, w_logical, kw):
+    """Partitioning rule for the sequential-BPTT kernel (split path):
+    batch dim sharded, the transposed recurrent band replicated, dzs comes
+    back batch-sharded. No psum — dzs is per-sample; the weight/bias
+    gradients are formed by the XLA tail, whose batch-contracting GEMMs
+    GSPMD all-reduces on its own."""
+    @custom_partitioning
+    def seq(zs, cs, dys, bwhT):
+        return _seq_pallas(zs, cs, dys, bwhT, f, interpret, w_logical, kw)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        return _bsharded(mesh, b, 4)
+
+    def part(mesh, arg_shapes, result_shape):
+        b = _batch_axes(arg_shapes)
+        rep = NamedSharding(mesh, PartitionSpec())
+        arg_sh = tuple(_bsharded(mesh, b, 4) for _ in range(3)) + (rep,)
+        out_sh = _bsharded(mesh, b, 4)
+
+        def lower(zs, cs, dys, bwhT):
+            return _seq_pallas(zs, cs, dys, bwhT, f, interpret, w_logical,
+                               kw)
+
+        return mesh, lower, out_sh, arg_sh
+
+    seq.def_partition(
+        infer_sharding_from_operands=infer, partition=part,
+        sharding_rule='b t h z, b t h e, b t h e, k z e -> b t p z',
+        need_replication_factors=('t', 'h', 'z', 'e', 'k', 'p'))
+    return seq
+
+
+def _backward_split(xp, bwx, bwh, zs, ys, cs, dys, f, interpret,
+                    w_logical, kw):
+    """Split backward: Pallas sequential BPTT (dzs) + plain-XLA T-batched
+    contractions for dx / dBWx / dBWh / dbb. Numerically the same program
+    as _backward_pallas (same band matmuls, same f32 accumulation) with
+    the T-parallel half hoisted out of Pallas — the band-GRADIENT blocks
+    it emits are what blow the one-kernel backward's VMEM budget at
+    cin=F=16 (the wide-F-crossover valley, docs/ROOFLINE.md)."""
+    b, t, h, wc = xp.shape
+    kh = bwx.shape[0]
+    wf = bwx.shape[-1] // 4
+    wf4 = 4 * wf
+    ph = (kh - 1) // 2
+    dt = xp.dtype
+    m = b * t * h
+    bwxT = jnp.swapaxes(bwx, 1, 2)
+    bwhT = jnp.swapaxes(bwh, 1, 2)
+    dzs = _bwd_seq_partitioned(f, interpret, w_logical, kw)(
+        zs, cs, dys, bwhT)
+    # dx[y] = sum_dy dz_pad[y + (kh-1-dy)] @ BWx[dy]^T
+    acc_x = None
+    for dy in range(kh):
+        off = kh - 1 - dy
+        sl = dzs[:, :, off:off + h, :].reshape(m, wf4)
+        part = jnp.dot(sl, bwxT[dy], preferred_element_type=jnp.float32)
+        acc_x = part if acc_x is None else acc_x + part
+    dx = acc_x.astype(dt).reshape(b, t, h, wc)
+    # weight/bias grads: one (B*T*H)-contraction per tap — M-dim
+    # reductions XLA maps to large healthy GEMMs
+    dz_all = dzs[:, :, ph:ph + h, :].reshape(m, wf4)
+    dbb = jnp.sum(dz_all.astype(jnp.float32), axis=0)
+    xp_all = jnp.pad(xp, ((0, 0), (0, 0), (ph, kh - 1 - ph), (0, 0)))
+    h_prev = jnp.concatenate(
+        [jnp.zeros_like(ys[:, :1]), ys[:, :-1]], axis=1)
+    hp_all = jnp.pad(h_prev, ((0, 0), (0, 0), (ph, kh - 1 - ph), (0, 0)))
+    dbwx, dbwh = [], []
+    for dy in range(kh):
+        slx = xp_all[:, :, dy:dy + h, :].reshape(m, wc)
+        dbwx.append(jax.lax.dot_general(
+            slx, dz_all, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        slh = hp_all[:, :, dy:dy + h, :].reshape(m, wf)
+        dbwh.append(jax.lax.dot_general(
+            slh, dz_all, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return dx, jnp.stack(dbwx), jnp.stack(dbwh), dbb
+
+
 # --------------------------------------------------------------------------
 # Differentiable entry point
 # --------------------------------------------------------------------------
 
-def dispatch_info(x_shape, wx_shape, wh_shape, itemsize=2, interpret=False):
+def dispatch_info(x_shape, wx_shape, wh_shape, itemsize=2, interpret=False,
+                  training=False):
     """The fused-vs-XLA path decision for a ConvLSTM layer, as a dict —
     the EXACT logic `fused_convlstm` routes on (it calls this), exposed so
     tests and benchmarks can pin the dispatch without touching a TPU.
 
-    Returns ``{'path': 'fused'|'xla', 'reason': str, 'w_pad': int,
-    'batch_tile': int|None}``. ``reason`` for the XLA path is one of
-    ``'kernel-mismatch'`` (wx/wh kernel sizes differ — the band matrices
-    assume one), ``'even-kernel'`` (asymmetric SAME padding), ``'vmem'``
-    (the [W*C, 4*W*F] band matrices + window state exceed the per-program
-    VMEM budget — this is what retires the banded design at production
-    width: the bands grow O(W^2*C*F), so e.g. W=16/F=16 already needs
-    ~20 MB; see docs/ROOFLINE.md "wide-F crossover"), or ``'lane-pad'``
-    (128-lane alignment would more than double W).
+    ``training`` routes the cin=F=16 valley by MODE (measured,
+    tools/convlstm_kernel_bench.py): the fused forward + split backward
+    pair loses to XLA's joint fwd+bwd program there (~1.15 ms vs 757 us
+    per layer — XLA's backward reuses its forward's conv structure), while
+    the fused forward alone is 2.6x faster than the XLA forward (198.6 vs
+    517.3 us). So training=True retires the valley to XLA (reason
+    ``'train-slower'``) and training=False keeps the fused forward for
+    inference/serving. The hint is advisory for CORRECTNESS: taking a
+    gradient through a training=False dispatch still works — it runs the
+    (correct, slower-than-XLA) split backward.
+
+    Returns ``{'path': 'fused'|'fused-splitbwd'|'xla', 'reason': str,
+    'w_pad': int, 'batch_tile': int|None}``. ``'fused'`` is the all-in-one
+    pair (forward kernel + one BPTT backward kernel); ``'fused-splitbwd'``
+    keeps the same forward kernel but runs the backward as the sequential
+    BPTT kernel + plain-XLA T-batched contractions — chosen when only the
+    all-in-one BACKWARD's working set (dominated by its f32 band-gradient
+    output blocks) exceeds VMEM while the forward and the sequential
+    kernel both fit (the cin=F=16 valley; reason ``'bwd-vmem'``,
+    ``batch_tile`` is then the forward kernel's, with the sequential
+    kernel's under ``'batch_tile_seqbwd'``). ``reason`` for the XLA path
+    is one of ``'kernel-mismatch'`` (wx/wh kernel sizes differ — the band
+    matrices assume one), ``'even-kernel'`` (asymmetric SAME padding),
+    ``'vmem'`` (the [W*C, 4*W*F] band matrices + window state exceed the
+    per-program VMEM budget even split — the bands grow O(W^2*C*F), so
+    e.g. W=16/F=32 needs ~12 MB of forward bands alone; see
+    docs/ROOFLINE.md "wide-F crossover"), or ``'lane-pad'`` (128-lane
+    alignment would more than double W).
     """
     b, t, h, w, cin = x_shape
     kh, kw = wx_shape[0], wx_shape[1]
@@ -659,8 +920,22 @@ def dispatch_info(x_shape, wx_shape, wh_shape, itemsize=2, interpret=False):
                 'w_pad': w_pad, 'batch_tile': None}
     bt = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, itemsize)
     if bt is None:
-        return {'path': 'xla', 'reason': 'vmem',
-                'w_pad': w_pad, 'batch_tile': None}
+        bt_f = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, itemsize,
+                                budget=_budget_fwd)
+        bt_s = _pick_batch_tile(b, t, h, w_pad, cin, f, kh, itemsize,
+                                budget=_budget_seqbwd)
+        if bt_f is None or bt_s is None:
+            return {'path': 'xla', 'reason': 'vmem',
+                    'w_pad': w_pad, 'batch_tile': None}
+        if w_pad > 2 * w:
+            return {'path': 'xla', 'reason': 'lane-pad',
+                    'w_pad': w_pad, 'batch_tile': None}
+        if training:
+            return {'path': 'xla', 'reason': 'train-slower',
+                    'w_pad': w_pad, 'batch_tile': None}
+        return {'path': 'fused-splitbwd', 'reason': 'bwd-vmem',
+                'w_pad': w_pad, 'batch_tile': bt_f,
+                'batch_tile_seqbwd': bt_s}
     if w_pad > 2 * w:
         return {'path': 'xla', 'reason': 'lane-pad',
                 'w_pad': w_pad, 'batch_tile': None}
@@ -677,23 +952,23 @@ def _prep(x, wx, bx, wh, w_valid):
     return xp, bwx, bwh, bb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused(x, wx, bx, wh, interpret, w_valid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(x, wx, bx, wh, interpret, w_valid, split=False):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
     ys = _fwd_partitioned(f, interpret, w_valid or w, wx.shape[1],
-                          False)(
+                          False, split)(
         xp, bwx, bwh, bb)
     return ys.reshape(b, t, h, w, f)                 # pure reshape
 
 
-def _fused_fwd(x, wx, bx, wh, interpret, w_valid):
+def _fused_fwd(x, wx, bx, wh, interpret, w_valid, split=False):
     b, t, h, w, cin = x.shape
     f = wh.shape[2]
     xp, bwx, bwh, bb = _prep(x, wx, bx, wh, w_valid)
     ysp, csp, zsp = _fwd_partitioned(f, interpret, w_valid or w,
-                                     wx.shape[1], True)(
+                                     wx.shape[1], True, split)(
         xp, bwx, bwh, bb)
     meta = (jax.ShapeDtypeStruct(wx.shape, wx.dtype),
             jax.ShapeDtypeStruct(bx.shape, bx.dtype),
@@ -701,7 +976,7 @@ def _fused_fwd(x, wx, bx, wh, interpret, w_valid):
     return ysp.reshape(b, t, h, w, f), (xp, bwx, bwh, zsp, ysp, csp, meta)
 
 
-def _fused_bwd(interpret, w_valid, res, dys):
+def _fused_bwd(interpret, w_valid, split, res, dys):
     xp, bwx, bwh, zsp, ysp, csp, meta = res
     wx_sd, bx_sd, wh_sd = meta
     b, t, h, wc = xp.shape
@@ -709,9 +984,14 @@ def _fused_bwd(interpret, w_valid, res, dys):
     f = wh_sd.shape[2]
     w = wc // cin
     dysp = dys.reshape(b, t, h, w * f)               # pure reshape
-    dx, dbwx, dbwh, dbb = _bwd_partitioned(f, interpret, w_valid or w,
-                                           kw)(
-        xp, zsp, ysp, csp, dysp, bwx, bwh)
+    if split:
+        dx, dbwx, dbwh, dbb = _backward_split(
+            xp, bwx, bwh, zsp, ysp, csp, dysp, f, interpret,
+            w_valid or w, kw)
+    else:
+        dx, dbwx, dbwh, dbb = _bwd_partitioned(f, interpret, w_valid or w,
+                                               kw)(
+            xp, zsp, ysp, csp, dysp, bwx, bwh)
     dwx = _unband(dbwx, kh, kw, cin, f, w, w_valid).reshape(wx_sd.shape)
     dwh = _unband(dbwh, kh, kw, f, f, w, w_valid).reshape(wh_sd.shape)
     dbxp = dbb.reshape(4, w, f)
@@ -725,7 +1005,7 @@ def _fused_bwd(interpret, w_valid, res, dys):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_convlstm(x, wx, bx, wh, interpret=None):
+def fused_convlstm(x, wx, bx, wh, interpret=None, training=False):
     """Fully-fused ConvLSTM layer: input conv + recurrence + gates in one
     VMEM-resident kernel per batch tile (differentiable; the BPTT backward
     is a single fused kernel too).
@@ -761,14 +1041,16 @@ def fused_convlstm(x, wx, bx, wh, interpret=None):
     # interpret mode runs at the true width (keeps unit tests on the real
     # code path; the padded path has its own dedicated test).
     info = dispatch_info(x.shape, wx.shape, wh.shape,
-                         itemsize=x.dtype.itemsize, interpret=interpret)
+                         itemsize=x.dtype.itemsize, interpret=interpret,
+                         training=training)
     if info['path'] == 'xla':
         ys, _ = convlstm_reference(x, wx, bx, wh)
         return ys
+    split = info['path'] == 'fused-splitbwd'
     w_pad = info['w_pad']
     w_valid = w if w_pad != w else None
     if w_valid is None:
-        return _fused(x, wx, bx, wh, interpret, None)
+        return _fused(x, wx, bx, wh, interpret, None, split)
     xpad = jnp.pad(x, ((0, 0),) * 3 + ((0, w_pad - w), (0, 0)))
-    ys = _fused(xpad, wx, bx, wh, interpret, w_valid)
+    ys = _fused(xpad, wx, bx, wh, interpret, w_valid, split)
     return ys[..., :w, :]

@@ -288,6 +288,62 @@ def test_fused_convlstm_sharded_gradients(rng):
                                    atol=2e-4)
 
 
+def test_fused_convlstm_split_backward(rng):
+    """The split backward (fused-splitbwd path: sequential-BPTT Pallas
+    kernel + plain-XLA T-batched contractions) matches autodiff through
+    the XLA layer in all four gradients AND matches the all-in-one
+    backward exactly in routing semantics (same forward kernel). On TPU
+    this is the cin=F=16 valley path (dispatch-table test below); here it
+    is forced via the internal entry so the CPU mesh exercises the real
+    kernel in interpret mode."""
+    from dl4ds_tpu.ops.pallas_convlstm import _fused, convlstm_reference
+    x = jnp.asarray(rng.standard_normal((3, 3, 8, 8, 2)).astype('float32'))
+    wx = jnp.asarray(0.3 * rng.standard_normal((3, 3, 2, 16))
+                     .astype('float32'))
+    bx = jnp.asarray(0.1 * rng.standard_normal(16).astype('float32'))
+    wh = jnp.asarray(0.3 * rng.standard_normal((3, 3, 4, 16))
+                     .astype('float32'))
+    y = _fused(x, wx, bx, wh, True, None, True)
+    y_ref, _ = convlstm_reference(x, wx, bx, wh)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        _fused(*a, True, None, True))), argnums=(0, 1, 2, 3))(
+            x, wx, bx, wh)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        convlstm_reference(*a)[0])), argnums=(0, 1, 2, 3))(x, wx, bx, wh)
+    for a, b, tol in zip(g1, g2, (1e-5, 1e-4, 1e-4, 1e-4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+
+def test_fused_convlstm_split_backward_sharded(rng):
+    """Split backward under a batch-sharded pjit mesh: the sequential
+    kernel's partitioning rule keeps dzs batch-sharded (no activation
+    all-gather) and GSPMD all-reduces the XLA tail's weight-grad
+    contractions — gradients match the unsharded ones."""
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dl4ds_tpu.training.base import make_mesh
+    from dl4ds_tpu.ops.pallas_convlstm import _fused
+    mesh = make_mesh()
+    x = jnp.asarray(rng.standard_normal((16, 3, 6, 8, 4)), jnp.float32)
+    wx = jnp.asarray(0.2 * rng.standard_normal((3, 3, 4, 20)), jnp.float32)
+    bx = jnp.asarray(0.1 * rng.standard_normal(20), jnp.float32)
+    wh = jnp.asarray(0.2 * rng.standard_normal((3, 3, 5, 20)), jnp.float32)
+
+    def loss(x, wx, bx, wh):
+        return jnp.sum(jnp.sin(_fused(x, wx, bx, wh, True, None, True)))
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    g_sh = grad(xs, wx, bx, wh)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, wx, bx, wh)
+    assert g_sh[0].sharding.spec[0] == 'data'
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    txt = grad.lower(xs, wx, bx, wh).compile().as_text()
+    assert not re.findall(r'all-gather', txt)
+
+
 def test_fused_convlstm_mismatched_wh_falls_back(rng):
     """A wh kernel size differing from wx must take the XLA reference
     (the band loops assume one kernel size; silent tap-dropping before)."""
@@ -316,24 +372,39 @@ def test_fused_ssim_rank5_falls_back(rng):
 @pytest.mark.smoke
 def test_convlstm_dispatch_table():
     """Pins the fused-vs-XLA routing at TPU parameters (interpret=False)
-    without a TPU: the banded kernel runs at narrow width (the regime
-    where XLA's per-step overhead dominates, BENCH toy shape W=16/F=8)
-    and retires to the XLA recurrence at production width, where its
-    O(W^2*C*F) band matrices exceed VMEM (docs/ROOFLINE.md, wide-F
-    crossover — measured: XLA wins there anyway)."""
+    without a TPU: the banded kernel runs all-in-one at narrow width (the
+    regime where XLA's per-step overhead dominates, BENCH toy shape
+    W=16/F=8), runs with the SPLIT backward in the cin=F=16 valley (only
+    the one-kernel backward's band-gradient blocks blow VMEM there), and
+    retires to the XLA recurrence at production width, where the
+    O(W^2*C*F) band matrices exceed VMEM even split (docs/ROOFLINE.md,
+    wide-F crossover — measured: XLA wins there anyway)."""
     from dl4ds_tpu.ops.pallas_convlstm import dispatch_info
 
-    def route(w, cin, f, b=128, t=4, h=None, kh=3, kw=3):
+    def route(w, cin, f, b=128, t=4, h=None, kh=3, kw=3, training=False):
         h = w if h is None else h
         return dispatch_info((b, t, h, w, cin),
                              (kh, kw, cin, 4 * f), (kh, kw, f, 4 * f),
-                             itemsize=2, interpret=False)
+                             itemsize=2, interpret=False,
+                             training=training)
 
-    # the shape BENCH_SUITE's recresnet toy row runs: fused
+    # the shape BENCH_SUITE's recresnet toy row runs: fused (both modes)
     assert route(16, 8, 8)['path'] == 'fused'
     assert route(16, 8, 8)['batch_tile'] is not None
-    # production widths: bands blow VMEM -> XLA, reason recorded
-    for w, f in [(16, 16), (16, 32), (16, 64), (32, 64), (64, 8)]:
+    assert route(16, 8, 8, training=True)['path'] == 'fused'
+    # the F=16 valley routes by MODE (measured, convlstm_kernel_bench):
+    # inference = fused forward + (if a grad is taken anyway) split
+    # backward; training = XLA's joint fwd+bwd program, which beats the
+    # fused-fwd + split-bwd pair there
+    info16 = route(16, 16, 16)
+    assert info16['path'] == 'fused-splitbwd'
+    assert info16['reason'] == 'bwd-vmem'
+    assert info16['batch_tile'] is not None
+    assert info16['batch_tile_seqbwd'] is not None
+    info16t = route(16, 16, 16, training=True)
+    assert info16t == {**info16t, 'path': 'xla', 'reason': 'train-slower'}
+    # production widths: bands blow VMEM even split -> XLA, reason recorded
+    for w, f in [(16, 32), (16, 64), (32, 64), (64, 8)]:
         info = route(w, f, f)
         assert info == {**info, 'path': 'xla', 'reason': 'vmem'}, (w, f)
     # structural fallbacks keep their distinct reasons

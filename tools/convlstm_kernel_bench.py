@@ -61,9 +61,12 @@ def measure_shape(b, t, h, w, cin, f, dt, n, repeats=3):
 
     info = dispatch_info(x.shape, wx.shape, wh.shape,
                          itemsize=x.dtype.itemsize, interpret=False)
+    info_train = dispatch_info(x.shape, wx.shape, wh.shape,
+                               itemsize=x.dtype.itemsize, interpret=False,
+                               training=True)
 
-    def dispatched(xc):
-        return fused_convlstm(xc, wx, bx, wh)
+    def dispatched(xc, training=False):
+        return fused_convlstm(xc, wx, bx, wh, training=training)
 
     def xla_fwd(xc):
         return convlstm_reference(xc, wx, bx, wh)[0]
@@ -76,7 +79,11 @@ def measure_shape(b, t, h, w, cin, f, dt, n, repeats=3):
         if grad:
             def lossfn(xc, wxc, bxc, whc):
                 if fn is dispatched:
-                    y = fused_convlstm(xc, wxc, bxc, whc)
+                    # training=True: the mode the real train step runs
+                    # (RecurrentConvBlock threads it; the F=16 valley
+                    # then routes to XLA's joint program — measured
+                    # faster than fused-fwd + split-bwd)
+                    y = fused_convlstm(xc, wxc, bxc, whc, training=True)
                 else:
                     y = convlstm_reference(xc, wxc, bxc, whc)[0]
                 return jnp.sum(y.astype(jnp.float32) ** 2)
@@ -103,11 +110,14 @@ def measure_shape(b, t, h, w, cin, f, dt, n, repeats=3):
 
     row = {'shape': dict(b=b, t=t, h=h, w=w, cin=cin, f=f,
                          dtype=str(dt), steps_per_chunk=n),
-           'dispatch': info['path'], 'dispatch_reason': info['reason']}
+           'dispatch': info['path'], 'dispatch_reason': info['reason'],
+           'dispatch_train': info_train['path'],
+           'dispatch_train_reason': info_train['reason']}
     paths = [('dispatched', dispatched)]
     # the raw-XLA column is only a distinct program when the dispatcher
-    # picked the fused kernel; otherwise it IS the dispatched path
-    if info['path'] == 'fused':
+    # picked a fused path for at least one mode; otherwise it IS the
+    # dispatched path
+    if info['path'].startswith('fused'):
         paths.append(('xla', xla_fwd))
     for name, fn in paths:
         for grad in (False, True):
