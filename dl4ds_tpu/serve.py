@@ -23,7 +23,12 @@ Endpoints
       response is JSON ``{"prediction": nested-list, "shape": [...]}``.
 
 Batching: artifacts exported with a symbolic batch (``batch='poly'``,
-the default) accept any request batch as-is. Batch-pinned artifacts
+the default) accept any request batch; under dynamic micro-batching the
+merged device calls are padded up to the next power of two so at most
+``log2(max_batch)`` distinct programs ever compile (symbolic-batch
+exports still XLA-compile once per concrete size — unpadded merges
+would stutter through seconds-long compiles across the whole merge
+range). Batch-pinned artifacts
 (e.g. spatio-temporal models serving the fused ConvLSTM kernel, or
 int8 exports — ``save_serving_artifact(quantize='int8')`` pins the
 batch to the calibration shape) are padded/chunked server-side to the
@@ -51,11 +56,20 @@ class ModelServer:
     """
 
     def __init__(self, artifact_dir, warmup=True, batch_window_ms=0,
-                 max_batch=64):
+                 max_batch=64, pad_pow2=None):
         from .export import load_serving_artifact
         self.call, self.meta = load_serving_artifact(artifact_dir)
         self.artifact_dir = artifact_dir
         self.batch = self.meta.get('batch')
+        # symbolic-batch artifacts still XLA-compile once per CONCRETE
+        # batch size; under micro-batching merged sizes vary request to
+        # request, so unpadded serving would compile (seconds each) all
+        # over the merge range. Padding device calls up to the next power
+        # of two bounds the compile cache to log2(max_batch) programs for
+        # <=2x padded compute — the same trick as TF-Serving's
+        # allowed_batch_sizes. Default: on exactly when micro-batching is.
+        self.pad_pow2 = (batch_window_ms > 0 if pad_pow2 is None
+                         else bool(pad_pow2))
         self.lock = threading.Lock()
         self.started = time.time()
         self.n_requests = 0
@@ -78,15 +92,30 @@ class ModelServer:
 
     # -- core ------------------------------------------------------------
     def _warmup(self):
-        """Compile the frozen program before the first request lands."""
-        b = self.batch if isinstance(self.batch, int) else 1
-        # input_shape is the full per-sample shape: (H, W, C) for spatial
-        # models, (T, H, W, C) for spatio-temporal ones — use it whole.
-        x = np.zeros([b] + list(self.meta['input_shape']), 'float32')
-        aux = None
-        if self.meta.get('aux_shape') is not None:
-            aux = np.zeros([b] + list(self.meta['aux_shape']), 'float32')
-        np.asarray(self._call(x, aux))
+        """Compile the frozen program before the first request lands.
+
+        With pow2 padding on, ALSO pre-compile every padded batch size
+        (1, 2, 4, ..., max_batch) so no request — however requests merge —
+        ever waits on an XLA compile: the padding bounds the program set,
+        and warmup exhausts it."""
+        if isinstance(self.batch, int):
+            sizes = [self.batch]
+        elif self.pad_pow2:
+            # up to the next pow2 >= max_batch: a merged batch of
+            # max_batch samples pads there when max_batch isn't a pow2
+            sizes = [1 << i
+                     for i in range((self.max_batch - 1).bit_length() + 1)]
+        else:
+            sizes = [1]
+        for b in sizes:
+            # input_shape is the full per-sample shape: (H, W, C) for
+            # spatial models, (T, H, W, C) for spatio-temporal ones.
+            x = np.zeros([b] + list(self.meta['input_shape']), 'float32')
+            aux = None
+            if self.meta.get('aux_shape') is not None:
+                aux = np.zeros([b] + list(self.meta['aux_shape']),
+                               'float32')
+            np.asarray(self._call(x, aux))
 
     def _call(self, x, aux):
         if aux is not None:
@@ -120,7 +149,14 @@ class ModelServer:
         """One merged batch through the device (caller holds the lock)."""
         self.n_device_batches += 1
         if not isinstance(self.batch, int):
-            return np.asarray(self._call(data, aux))
+            n = len(data)
+            pad = ((1 << (n - 1).bit_length()) - n if self.pad_pow2 else 0)
+            if pad:
+                data = np.concatenate([data, np.repeat(data[-1:], pad, 0)])
+                if aux is not None:
+                    aux = np.concatenate([aux, np.repeat(aux[-1:], pad, 0)])
+            y = np.asarray(self._call(data, aux))
+            return y[:n] if pad else y
         bs = self.batch
         outs = []
         for i in range(0, len(data), bs):
@@ -210,6 +246,7 @@ class ModelServer:
             'samples': self.n_samples,
             'device_batches': self.n_device_batches,
             'batch_window_ms': self.batch_window_ms,
+            'pad_pow2': self.pad_pow2,
         }
 
 
@@ -284,22 +321,23 @@ def _make_handler(server):
 
 
 def make_http_server(artifact_dir, host='127.0.0.1', port=8000,
-                     warmup=True, batch_window_ms=0, max_batch=64):
+                     warmup=True, batch_window_ms=0, max_batch=64,
+                     pad_pow2=None):
     """Build (ThreadingHTTPServer, ModelServer) without starting it —
     the test harness drives the returned server on an ephemeral port."""
     from http.server import ThreadingHTTPServer
     model = ModelServer(artifact_dir, warmup=warmup,
                         batch_window_ms=batch_window_ms,
-                        max_batch=max_batch)
+                        max_batch=max_batch, pad_pow2=pad_pow2)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     return httpd, model
 
 
 def serve_forever(artifact_dir, host='0.0.0.0', port=8000,
-                  batch_window_ms=0, max_batch=64):
+                  batch_window_ms=0, max_batch=64, pad_pow2=None):
     httpd, model = make_http_server(artifact_dir, host=host, port=port,
                                     batch_window_ms=batch_window_ms,
-                                    max_batch=max_batch)
+                                    max_batch=max_batch, pad_pow2=pad_pow2)
     print(f'dl4ds_tpu.serve: {model.meta.get("name")} on '
           f'http://{host}:{port} (batch={model.batch})', flush=True)
     httpd.serve_forever()
@@ -318,6 +356,11 @@ def main(argv=None):
                          'device call (0 = off)')
     ap.add_argument('--max-batch', type=int, default=64,
                     help='sample cap per merged device call')
+    ap.add_argument('--no-pad-pow2', action='store_true',
+                    help='disable padding merged symbolic-batch device '
+                         'calls to the next power of two (padding bounds '
+                         'request-time XLA compiles to log2(max_batch) '
+                         'programs; on by default with micro-batching)')
     ap.add_argument('--platform', default=None,
                     help="force the JAX backend (e.g. 'cpu', 'tpu') — "
                          'must match a platform the artifact was '
@@ -330,7 +373,8 @@ def main(argv=None):
         jax.config.update('jax_platforms', args.platform)
     serve_forever(args.artifact, host=args.host, port=args.port,
                   batch_window_ms=args.batch_window_ms,
-                  max_batch=args.max_batch)
+                  max_batch=args.max_batch,
+                  pad_pow2=False if args.no_pad_pow2 else None)
 
 
 if __name__ == '__main__':

@@ -195,6 +195,38 @@ def test_dynamic_microbatching_merges_concurrent_requests(tmp_path, rng):
     assert srv.health()['samples'] == 6
 
 
+def test_pow2_padding_bounds_symbolic_batch_compiles(tmp_path, rng):
+    """Micro-batched symbolic-batch serving pads each merged device call
+    up to the next power of two (<=2x padded compute) so at most
+    log2(max_batch) programs ever compile — unpadded, every distinct
+    merged size would XLA-compile a fresh program (seconds each) at
+    request time. Padding must be invisible to callers and counters."""
+    model, variables, path = _artifact(tmp_path)
+    srv = ModelServer(path, batch_window_ms=50, max_batch=16)
+    assert srv.health()['pad_pow2'] is True
+    device_sizes = []
+    orig_call = srv.call
+    srv.call = lambda *a: (device_sizes.append(a[0].shape[0]),
+                           orig_call(*a))[1]
+    x = rng.standard_normal((3, 8, 8, 1)).astype('float32')
+    y = srv.predict(x)
+    assert device_sizes == [4], device_sizes   # 3 -> padded to 4
+    assert y.shape == (3, 32, 32, 1)
+    import jax.numpy as jnp
+    direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x), None, training=False))
+    np.testing.assert_allclose(y, direct, atol=1e-6)
+    assert srv.health()['samples'] == 3       # request samples, not padded
+    # singleton fast path: batch 1 is already a power of two — no pad
+    y1 = srv.predict(x[:1])
+    assert device_sizes[-1] == 1 and y1.shape == (1, 32, 32, 1)
+    # pad_pow2=False opts out (a client that always sends one size)
+    srv2 = ModelServer(path, batch_window_ms=50, max_batch=16,
+                       pad_pow2=False)
+    assert srv2.health()['pad_pow2'] is False
+    assert srv2.predict(x).shape == (3, 32, 32, 1)
+
+
 def test_dynamic_microbatching_isolates_bad_shapes(tmp_path, rng):
     """Shape-mismatched requests are grouped separately, so a bad
     request fails ALONE (its own error) without poisoning the merged
