@@ -388,18 +388,26 @@ class _RecBackbone(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, trunk_fn=None):
         x0 = b = RecurrentConvBlock(
             self.n_filters, activation=self.activation,
             normalization=self.normalization, dtype=self.dtype,
             name='RecurrentConvBlock1')(x, training)
-        for i in range(self.n_blocks):
-            b = RecurrentConvBlock(
-                self.n_filters, activation=self.activation,
-                normalization=self.normalization,
-                dropout_rate=self.dropout_rate,
-                dropout_variant=self.dropout_variant, dtype=self.dtype,
-                name=f'RecurrentConvBlock{i + 2}')(b, training)
+        if trunk_fn is not None:
+            # pipeline-parallel hook (parallel.make_pipeline_step): the
+            # homogeneous trunk (blocks 2..n_blocks+1, all width n_filters)
+            # is computed externally — e.g. rotated across a 'pipe' mesh
+            # axis — from the stem output; those submodules are then never
+            # instantiated here, so their params live outside this tree
+            b = trunk_fn(x0)
+        else:
+            for i in range(self.n_blocks):
+                b = RecurrentConvBlock(
+                    self.n_filters, activation=self.activation,
+                    normalization=self.normalization,
+                    dropout_rate=self.dropout_rate,
+                    dropout_variant=self.dropout_variant, dtype=self.dtype,
+                    name=f'RecurrentConvBlock{i + 2}')(b, training)
         b = Dropout(self.dropout_rate, self.dropout_variant, dim=3)(b,
                                                                     training)
         if self.backbone == 'convnet':
@@ -437,11 +445,11 @@ class RecNetPostupsampling(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, aux=None, training: bool = False):
+    def __call__(self, x, aux=None, training: bool = False, trunk_fn=None):
         x = _RecBackbone(self.backbone, self.n_filters, self.n_blocks,
                          self.activation, self.normalization,
                          self.dropout_rate, self.dropout_variant,
-                         dtype=self.dtype)(x, training)
+                         dtype=self.dtype)(x, training, trunk_fn)
         n_filters_ups = x.shape[-1] if self.backbone == 'densenet' \
             else self.n_filters
         # The whole head is per-timestep ("TimeDistributed" in the
@@ -511,11 +519,11 @@ class RecNetPIN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, aux=None, training: bool = False):
+    def __call__(self, x, aux=None, training: bool = False, trunk_fn=None):
         x = _RecBackbone(self.backbone, self.n_filters, self.n_blocks,
                          self.activation, self.normalization,
                          self.dropout_rate, self.dropout_variant,
-                         dtype=self.dtype)(x, training)
+                         dtype=self.dtype)(x, training, trunk_fn)
         # Per-timestep head on a flattened [B*T] batch axis (see
         # RecNetPostupsampling: rank-5 convs are ~25x slower on XLA:TPU).
         b, t = x.shape[0], x.shape[1]

@@ -31,7 +31,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 __all__ = ['predict_tiled', 'predict_spatial_sharded',
            'make_spatial_sharded_step', 'receptive_field_radius',
            'init_ensemble', 'make_ensemble_step', 'predict_ensemble',
-           'tensor_param_shardings', 'make_tensor_sharded_step']
+           'tensor_param_shardings', 'make_tensor_sharded_step',
+           'make_pipeline_step']
 
 
 def _output_scale(model):
@@ -850,3 +851,244 @@ def make_tensor_sharded_step(model, mesh, tx=None, loss='mae',
         return jax.device_put(jax.jit(tx.init)(params), st_sh)
 
     return TensorShardedStep(step, loss_and_grads, init_opt, p_sh)
+
+
+PipelineStep = collections.namedtuple(
+    'PipelineStep', ['step', 'loss_and_grads', 'init_opt', 'split_params',
+                     'merge_params', 'param_shardings', 'n_stages',
+                     'n_micro'])
+
+
+def make_pipeline_step(model, mesh, tx=None, loss='mae', n_micro=None,
+                       pipe_axis='pipe', data_axis='data'):
+    """Build a TRAIN step whose ConvLSTM trunk is PIPELINE-parallel over
+    the mesh's `pipe_axis` — GPipe-style microbatch rotation for deep
+    spatio-temporal models whose trunk weights + Adam moments exceed one
+    chip's HBM (no reference feature; the reference is single-GPU Keras).
+
+    The recurrent nets' trunk (reference dl4ds/models/spt_postups.py:
+    105-123) is HOMOGENEOUS — blocks 2..n_blocks+1 are identical-width
+    RecurrentConvBlocks — which is exactly what the canonical TPU pipeline
+    formulation wants: per-block param trees stack into one leading
+    [n_blocks, ...] axis sharded over `pipe_axis`, every device runs the
+    SAME per-stage program on its `n_blocks/S` blocks, and activations
+    rotate device-to-device over ICI with `lax.ppermute` inside a
+    `lax.scan` over `n_micro + S - 1` ticks. The scan/ppermute program is
+    differentiated as-is: the transpose of a ppermute is the reverse
+    ppermute, so jax.grad derives the reverse-order backward pipeline
+    automatically (no hand-written 1F1B schedule).
+
+    Stem (RecurrentConvBlock1) and the per-timestep head stay REPLICATED:
+    they are O(1/n_blocks) of the compute, and replicating them keeps the
+    loss/grad math identical to the unsharded step (asserted by
+    tests/test_parallel.py::test_pipeline_step_matches_unsharded). The
+    pipeline is numerically EXACT — bubbles waste compute, never change
+    valid microbatch outputs.
+
+    2-D PP x DP: a mesh with both axes rotates the trunk over `pipe_axis`
+    within each data shard and shards the batch over `data_axis`; grad
+    psums over 'data' are placed by the shard_map transpose / GSPMD.
+
+    Args:
+      model: a DSModel from `recnet_postupsampling` / `recnet_pin`
+        (homogeneous ConvLSTM trunk), parameter-only (no batch norm), no
+        aux branch, with n_blocks divisible by the pipe-axis size.
+      mesh: `Mesh` with a `pipe_axis` axis (optionally + `data_axis`).
+      tx: optax transform (default `optax.adam(1e-4)`); per-leaf, like
+        `make_tensor_sharded_step`.
+      loss: any registry loss name or callable — the head assembles the
+        full output, so there is no decomposability constraint.
+      n_micro: microbatches per step (default = number of stages; the
+        bubble fraction is (S-1)/(n_micro+S-1)). The per-data-shard batch
+        must be divisible by it.
+
+    Returns a `PipelineStep` namedtuple:
+      split_params(params) -> (rest, stacked): pull the trunk blocks out
+        of a full param tree and stack them on a leading axis; place with
+        `jax.device_put((rest, stacked), param_shardings)`.
+      merge_params(rest, stacked) -> full param tree (checkpoint/eval).
+      init_opt(parts) -> sharded optimizer state
+      step(parts, opt_state, x, y, key) -> (parts, opt_state, loss)
+      loss_and_grads(parts, x, y, key) -> (loss, grads)   [both jitted]
+    """
+    import optax
+
+    from .utils import checkarg_loss
+    from .models.blocks import RecurrentConvBlock
+
+    m = model.module
+    if not model.name.startswith('rec'):
+        raise ValueError(
+            'pipeline parallelism needs the homogeneous ConvLSTM trunk of '
+            'the recurrent nets (recnet_postupsampling / recnet_pin); got '
+            f'{model.name!r} — the spatial backbones grow filters per '
+            'block, so their stages are not shape-uniform')
+    if model.aux_shape is not None:
+        raise ValueError(
+            'make_pipeline_step does not support aux-input models '
+            f'(aux_shape={model.aux_shape}); build with n_aux_channels=0')
+    if pipe_axis not in mesh.axis_names:
+        raise ValueError(f'mesh has no {pipe_axis!r} axis: '
+                         f'{mesh.axis_names}')
+    n_stages = mesh.shape[pipe_axis]
+    if n_stages < 2:
+        raise ValueError(f'{pipe_axis!r} axis size must be >= 2, got '
+                         f'{n_stages}')
+    n_blocks = m.n_blocks
+    if n_blocks % n_stages:
+        raise ValueError(f'n_blocks={n_blocks} not divisible by the '
+                         f'{pipe_axis} axis size {n_stages}')
+    bps = n_blocks // n_stages
+    n_micro = n_stages if n_micro is None else int(n_micro)
+    if n_micro < 1:
+        raise ValueError(f'n_micro must be >= 1, got {n_micro}')
+    has_data = data_axis in mesh.axis_names
+    n_data = mesh.shape[data_axis] if has_data else 1
+    lossf = checkarg_loss(loss)
+    tx = tx if tx is not None else optax.adam(1e-4)
+
+    variables0 = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    if 'batch_stats' in variables0:
+        raise ValueError('pipeline training supports parameter-only models '
+                         '(batch-norm statistics are mutable per-microbatch '
+                         "state); use normalization=None or 'ln'")
+    params0 = jax.tree.map(lambda s: s, variables0['params'])
+    bb_key = next(k for k in params0 if k.startswith('_RecBackbone'))
+    block_names = [f'RecurrentConvBlock{i + 2}' for i in range(n_blocks)]
+
+    block_mod = RecurrentConvBlock(
+        m.n_filters, activation=m.activation, normalization=m.normalization,
+        dropout_rate=m.dropout_rate, dropout_variant=m.dropout_variant,
+        dtype=m.dtype)
+
+    def _stack(*ls):
+        if isinstance(ls[0], jax.ShapeDtypeStruct):  # eval_shape scaffolding
+            return jax.ShapeDtypeStruct((len(ls),) + tuple(ls[0].shape),
+                                        ls[0].dtype)
+        return jnp.stack(ls)
+
+    def split_params(params):
+        bb = dict(params[bb_key])
+        blocks = [bb.pop(name) for name in block_names]
+        stacked = jax.tree.map(_stack, *blocks)
+        rest = dict(params)
+        rest[bb_key] = bb
+        return rest, stacked
+
+    def merge_params(rest, stacked):
+        bb = dict(rest[bb_key])
+        for i, name in enumerate(block_names):
+            bb[name] = jax.tree.map(lambda a, i=i: a[i], stacked)
+        full = dict(rest)
+        full[bb_key] = bb
+        return full
+
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def trunk_device_fn(stacked_loc, x0_loc, key):
+        # stacked_loc: this device's [bps, ...] trunk blocks;
+        # x0_loc: the full (per-data-shard) stem output [B, T, h, w, F]
+        d = jax.lax.axis_index(pipe_axis)
+        b_loc = x0_loc.shape[0]
+        mb = b_loc // n_micro
+        x0_mb = x0_loc.reshape(n_micro, mb, *x0_loc.shape[1:])
+        slot0 = jnp.zeros(x0_mb.shape[1:], x0_loc.dtype)
+        acc0 = jnp.zeros_like(x0_mb)
+
+        def tick(carry, t):
+            slot, acc = carry
+            inj = jax.lax.dynamic_index_in_dim(x0_mb, t % n_micro, 0,
+                                               keepdims=False)
+            # stage 0 injects microbatch t; everyone else continues on
+            # what the previous stage handed over at the last tick
+            slot = jnp.where(d == 0, inj, slot)
+            for j in range(bps):
+                blk = jax.tree.map(lambda a, j=j: a[j], stacked_loc)
+                k = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(key, d), t), j)
+                slot = block_mod.apply({'params': blk}, slot, True,
+                                       rngs={'dropout': k})
+            # the last stage finished microbatch t-(S-1) (bubble if < 0)
+            m_idx = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                acc, slot, jnp.clip(m_idx, 0, n_micro - 1), 0)
+            acc = jnp.where(m_idx >= 0, upd, acc)
+            slot = jax.lax.ppermute(slot, pipe_axis, perm)
+            return (slot, acc), None
+
+        (_, acc), _ = jax.lax.scan(tick, (slot0, acc0),
+                                   jnp.arange(n_micro + n_stages - 1))
+        out = acc.reshape(b_loc, *x0_loc.shape[1:])
+        # only the last stage holds real trunk outputs; broadcast so the
+        # replicated head sees them everywhere
+        return jax.lax.psum(
+            jnp.where(d == n_stages - 1, out, jnp.zeros_like(out)),
+            pipe_axis)
+
+    x0_spec = P(data_axis if has_data else None)
+    trunk_sharded = _shard_map(trunk_device_fn, mesh=mesh,
+                               in_specs=(P(pipe_axis), x0_spec, P()),
+                               out_specs=x0_spec)
+
+    def _loss_fn(parts, x, y, key):
+        rest, stacked = parts
+        k_head, k_trunk = jax.random.split(key)
+        out = model.module.apply(
+            {'params': rest}, x, None, training=True,
+            rngs={'dropout': k_head},
+            trunk_fn=lambda x0: trunk_sharded(stacked, x0, k_trunk))
+        return lossf(y, out.astype(jnp.float32))
+
+    def _step(parts, opt_state, x, y, key):
+        l, g = jax.value_and_grad(_loss_fn)(parts, x, y, key)
+        updates, opt_state = tx.update(g, opt_state, parts)
+        return optax.apply_updates(parts, updates), opt_state, l
+
+    rest0, stacked0 = split_params(params0)
+    rep = NamedSharding(mesh, P())
+    rest_sh = jax.tree.map(lambda _: rep, rest0)
+    stk_sh = jax.tree.map(lambda _: NamedSharding(mesh, P(pipe_axis)),
+                          stacked0)
+    parts_sh = (rest_sh, stk_sh)
+    x_sh = NamedSharding(mesh, P(data_axis) if has_data else P())
+    st_sh = mirror_param_shardings(
+        jax.eval_shape(tx.init, (rest0, stacked0)), (rest0, stacked0),
+        parts_sh, rep)
+
+    step_j = jax.jit(_step, in_shardings=(parts_sh, st_sh, x_sh, x_sh, rep),
+                     out_shardings=(parts_sh, st_sh, rep),
+                     donate_argnums=(0, 1))
+    lag_j = jax.jit(jax.value_and_grad(_loss_fn),
+                    in_shardings=(parts_sh, x_sh, x_sh, rep),
+                    out_shardings=(rep, parts_sh))
+
+    def _validate(x, y):
+        if np.ndim(x) != 5:
+            raise ValueError('pipeline training takes spatio-temporal '
+                             '[B, T, h, w, C] inputs (5-D), got '
+                             f'{np.shape(x)}')
+        b = x.shape[0]
+        if b % n_data:
+            raise ValueError(f'batch {b} not divisible by the {data_axis} '
+                             f'axis size {n_data}')
+        if (b // n_data) % n_micro:
+            raise ValueError(f'per-data-shard batch {b // n_data} not '
+                             f'divisible by n_micro={n_micro}')
+        if np.shape(y)[0] != b:
+            raise ValueError(f'target batch {np.shape(y)[0]} != {b}')
+
+    def step(parts, opt_state, x, y, key):
+        _validate(x, y)
+        return step_j(parts, opt_state, jnp.asarray(x, jnp.float32),
+                      jnp.asarray(y, jnp.float32), key)
+
+    def loss_and_grads(parts, x, y, key):
+        _validate(x, y)
+        return lag_j(parts, jnp.asarray(x, jnp.float32),
+                     jnp.asarray(y, jnp.float32), key)
+
+    def init_opt(parts):
+        return jax.device_put(jax.jit(tx.init)(parts), st_sh)
+
+    return PipelineStep(step, loss_and_grads, init_opt, split_params,
+                        merge_params, parts_sh, n_stages, n_micro)

@@ -533,3 +533,147 @@ def test_predict_tile_quantize_routing(rng):
         from dl4ds_tpu.training.base import make_mesh
         dds.predict((model, variables), x, scale=2, array_in_hr=False,
                     spatial_mesh=make_mesh(('space',)), quantize='int8')
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (GPipe-style trunk rotation over a 'pipe' axis)
+
+def _pp_model(**kw):
+    from dl4ds_tpu.models import recnet_postupsampling
+    cfg = dict(backbone_block='resnet', upsampling='spc', scale=2,
+               n_channels=1, n_aux_channels=0, lr_size=(8, 8),
+               time_window=3, n_filters=4, n_blocks=4)
+    cfg.update(kw)
+    return recnet_postupsampling(**cfg)
+
+
+@pytest.mark.core
+def test_pipeline_step_matches_unsharded(rng):
+    """Trunk blocks rotated over a 4-stage 'pipe' axis: loss + grads and a
+    3-step Adam trajectory must match the unsharded full-model program
+    (the pipeline is exact — bubbles never touch valid microbatches)."""
+    import optax
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import make_pipeline_step
+
+    model = _pp_model()
+    full = model.init(jax.random.PRNGKey(0), batch_size=2)['params']
+    x = jnp.asarray(rng.standard_normal((8, 3, 8, 8, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 3, 16, 16, 1)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    tx = optax.adam(1e-3)
+
+    def loss_fn(p):
+        out = model.module.apply({'params': p}, x, None, training=True,
+                                 rngs={'dropout': key})
+        return jnp.mean(jnp.abs(out.astype(jnp.float32) - y))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('pipe',))
+    ps = make_pipeline_step(model, mesh, tx=optax.adam(1e-3), loss='mae')
+    assert ps.n_stages == 4 and ps.n_micro == 4
+    parts = jax.device_put(ps.split_params(full), ps.param_shardings)
+
+    # split/merge round-trips the tree exactly
+    for a, b in zip(jax.tree.leaves(ps.merge_params(*ps.split_params(full))),
+                    jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    l1, g1 = ps.loss_and_grads(parts, x, y, key)
+    l2, g2 = jax.value_and_grad(loss_fn)(full)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ps.merge_params(*g1)),
+                    jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # trunk params + Adam moments really live sharded over 'pipe'
+    stk_specs = {tuple(s.spec) for s in jax.tree.leaves(
+        ps.param_shardings[1], is_leaf=lambda s: hasattr(s, 'spec'))}
+    assert stk_specs == {('pipe',)}
+
+    # 3-step Adam trajectory matches the unsharded program
+    p_ref, st_ref = full, tx.init(full)
+    for _ in range(3):
+        _, g = jax.value_and_grad(loss_fn)(p_ref)
+        up, st_ref = tx.update(g, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, up)
+    st = ps.init_opt(parts)
+    for _ in range(3):
+        parts, st, l = ps.step(parts, st, x, y, key)
+    for a, b in zip(jax.tree.leaves(ps.merge_params(*parts)),
+                    jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pipeline_step_2d_mesh_pin(rng):
+    """PP x DP mesh on a recnet_pin densenet with layer norm and mse: the
+    2-D program (batch sharded over 'data', trunk over 'pipe') matches the
+    unsharded step; n_micro != n_stages is allowed."""
+    import optax
+    from jax.sharding import Mesh
+    from dl4ds_tpu.models import recnet_pin
+    from dl4ds_tpu.parallel import make_pipeline_step
+
+    model = recnet_pin('densenet', n_channels=1, n_aux_channels=0,
+                       hr_size=(8, 8), time_window=2, n_filters=4,
+                       n_blocks=4, normalization='ln')
+    full = model.init(jax.random.PRNGKey(0), batch_size=2)['params']
+    x = jnp.asarray(rng.standard_normal((8, 2, 8, 8, 1)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 2, 8, 8, 1)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ('pipe', 'data'))
+    ps = make_pipeline_step(model, mesh, tx=optax.adam(1e-3), loss='mse',
+                            n_micro=2)
+    parts = jax.device_put(ps.split_params(full), ps.param_shardings)
+    l1, g1 = ps.loss_and_grads(parts, x, y, key)
+
+    def loss_fn(p):
+        out = model.module.apply({'params': p}, x, None, training=True,
+                                 rngs={'dropout': key})
+        return jnp.mean((out.astype(jnp.float32) - y) ** 2)
+
+    l2, g2 = jax.value_and_grad(loss_fn)(full)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ps.merge_params(*g1)),
+                    jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pipeline_step_validation(rng):
+    """Unsupported configs fail loudly: spatial backbones (heterogeneous
+    widths), aux inputs, bn state, indivisible n_blocks/batch."""
+    import optax
+    from jax.sharding import Mesh
+    from dl4ds_tpu.parallel import make_pipeline_step
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('pipe',))
+
+    spatial = net_postupsampling('resnet', 'spc', scale=2, n_channels=1,
+                                 n_aux_channels=0, lr_size=(8, 8),
+                                 n_filters=4, n_blocks=4)
+    with pytest.raises(ValueError, match='homogeneous'):
+        make_pipeline_step(spatial, mesh)
+
+    with pytest.raises(ValueError, match='aux'):
+        make_pipeline_step(_pp_model(n_aux_channels=2), mesh)
+
+    with pytest.raises(ValueError, match='divisible'):
+        make_pipeline_step(_pp_model(n_blocks=6), mesh)
+
+    with pytest.raises(ValueError, match='batch norm|batch-norm'):
+        make_pipeline_step(_pp_model(normalization='bn'), mesh)
+
+    with pytest.raises(ValueError, match='>= 2'):
+        make_pipeline_step(
+            _pp_model(), Mesh(np.array(jax.devices()[:1]), ('pipe',)))
+
+    ps = make_pipeline_step(_pp_model(), mesh, tx=optax.adam(1e-3))
+    full = _pp_model().init(jax.random.PRNGKey(0))['params']
+    parts = jax.device_put(ps.split_params(full), ps.param_shardings)
+    x5 = jnp.zeros((6, 3, 8, 8, 1))   # 6 % n_micro=4 != 0
+    with pytest.raises(ValueError, match='n_micro'):
+        ps.loss_and_grads(parts, x5, jnp.zeros((6, 3, 16, 16, 1)),
+                          jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='5-D'):
+        ps.loss_and_grads(parts, jnp.zeros((4, 8, 8, 1)),
+                          jnp.zeros((4, 16, 16, 1)), jax.random.PRNGKey(0))
