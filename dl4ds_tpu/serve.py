@@ -56,7 +56,7 @@ class ModelServer:
     """
 
     def __init__(self, artifact_dir, warmup=True, batch_window_ms=0,
-                 max_batch=64, pad_pow2=None):
+                 max_batch=64, pad_pow2=None, eager=False):
         from .export import load_serving_artifact
         self.call, self.meta = load_serving_artifact(artifact_dir)
         self.artifact_dir = artifact_dir
@@ -77,9 +77,16 @@ class ModelServer:
         self.n_device_batches = 0
         # dynamic micro-batching: when batch_window_ms > 0, concurrent
         # requests are merged into one device call (collected for up to
-        # the window after the first arrival, capped at max_batch samples)
+        # the window after the first arrival, capped at max_batch samples).
+        # eager=True makes the batcher ADAPTIVE: it never waits out the
+        # window when the queue is momentarily empty — merges form from
+        # requests that queued up WHILE the previous device call ran
+        # (the single dispatcher thread is the only device user, so the
+        # device is busy exactly while _run executes). Light load then
+        # pays no window latency; heavy load still merges.
         self.batch_window_ms = batch_window_ms
         self.max_batch = max_batch
+        self.eager = eager
         self._queue = collections.deque()
         self._queue_cv = threading.Condition()
         self._batcher = None
@@ -201,6 +208,8 @@ class ModelServer:
                     break
                 with self._queue_cv:
                     if not self._queue:
+                        if self.eager:
+                            break   # adaptive: device is idle, go now
                         self._queue_cv.wait(timeout=remaining)
                     if not self._queue:
                         break
@@ -247,6 +256,7 @@ class ModelServer:
             'device_batches': self.n_device_batches,
             'batch_window_ms': self.batch_window_ms,
             'pad_pow2': self.pad_pow2,
+            'eager': self.eager,
         }
 
 
@@ -322,22 +332,25 @@ def _make_handler(server):
 
 def make_http_server(artifact_dir, host='127.0.0.1', port=8000,
                      warmup=True, batch_window_ms=0, max_batch=64,
-                     pad_pow2=None):
+                     pad_pow2=None, eager=False):
     """Build (ThreadingHTTPServer, ModelServer) without starting it —
     the test harness drives the returned server on an ephemeral port."""
     from http.server import ThreadingHTTPServer
     model = ModelServer(artifact_dir, warmup=warmup,
                         batch_window_ms=batch_window_ms,
-                        max_batch=max_batch, pad_pow2=pad_pow2)
+                        max_batch=max_batch, pad_pow2=pad_pow2,
+                        eager=eager)
     httpd = ThreadingHTTPServer((host, port), _make_handler(model))
     return httpd, model
 
 
 def serve_forever(artifact_dir, host='0.0.0.0', port=8000,
-                  batch_window_ms=0, max_batch=64, pad_pow2=None):
+                  batch_window_ms=0, max_batch=64, pad_pow2=None,
+                  eager=False):
     httpd, model = make_http_server(artifact_dir, host=host, port=port,
                                     batch_window_ms=batch_window_ms,
-                                    max_batch=max_batch, pad_pow2=pad_pow2)
+                                    max_batch=max_batch, pad_pow2=pad_pow2,
+                                    eager=eager)
     print(f'dl4ds_tpu.serve: {model.meta.get("name")} on '
           f'http://{host}:{port} (batch={model.batch})', flush=True)
     httpd.serve_forever()
@@ -356,6 +369,11 @@ def main(argv=None):
                          'device call (0 = off)')
     ap.add_argument('--max-batch', type=int, default=64,
                     help='sample cap per merged device call')
+    ap.add_argument('--eager-batch', action='store_true',
+                    help='adaptive micro-batching: never wait out the '
+                         'window when the queue is empty — merge only the '
+                         'requests that queued while the previous device '
+                         'call ran (light load pays no window latency)')
     ap.add_argument('--no-pad-pow2', action='store_true',
                     help='disable padding merged symbolic-batch device '
                          'calls to the next power of two (padding bounds '
@@ -374,7 +392,8 @@ def main(argv=None):
     serve_forever(args.artifact, host=args.host, port=args.port,
                   batch_window_ms=args.batch_window_ms,
                   max_batch=args.max_batch,
-                  pad_pow2=False if args.no_pad_pow2 else None)
+                  pad_pow2=False if args.no_pad_pow2 else None,
+                  eager=args.eager_batch)
 
 
 if __name__ == '__main__':

@@ -254,3 +254,53 @@ def test_dynamic_microbatching_isolates_bad_shapes(tmp_path, rng):
     assert out['good'].shape == (1, 32, 32, 1)
     assert out['good2'].shape == (1, 32, 32, 1)
     assert 'bad' in errs and 'bad' not in out
+
+
+def test_eager_microbatching_merges_without_window_waits(tmp_path, rng):
+    """eager=True (adaptive batching): a lone request dispatches
+    immediately instead of waiting out the window, and requests that
+    arrive while the device is busy still merge — every caller gets
+    its exact slice."""
+    model, variables, path = _artifact(tmp_path)
+    # a punitive 2 s window: if eager ever waited it out, this test
+    # would take >2 s per dispatch and the lone-request timing fails
+    srv = ModelServer(path, batch_window_ms=2000, max_batch=16,
+                      eager=True)
+    assert srv.health()['eager'] is True
+
+    import time as _time
+    x0 = rng.standard_normal((1, 8, 8, 1)).astype('float32')
+    t0 = _time.perf_counter()
+    y0 = srv.predict(x0)
+    assert _time.perf_counter() - t0 < 1.5, \
+        'eager batcher waited out the window on an idle queue'
+    import jax.numpy as jnp
+    direct = np.asarray(model.module.apply(
+        variables, jnp.asarray(x0), None, training=False))
+    np.testing.assert_allclose(y0, direct, atol=1e-6)
+
+    # concurrent burst: merging must still happen (requests queue while
+    # the first dispatch holds the device)
+    xs = [rng.standard_normal((1, 8, 8, 1)).astype('float32')
+          for _ in range(8)]
+    results = [None] * 8
+    start = threading.Barrier(8)
+
+    def worker(i):
+        start.wait()
+        results[i] = srv.predict(xs[i])
+
+    base = srv.n_device_batches
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None for r in results)
+    for i in range(8):
+        direct = np.asarray(model.module.apply(
+            variables, jnp.asarray(xs[i]), None, training=False))
+        np.testing.assert_allclose(results[i], direct, atol=1e-6)
+    assert srv.n_device_batches - base < 8, \
+        f'no merging happened ({srv.n_device_batches - base} device calls)'

@@ -15,6 +15,11 @@ the same artifact (resnet_spc 4x, symbolic batch):
                (--batch-window-ms 8, max_batch 64) — concurrent requests
                merge into one device call; `device_batches` in the
                server's own counters shows the merge factor.
+  eager        same, with --eager-batch: the batcher never waits out
+               the window when the queue is empty — merges form only
+               from requests that queued while the previous device call
+               ran, so light load pays no window latency and stragglers
+               never wait idle.
 
 Caveat recorded in the artifact: every device call on the tunneled chip
 pays a remote-RPC floor that a co-located TPU host does not, so absolute
@@ -85,11 +90,12 @@ def _percentiles(lat_s):
             'max_ms': round(float(ms[-1]), 2)}
 
 
-def _run_scenario(artifact, batch_window_ms, n_clients, n_per_client):
+def _run_scenario(artifact, batch_window_ms, n_clients, n_per_client,
+                  eager=False):
     from dl4ds_tpu.serve import make_http_server
     httpd, model = make_http_server(
         artifact, port=0, warmup=True,
-        batch_window_ms=batch_window_ms, max_batch=MAX_BATCH)
+        batch_window_ms=batch_window_ms, max_batch=MAX_BATCH, eager=eager)
     url = f'http://127.0.0.1:{httpd.server_address[1]}'
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -155,6 +161,9 @@ def main():
         print(f'# concurrent x{N_CLIENTS}: {conc}', flush=True)
         micro = _run_scenario(artifact, WINDOW_MS, N_CLIENTS, N_PER_CLIENT)
         print(f'# microbatch x{N_CLIENTS}: {micro}', flush=True)
+        eager = _run_scenario(artifact, WINDOW_MS, N_CLIENTS, N_PER_CLIENT,
+                              eager=True)
+        print(f'# eager x{N_CLIENTS}: {eager}', flush=True)
 
     out = {
         'metric': 'serve_latency_under_load_resnet_spc_4x',
@@ -164,10 +173,14 @@ def main():
         'sequential': seq,
         'concurrent': conc,
         'microbatch': micro,
+        'eager_microbatch': eager,
         'microbatch_p99_speedup': round(
             conc['p99_ms'] / micro['p99_ms'], 2),
         'microbatch_throughput_gain': round(
             micro['throughput_req_s'] / conc['throughput_req_s'], 2),
+        'eager_p99_speedup': round(conc['p99_ms'] / eager['p99_ms'], 2),
+        'eager_throughput_gain': round(
+            eager['throughput_req_s'] / conc['throughput_req_s'], 2),
         'backend': jax.default_backend(),
         'note': ('tunneled chip: every device call pays a remote-RPC '
                  'floor a co-located host does not — absolute latencies '
