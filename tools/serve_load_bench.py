@@ -91,11 +91,13 @@ def _percentiles(lat_s):
 
 
 def _run_scenario(artifact, batch_window_ms, n_clients, n_per_client,
-                  eager=False):
+                  eager=False, max_batch=None):
     from dl4ds_tpu.serve import make_http_server
     httpd, model = make_http_server(
         artifact, port=0, warmup=True,
-        batch_window_ms=batch_window_ms, max_batch=MAX_BATCH, eager=eager)
+        batch_window_ms=batch_window_ms,
+        max_batch=MAX_BATCH if max_batch is None else max_batch,
+        eager=eager)
     url = f'http://127.0.0.1:{httpd.server_address[1]}'
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -164,6 +166,12 @@ def main():
         eager = _run_scenario(artifact, WINDOW_MS, N_CLIENTS, N_PER_CLIENT,
                               eager=True)
         print(f'# eager x{N_CLIENTS}: {eager}', flush=True)
+        # the p99 tail of both merge modes is head-of-line blocking behind
+        # a full max_batch device call; this row measures the knob
+        eager16 = _run_scenario(artifact, WINDOW_MS, N_CLIENTS,
+                                N_PER_CLIENT, eager=True,
+                                max_batch=MAX_BATCH // 4)
+        print(f'# eager max_batch={MAX_BATCH // 4}: {eager16}', flush=True)
 
     out = {
         'metric': 'serve_latency_under_load_resnet_spc_4x',
@@ -174,6 +182,7 @@ def main():
         'concurrent': conc,
         'microbatch': micro,
         'eager_microbatch': eager,
+        'eager_max_batch_16': eager16,
         'microbatch_p99_speedup': round(
             conc['p99_ms'] / micro['p99_ms'], 2),
         'microbatch_throughput_gain': round(
