@@ -1055,9 +1055,10 @@ def make_pipeline_step(model, mesh, tx=None, loss='mae', n_micro=None,
         jax.eval_shape(tx.init, (rest0, stacked0)), (rest0, stacked0),
         parts_sh, rep)
 
+    # no donation, like the other standalone step factories: callers may
+    # inspect the old parts after a step (merge_params for eval etc.)
     step_j = jax.jit(_step, in_shardings=(parts_sh, st_sh, x_sh, x_sh, rep),
-                     out_shardings=(parts_sh, st_sh, rep),
-                     donate_argnums=(0, 1))
+                     out_shardings=(parts_sh, st_sh, rep))
     lag_j = jax.jit(jax.value_and_grad(_loss_fn),
                     in_shardings=(parts_sh, x_sh, x_sh, rep),
                     out_shardings=(rep, parts_sh))

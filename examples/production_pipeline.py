@@ -33,7 +33,7 @@ from dl4ds_tpu.export import save_serving_artifact, load_serving_artifact
 from dl4ds_tpu.quantization import quantize_forward
 
 
-def make_dataset(path, n=96, size=64):
+def make_dataset(path, n=112, size=64):
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing='ij')
     frames = [np.sin(0.2 * yy + 0.1 * k) * np.cos(0.3 * xx - 0.05 * k)
               for k in range(n)]
@@ -49,13 +49,15 @@ def main():
     ds_path = os.path.join(workdir, 'dataset.npy')
     data = make_dataset(ds_path)
     disk = np.load(ds_path, mmap_mode='r')     # never copied into RAM
-    val, test = data[80:88], data[88:]
+    # val/test must cover one GLOBAL batch in the streaming tier
+    # (batch_size x n_devices; the trainer validates this loudly)
+    val, test = data[80:96], data[96:]
 
     # ---- 2. streaming training: disk tier + gradient accumulation ------
     common = dict(
         backbone='resnet', upsampling='spc', data_train=disk[:80],
         data_val=val, data_test=test, scale=4, patch_size=32,
-        batch_size=8, loss='mae', n_filters=8, n_blocks=2,
+        batch_size=2, loss='mae', n_filters=8, n_blocks=2,
         gradient_accumulation_steps=2, data_in_hbm=False,
         save=False, save_path=workdir + '/', verbose=False, seed=0)
     trainer = dds.SupervisedTrainer(epochs=4, checkpoints_frequency=2,
